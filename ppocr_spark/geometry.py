@@ -1,0 +1,267 @@
+"""Deterministic 2-D geometry kernels (pure numpy, no OpenCV).
+
+Implements the reference's detection post-processing geometry from scratch:
+
+- connected components  — replaces cv::findContours for region extraction
+  (cpp/src/postprocess_op.cpp:246-263 walks contours; we walk components,
+  which is equivalent for filled text blobs)
+- convex hull + rotating-calipers min-area rect — replaces cv::minAreaRect
+  (used by GetMiniBoxes, cpp/src/postprocess_op.cpp:127-160)
+- order_points_clockwise — exact semantics of
+  cpp/src/postprocess_op.cpp:82-99 (top-left start, clockwise)
+- unclip — Clipper round-join polygon offset by area*ratio/perimeter
+  (cpp/src/postprocess_op.cpp:37-67). The reference always feeds convex
+  quads and immediately takes minAreaRect of the offset polygon, for which
+  the round-join offset reduces exactly to "expand the rect by the offset
+  distance along its own axes" — we implement that closed form.
+- perspective crop — replaces cv::getPerspectiveTransform/warpPerspective
+  (GetRotateCropImage, cpp/src/utility.cpp:163-221), including the
+  transpose+flip for vertical text (h >= 1.5*w).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# connected components (row-run union-find; fast for sparse text masks)
+# ---------------------------------------------------------------------------
+
+def connected_components(mask: np.ndarray, max_components: int = 100000):
+    """8-connected components of a bool mask.
+
+    Returns a list of (ys, xs) integer index arrays, one per component,
+    ordered by first-encountered row-run (deterministic scan order).
+    """
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    # runs[r] = list of (x_start, x_end_exclusive, label)
+    prev_runs: list[tuple[int, int, int]] = []
+    all_runs: list[tuple[int, int, int, int]] = []  # (row, xs, xe, label)
+    padded = np.zeros(w + 2, dtype=bool)
+    for r in range(h):
+        row = mask[r]
+        if not row.any():
+            prev_runs = []
+            continue
+        padded[1:-1] = row
+        d = np.diff(padded.astype(np.int8))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur: list[tuple[int, int, int]] = []
+        for xs, xe in zip(starts, ends):
+            lbl = len(parent)
+            parent.append(lbl)
+            # 8-connectivity: overlap with [xs-1, xe+1) in previous row
+            for pxs, pxe, plbl in prev_runs:
+                if pxs < xe + 1 and pxe > xs - 1:
+                    union(lbl, plbl)
+            cur.append((int(xs), int(xe), lbl))
+            all_runs.append((r, int(xs), int(xe), lbl))
+        prev_runs = cur
+
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    order: list[int] = []
+    for r, xs, xe, lbl in all_runs:
+        root = find(lbl)
+        if root not in groups:
+            groups[root] = []
+            order.append(root)
+        groups[root].append((r, xs, xe))
+    comps = []
+    for root in order[:max_components]:
+        runs = groups[root]
+        ys = np.concatenate([np.full(xe - xs, r, dtype=np.int64) for r, xs, xe in runs])
+        xs_ = np.concatenate([np.arange(xs, xe, dtype=np.int64) for _, xs, xe in runs])
+        comps.append((ys, xs_))
+    return comps
+
+
+# ---------------------------------------------------------------------------
+# convex hull + min-area rect
+# ---------------------------------------------------------------------------
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain. points: (n,2) float/int → hull (m,2) CCW."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts.astype(np.float64)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))].astype(np.float64)
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray):
+    """Rotating calipers min-area rectangle.
+
+    Returns (corners (4,2) float64, sside) where sside is the shorter side —
+    the 'ssid' the reference gates on (cpp/src/postprocess_op.cpp:277-279).
+    """
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        p = hull[0]
+        return np.array([p, p, p, p], dtype=np.float64), 0.0
+    if len(hull) == 2:
+        a, b = hull
+        return np.array([a, b, b, a], dtype=np.float64), 0.0
+    best_area = math.inf
+    best = None
+    n = len(hull)
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        norm = math.hypot(e[0], e[1])
+        if norm < 1e-12:
+            continue
+        ux, uy = e[0] / norm, e[1] / norm  # edge direction
+        # project all hull points on (u, v=perp)
+        px = hull[:, 0] * ux + hull[:, 1] * uy
+        py = -hull[:, 0] * uy + hull[:, 1] * ux
+        w = px.max() - px.min()
+        h = py.max() - py.min()
+        area = w * h
+        if area < best_area - 1e-9:
+            best_area = area
+            x0, x1 = px.min(), px.max()
+            y0, y1 = py.min(), py.max()
+            corners = []
+            for cx, cy in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+                corners.append([cx * ux - cy * uy, cx * uy + cy * ux])
+            best = (np.array(corners), min(w, h))
+    assert best is not None
+    return best
+
+
+def order_points_clockwise(box: np.ndarray) -> np.ndarray:
+    """Exact OrderPointsClockwise semantics
+    (cpp/src/postprocess_op.cpp:82-99): sort by x; of the two leftmost the
+    upper is corner 0, lower corner 3; of the two rightmost the upper is
+    corner 1, lower corner 2."""
+    pts = np.asarray(box, dtype=np.float64)
+    idx = np.argsort(pts[:, 0], kind="stable")
+    left = pts[idx[:2]]
+    right = pts[idx[2:]]
+    lt, lb = (left[0], left[1]) if left[0][1] <= left[1][1] else (left[1], left[0])
+    rt, rb = (right[0], right[1]) if right[0][1] <= right[1][1] else (right[1], right[0])
+    return np.array([lt, rt, rb, lb])
+
+
+# ---------------------------------------------------------------------------
+# unclip (polygon offset, closed form for rectangles)
+# ---------------------------------------------------------------------------
+
+def unclip_distance(corners: np.ndarray, unclip_ratio: float) -> float:
+    """Clipper offset distance: area * ratio / perimeter
+    (cpp/src/postprocess_op.cpp:37-50)."""
+    x = corners[:, 0]
+    y = corners[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    per = np.sum(np.hypot(np.diff(np.append(x, x[0])), np.diff(np.append(y, y[0]))))
+    if per < 1e-9:
+        return 0.0
+    return float(area * unclip_ratio / per)
+
+
+def expand_rect(corners: np.ndarray, dist: float) -> np.ndarray:
+    """Expand an (ordered clockwise) rectangle outward by `dist` along its
+    own axes — the minAreaRect of the Clipper round-join offset of a convex
+    quad (see module docstring)."""
+    c = np.asarray(corners, dtype=np.float64)
+    center = c.mean(axis=0)
+    out = np.empty_like(c)
+    u = c[1] - c[0]
+    v = c[3] - c[0]
+    nu = u / max(np.linalg.norm(u), 1e-12)
+    nv = v / max(np.linalg.norm(v), 1e-12)
+    signs = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+    for i, (su, sv) in enumerate(signs):
+        out[i] = c[i] + su * dist * nu + sv * dist * nv
+    # keep orientation stable regardless of input winding
+    _ = center
+    return out
+
+
+# ---------------------------------------------------------------------------
+# perspective crop (GetRotateCropImage analog)
+# ---------------------------------------------------------------------------
+
+def _homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3x3 homography mapping src (4,2) → dst (4,2) (solve 8x8 system —
+    what cv::getPerspectiveTransform does)."""
+    a = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    h = np.linalg.solve(a, b)
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
+    """Warp the quad region to an upright rect of size (crop_w, crop_h)
+    where crop_w = max(top,bottom edge len), crop_h = max(left,right edge
+    len); then transpose+flip if h >= 1.5*w (vertical text rule,
+    cpp/src/utility.cpp:163-221)."""
+    q = np.asarray(quad, dtype=np.float64)
+    crop_w = int(max(np.linalg.norm(q[0] - q[1]), np.linalg.norm(q[2] - q[3])))
+    crop_h = int(max(np.linalg.norm(q[0] - q[3]), np.linalg.norm(q[1] - q[2])))
+    crop_w = max(crop_w, 1)
+    crop_h = max(crop_h, 1)
+    dst = np.array(
+        [[0, 0], [crop_w, 0], [crop_w, crop_h], [0, crop_h]], dtype=np.float64
+    )
+    hmat = _homography(dst, q)  # dest -> src direction
+    yy, xx = np.mgrid[0:crop_h, 0:crop_w]
+    ones = np.ones_like(xx, dtype=np.float64)
+    pts = np.stack([xx + 0.5, yy + 0.5, ones])  # pixel centers
+    m = hmat @ pts.reshape(3, -1)
+    sx = (m[0] / m[2]).reshape(crop_h, crop_w) - 0.5
+    sy = (m[1] / m[2]).reshape(crop_h, crop_w) - 0.5
+    h, w = img.shape[:2]
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
+    fx = np.clip(sx - x0, 0.0, 1.0)
+    fy = np.clip(sy - y0, 0.0, 1.0)
+    p = img.astype(np.float32)
+    out = (
+        p[y0, x0] * (1 - fx) * (1 - fy)
+        + p[y0, x0 + 1] * fx * (1 - fy)
+        + p[y0 + 1, x0] * (1 - fx) * fy
+        + p[y0 + 1, x0 + 1] * fx * fy
+    )
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    if crop_h >= crop_w * 1.5:
+        # transpose + vertical flip — the reference's vertical-text rule
+        out = np.ascontiguousarray(out.T[::-1])
+    return out

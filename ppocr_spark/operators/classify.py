@@ -1,0 +1,95 @@
+"""Angle classification — the cls stage (C1-C3 in SURVEY.md §2.2).
+
+The reference runs a learned 2-class (0°/180°) classifier
+(cpp/src/ocr_cls.cpp:20-105) and rotates a crop when
+``label % 2 == 1 and score > cls_thresh`` (cpp/src/paddleocr.cpp:126-137).
+
+This engine's from-scratch classifier is a real discriminative forward
+pass: it evaluates the recognition template correlation of the crop in both
+orientations and softmaxes the two evidence scores — upside-down text
+correlates poorly against the (orientation-asymmetric, enforced at font
+generation) glyph bank. C1's resize+pad to the fixed cls shape
+(3x48x192 → here 48x192 grayscale, cpp/src/preprocess_op.cpp:118-135)
+is applied first, as in the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ppocr_spark.font import GLYPH_H, GLYPH_W, template_stack
+from ppocr_spark.operators.detect import _bilinear_resize
+from ppocr_spark.operators.recognize import _segments
+from ppocr_spark.resample import area_resize
+
+CLS_H = 48
+CLS_W = 192
+CLS_SOFTMAX_TEMP = 12.0
+
+
+def cls_resize(crop: np.ndarray) -> np.ndarray:
+    """C1: resize keeping ratio to height 48, right-pad with white to 192
+    (ClsResizeImg + zero-pad, cpp/src/ocr_cls.cpp:49-54 — the reference
+    pads with 0 in normalized space; white is our background fiber)."""
+    h, w = crop.shape
+    ratio = w / float(h)
+    rw = CLS_W if int(np.ceil(CLS_H * ratio)) > CLS_W else int(np.ceil(CLS_H * ratio))
+    out = _bilinear_resize(crop, CLS_H, max(rw, 1))
+    if out.shape[1] < CLS_W:
+        pad = np.full((CLS_H, CLS_W - out.shape[1]), 255, dtype=np.uint8)
+        out = np.concatenate([out, pad], axis=1)
+    return out
+
+
+def _orientation_evidence(img: np.ndarray) -> float:
+    """Mean best template correlation over the crop's segments."""
+    templates, _ = template_stack()
+    ink = img < 128
+    segs = _segments(ink)
+    if not segs:
+        return 0.0
+    best: list[float] = []
+    for s, e in segs[:8]:  # cap work; 8 segments is plenty of evidence
+        seg = ink[:, s:e]
+        rnz = np.flatnonzero(seg.any(axis=1))
+        if rnz.size == 0:
+            continue
+        tile = area_resize(img[rnz[0] : rnz[-1] + 1, s:e], GLYPH_H, GLYPH_W)
+        feat = (255.0 - tile).reshape(-1) / 255.0
+        feat -= feat.mean()
+        nrm = np.linalg.norm(feat)
+        if nrm < 1e-6:
+            continue
+        feat /= nrm
+        best.append(float((templates @ feat).max()))
+    return float(np.mean(best)) if best else 0.0
+
+
+def classify(crop: np.ndarray) -> tuple[int, float]:
+    """C2: label (0 = upright, 1 = rotated 180°) + softmax score."""
+    img = cls_resize(crop)
+    e0 = _orientation_evidence(img)
+    e180 = _orientation_evidence(img[::-1, ::-1])
+    logits = np.array([e0, e180]) * CLS_SOFTMAX_TEMP
+    ex = np.exp(logits - logits.max())
+    p = ex / ex.sum()
+    label = int(np.argmax(p))
+    return label, float(p[label])
+
+
+def classify_batch(
+    crops: list[np.ndarray], batch_num: int = 1
+) -> list[tuple[int, float]]:
+    """Batched C2 — batch_num mirrors cls_batch_num (cpp/src/args.cpp:57);
+    computation is per-crop, the batching is the Arrow-batch contract."""
+    return [classify(c) for c in crops]
+
+
+def maybe_rotate(
+    crop: np.ndarray, label: int, score: float, cls_thresh: float
+) -> np.ndarray:
+    """C3: rotate 180° iff label is odd and score above threshold
+    (cpp/src/paddleocr.cpp:126-137)."""
+    if label % 2 == 1 and score > cls_thresh:
+        return np.ascontiguousarray(crop[::-1, ::-1])
+    return crop

@@ -1,0 +1,221 @@
+"""Text-box detection — the DB-style det stage (D1-D8 in SURVEY.md §2.2).
+
+Pipeline per image (all pure numpy; reference citations per step):
+
+  D1 resize      — cap longest side at ``limit_side_len`` (or floor shortest,
+                   limit_type='min'), round H/W to multiples of 32, keep the
+                   ratios for the final rescale
+                   (ResizeImgType0, cpp/src/preprocess_op.cpp:56-91)
+  D2-D4 model    — probability map. The reference runs a learned DB network;
+                   this engine's from-scratch 'network' is an anisotropic
+                   windowed ink-density map (separable box filter, fixed
+                   receptive field 21x5): high inside text strokes/lines,
+                   decaying across gaps — the same shrunk-region semantics a
+                   DB model is trained to produce (cpp/src/ocr_det.cpp:103-121)
+  D5 binarize    — prob > det_db_thresh; optional 2x2 dilation
+                   (cpp/src/ocr_det.cpp:123-149)
+  D6 boxes       — connected components (≤max_candidates), min-area rect,
+                   sside gate, polygon/bbox score gate, unclip expansion
+                   (BoxesFromBitmap, cpp/src/postprocess_op.cpp:246-321)
+  D7 rescale     — order clockwise, divide by resize ratios, clamp to source,
+                   drop tiny boxes (FilterTagDetRes,
+                   cpp/src/postprocess_op.cpp:323-352)
+  D8 sort        — (y, x) sort of top-left + the reference's adjacent-swap
+                   pass for same-line boxes with Δy < 10
+                   (Utility::sorted_boxes, cpp/src/utility.cpp:443-460)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ppocr_spark.config import PPOCRConfig
+from ppocr_spark.geometry import (
+    connected_components,
+    expand_rect,
+    min_area_rect,
+    order_points_clockwise,
+    unclip_distance,
+)
+
+# fixed 'receptive field' of the density model (odd window sizes)
+WIN_W = 21
+WIN_H = 5
+
+
+def resize_type0(
+    img: np.ndarray, limit_type: str, limit_side_len: int
+) -> tuple[np.ndarray, float, float]:
+    """D1: scale so the longest side <= limit (type 'max') or the shortest
+    side >= limit (type 'min'); round result dims to multiples of 32, min 32.
+    Returns (resized, ratio_h, ratio_w)."""
+    h, w = img.shape[:2]
+    if limit_type == "max":
+        ratio = float(limit_side_len) / max(h, w) if max(h, w) > limit_side_len else 1.0
+    else:
+        ratio = float(limit_side_len) / min(h, w) if min(h, w) < limit_side_len else 1.0
+    resize_h = max(int(round(h * ratio / 32) * 32), 32)
+    resize_w = max(int(round(w * ratio / 32) * 32), 32)
+    resized = _bilinear_resize(img, resize_h, resize_w)
+    return resized, resize_h / float(h), resize_w / float(w)
+
+
+def _bilinear_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    if (nh, nw) == (h, w):
+        return img
+    ys = (np.arange(nh) + 0.5) * h / nh - 0.5
+    xs = (np.arange(nw) + 0.5) * w / nw - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 2)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 2)
+    fy = np.clip(ys - y0, 0, 1)[:, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :]
+    p = img.astype(np.float32)
+    out = (
+        p[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + p[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+        + p[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+        + p[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _box_filter(a: np.ndarray, wh: int, ww: int) -> np.ndarray:
+    """Separable mean filter via cumulative sums (zero-padded borders)."""
+    rh, rw = wh // 2, ww // 2
+    # horizontal
+    c = np.cumsum(np.pad(a, ((0, 0), (rw + 1, rw)), mode="constant"), axis=1)
+    hsum = c[:, ww:] - c[:, :-ww]
+    # vertical
+    c2 = np.cumsum(np.pad(hsum, ((rh + 1, rh), (0, 0)), mode="constant"), axis=0)
+    vsum = c2[wh:, :] - c2[:-wh, :]
+    return vsum / float(wh * ww)
+
+
+def _hmax_filter(a: np.ndarray, width: int) -> np.ndarray:
+    """Horizontal sliding-window maximum (grayscale dilation), width odd."""
+    r = width // 2
+    pad = np.pad(a, ((0, 0), (r, r)), mode="constant")
+    win = np.lib.stride_tricks.sliding_window_view(pad, width, axis=1)
+    return win.max(axis=2)
+
+
+#: width of the horizontal dilation layer — binds intra-word char gaps
+#: (<= 8 px after resize) without bridging word gaps (>= 24 px)
+DILATE_W = 9
+
+
+def probability_map(gray: np.ndarray) -> np.ndarray:
+    """D2-D4: the from-scratch 'DB network' — a fixed two-layer conv-style
+    map: horizontal grayscale dilation (binds characters of a word across
+    <=8 px gaps) followed by an anisotropic mean filter (21x5 receptive
+    field: wide horizontally, narrow vertically so adjacent lines stay
+    apart). Output in [0,1], high inside text lines, decaying across word
+    gaps — the shrunk-region semantics a DB model is trained to produce."""
+    ink = (255.0 - gray.astype(np.float32)) / 255.0
+    ink = _hmax_filter(ink, DILATE_W)
+    return _box_filter(ink, WIN_H, WIN_W).astype(np.float32)
+
+
+def _dilate2x2(bitmap: np.ndarray) -> np.ndarray:
+    out = bitmap.copy()
+    out[1:, :] |= bitmap[:-1, :]
+    out[:, 1:] |= bitmap[:, :-1]
+    out[1:, 1:] |= bitmap[:-1, :-1]
+    return out
+
+
+def boxes_from_bitmap(
+    prob: np.ndarray,
+    bitmap: np.ndarray,
+    cfg: PPOCRConfig,
+) -> tuple[list[np.ndarray], list[float]]:
+    """D6: components → min-area rect → gates → unclip. Operates in the
+    *resized* coordinate frame; returns float quads + scores.
+
+    Gate order mirrors BoxesFromBitmap (cpp/src/postprocess_op.cpp:246-321):
+    candidate cap, sside < min_box_size, score < det_db_box_thresh, unclip,
+    sside < min_box_size + 2 post-unclip."""
+    comps = connected_components(bitmap, max_components=cfg.max_candidates)
+    boxes: list[np.ndarray] = []
+    scores: list[float] = []
+    for ys, xs in comps:
+        pts = np.stack([xs, ys], axis=1)
+        rect, sside = min_area_rect(pts)
+        if sside < cfg.min_box_size:
+            continue
+        if cfg.det_db_score_mode == "slow":
+            score = float(prob[ys, xs].mean())  # polygon-mask mean
+        else:  # 'fast': axis-aligned bbox mean
+            x0, x1 = int(xs.min()), int(xs.max()) + 1
+            y0, y1 = int(ys.min()), int(ys.max()) + 1
+            score = float(prob[y0:y1, x0:x1].mean())
+        if score < cfg.det_db_box_thresh:
+            continue
+        dist = unclip_distance(rect, cfg.det_db_unclip_ratio)
+        big = expand_rect(order_points_clockwise(rect), dist)
+        _, sside2 = min_area_rect(big)
+        if sside2 < cfg.min_box_size + 2:
+            continue
+        h, w = prob.shape
+        big[:, 0] = np.clip(big[:, 0], 0, w - 1)
+        big[:, 1] = np.clip(big[:, 1], 0, h - 1)
+        boxes.append(big)
+        scores.append(score)
+    return boxes, scores
+
+
+def filter_tag_det_res(
+    boxes: list[np.ndarray],
+    ratio_h: float,
+    ratio_w: float,
+    src_h: int,
+    src_w: int,
+    min_area_size: int = 4,
+) -> list[np.ndarray]:
+    """D7: order clockwise, rescale to source coords, clamp, drop boxes with
+    either side <= min_area_size (FilterTagDetRes,
+    cpp/src/postprocess_op.cpp:323-352)."""
+    out = []
+    for box in boxes:
+        q = order_points_clockwise(box)
+        q[:, 0] = np.clip(np.round(q[:, 0] / ratio_w), 0, src_w - 1)
+        q[:, 1] = np.clip(np.round(q[:, 1] / ratio_h), 0, src_h - 1)
+        qi = q.astype(np.int64)
+        rect_w = int(np.hypot(*(qi[0] - qi[1])))
+        rect_h = int(np.hypot(*(qi[0] - qi[3])))
+        if rect_w <= min_area_size or rect_h <= min_area_size:
+            continue
+        out.append(qi)
+    return out
+
+
+def sorted_boxes(boxes: list[np.ndarray]) -> list[np.ndarray]:
+    """D8: sort by (y, x) of the top-left corner, then one adjacent-swap
+    pass: for consecutive boxes with |Δy| < 10, order by x — the reference's
+    observable reading order (cpp/src/utility.cpp:443-460)."""
+    out = sorted(boxes, key=lambda b: (int(b[0][1]), int(b[0][0])))
+    for i in range(len(out) - 1):
+        for j in range(i, -1, -1):
+            a, b = out[j], out[j + 1]
+            if abs(int(b[0][1]) - int(a[0][1])) < 10 and int(b[0][0]) < int(a[0][0]):
+                out[j], out[j + 1] = b, a
+            else:
+                break
+    return out
+
+
+def detect(gray: np.ndarray, cfg: PPOCRConfig) -> list[np.ndarray]:
+    """Full det stage on one grayscale image → list of int quads (4,2) in
+    source coordinates, reading order."""
+    src_h, src_w = gray.shape
+    resized, ratio_h, ratio_w = resize_type0(gray, cfg.limit_type, cfg.limit_side_len)
+    prob = probability_map(resized)
+    bitmap = prob > cfg.det_db_thresh
+    if cfg.use_dilation:
+        bitmap = _dilate2x2(bitmap)
+    boxes, _scores = boxes_from_bitmap(prob, bitmap, cfg)
+    boxes = filter_tag_det_res(
+        boxes, ratio_h, ratio_w, src_h, src_w, cfg.min_area_size
+    )
+    return sorted_boxes(boxes)

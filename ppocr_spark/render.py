@@ -1,0 +1,188 @@
+"""Deterministic page renderer for the synthetic corpus (FIXTURES.md F2).
+
+Renders text lines with the procedural glyph bank onto white pages, black
+ink, optional page rotation (skew), optional 180°-flipped lines (to exercise
+the angle classifier), returning per-word ground truth: (text, ink bounding
+quad clockwise from top-left — the convention of
+cpp/src/postprocess_op.cpp:82-99).
+
+Words are separated by a full space cell so the DB-style detector naturally
+segments word-level boxes; CJK runs carry no spaces and render as one block
+per line. All geometry is integer at scale=2 (24x32 px glyphs) so template
+recognition has margin after resize/warp resampling.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ppocr_spark.font import GLYPH_H, GLYPH_W, glyph_bank
+
+SCALE = 2
+CELL_W = (GLYPH_W + 2) * SCALE   # 28 px advance per char
+CELL_H = (GLYPH_H + 4) * SCALE   # 40 px cell height
+LINE_GAP = 12 * SCALE            # extra inter-line spacing (24 px)
+MARGIN = 12 * SCALE
+
+
+@dataclass
+class TruthBlock:
+    text: str
+    quad: list[list[int]]  # 4x2 clockwise from top-left
+    line_idx: int
+
+
+def _split_blocks(line: str) -> list[tuple[int, str]]:
+    """(char_offset, word) pairs — blocks split at spaces, the unit the
+    detector will naturally segment."""
+    out = []
+    i = 0
+    n = len(line)
+    while i < n:
+        if line[i] == " ":
+            i += 1
+            continue
+        j = i
+        while j < n and line[j] != " ":
+            j += 1
+        out.append((i, line[i:j]))
+        i = j
+    return out
+
+
+def render_page(
+    lines: list[str],
+    *,
+    two_columns: bool = False,
+    indents: list[int] | None = None,
+    skew_deg: float = 0.0,
+    flip_lines: set[int] | None = None,
+    gutter_cells: int = 4,
+) -> tuple[np.ndarray, list[TruthBlock]]:
+    """Render lines → (uint8 page image, truth blocks).
+
+    indents: per-line indent in cells (code-block layout, FIXTURES F2).
+    flip_lines: indices of lines rendered rotated 180° in place (cls signal).
+    """
+    bank = glyph_bank()
+    indents = indents or [0] * len(lines)
+    flip_lines = flip_lines or set()
+
+    if two_columns and len(lines) >= 2:
+        half = (len(lines) + 1) // 2
+        cols = [lines[:half], lines[half:]]
+        col_indents = [indents[:half], indents[half:]]
+    else:
+        cols = [lines]
+        col_indents = [indents]
+
+    col_w = [
+        max((len(ln) + ind) * CELL_W for ln, ind in zip(c, ci)) if c else CELL_W
+        for c, ci in zip(cols, col_indents)
+    ]
+    gutter = gutter_cells * CELL_W
+    width = 2 * MARGIN + sum(col_w) + (gutter if len(cols) == 2 else 0)
+    height = 2 * MARGIN + max(len(c) for c in cols) * (CELL_H + LINE_GAP) - LINE_GAP
+
+    page = np.full((height, width), 255, dtype=np.uint8)
+    blocks: list[TruthBlock] = []
+    global_line = 0
+    x_base = MARGIN
+    for ci, (col, cinds) in enumerate(zip(cols, col_indents)):
+        for li, line in enumerate(col):
+            y0 = MARGIN + li * (CELL_H + LINE_GAP)
+            ind = cinds[li] if li < len(cinds) else 0
+            # paint glyphs
+            line_cells: list[tuple[int, str]] = []  # (cell_index, char)
+            for k, ch in enumerate(line):
+                if ch == " " or ch not in bank:
+                    continue
+                line_cells.append((k + ind, ch))
+            for k, ch in line_cells:
+                gx = x_base + k * CELL_W + SCALE  # 1-cell-pixel left margin
+                gy = y0 + 2 * SCALE
+                glyph = np.kron(bank[ch], np.ones((SCALE, SCALE), dtype=bool))
+                page[gy : gy + GLYPH_H * SCALE, gx : gx + GLYPH_W * SCALE][glyph] = 0
+            flipped = global_line in flip_lines and bool(line_cells)
+            if flipped:
+                # rotate the whole line strip 180° in place
+                ys, ye = y0, y0 + CELL_H
+                fxs = x_base + (line_cells[0][0]) * CELL_W
+                fxe = x_base + (line_cells[-1][0] + 1) * CELL_W
+                page[ys:ye, fxs:fxe] = page[ys:ye, fxs:fxe][::-1, ::-1]
+                strip_lo = line_cells[0][0]
+                strip_hi = line_cells[-1][0] + 1
+            # ground-truth word blocks: ink bounding box per word; for a
+            # flipped line each word's ink lands at the mirrored position
+            # (the classifier un-rotates the crop, so the text survives but
+            # geometric order reverses — reference-equivalent behavior)
+            for off, word in _split_blocks(line):
+                a = off + ind
+                b = off + ind + len(word)
+                if flipped:
+                    a, b = strip_lo + (strip_hi - b), strip_lo + (strip_hi - a)
+                xs = x_base + a * CELL_W
+                xe = x_base + b * CELL_W
+                strip = page[y0 : y0 + CELL_H, xs:xe]
+                ink = strip < 128
+                if not ink.any():
+                    continue
+                rows = np.flatnonzero(ink.any(axis=1))
+                colsnz = np.flatnonzero(ink.any(axis=0))
+                bx0, bx1 = xs + int(colsnz[0]), xs + int(colsnz[-1])
+                by0, by1 = y0 + int(rows[0]), y0 + int(rows[-1])
+                quad = [[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1]]
+                blocks.append(TruthBlock(word, quad, global_line))
+            global_line += 1
+        x_base += col_w[ci] + gutter
+
+    if abs(skew_deg) > 1e-9:
+        page, blocks = _rotate_page(page, blocks, skew_deg)
+    return page, blocks
+
+
+def _rotate_page(
+    page: np.ndarray, blocks: list[TruthBlock], deg: float
+) -> tuple[np.ndarray, list[TruthBlock]]:
+    """Rotate the page by `deg` around its center (bilinear, white fill),
+    expanding the canvas so nothing clips; rotate truth quads to match."""
+    h, w = page.shape
+    rad = math.radians(deg)
+    c, s = math.cos(rad), math.sin(rad)
+    nw = int(math.ceil(abs(w * c) + abs(h * s)))
+    nh = int(math.ceil(abs(w * s) + abs(h * c)))
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    ncx, ncy = (nw - 1) / 2.0, (nh - 1) / 2.0
+    yy, xx = np.mgrid[0:nh, 0:nw]
+    # inverse map: dest -> src (rotate by -deg)
+    sx = (xx - ncx) * c + (yy - ncy) * s + cx
+    sy = -(xx - ncx) * s + (yy - ncy) * c + cy
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    valid = (x0 >= 0) & (x0 < w - 1) & (y0 >= 0) & (y0 < h - 1)
+    x0c = np.clip(x0, 0, w - 2)
+    y0c = np.clip(y0, 0, h - 2)
+    p = page.astype(np.float32)
+    v = (
+        p[y0c, x0c] * (1 - fx) * (1 - fy)
+        + p[y0c, x0c + 1] * fx * (1 - fy)
+        + p[y0c + 1, x0c] * (1 - fx) * fy
+        + p[y0c + 1, x0c + 1] * fx * fy
+    )
+    out = np.where(valid, v, 255.0)
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    new_blocks = []
+    for b in blocks:
+        quad = []
+        for x, y in b.quad:
+            nx = (x - cx) * c - (y - cy) * s + ncx
+            ny = (x - cx) * s + (y - cy) * c + ncy
+            quad.append([int(round(nx)), int(round(ny))])
+        new_blocks.append(TruthBlock(b.text, quad, b.line_idx))
+    return out, new_blocks

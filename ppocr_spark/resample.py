@@ -1,0 +1,53 @@
+"""Deterministic image resampling kernels (pure numpy).
+
+``area_resize`` is the cv2.INTER_AREA analog — pixel-exact box averaging
+over fractional source windows — used wherever the pipeline downsamples
+(recognition tiles, template construction), because point-sampled bilinear
+aliases badly below 0.5x and the recognizer's correlation margin depends on
+alias-free tiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _axis_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) sparse-ish weight matrix for 1-D box averaging."""
+    w = np.zeros((dst, src), dtype=np.float64)
+    scale = src / dst
+    for i in range(dst):
+        a = i * scale
+        b = (i + 1) * scale
+        j0 = int(np.floor(a))
+        j1 = min(int(np.ceil(b)), src)
+        for j in range(j0, j1):
+            lo = max(a, j)
+            hi = min(b, j + 1)
+            if hi > lo:
+                w[i, j] = hi - lo
+        w[i] /= max(w[i].sum(), 1e-12)
+    return w
+
+
+_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _weights(src: int, dst: int) -> np.ndarray:
+    key = (src, dst)
+    if key not in _CACHE:
+        if len(_CACHE) > 4096:
+            _CACHE.clear()
+        _CACHE[key] = _axis_weights(src, dst)
+    return _CACHE[key]
+
+
+def area_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Box-average resize of a 2-D float/uint8 array → float32 (nh, nw)."""
+    a = img.astype(np.float64)
+    h, w = a.shape
+    if h != nh:
+        a = _weights(h, nh) @ a
+    if w != nw:
+        a = a @ _weights(w, nw).T
+    return a.astype(np.float32)
