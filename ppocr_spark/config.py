@@ -40,7 +40,10 @@ class PPOCRConfig:
 
     # --- recognition (cpp/src/args.cpp:59-64)
     rec_batch_num: int = 6
-    rec_img_h: int = 48
+    # the reference's CRNN uses rec_img_h=48 (cpp/src/args.cpp:63); our
+    # template recognizer needs the extra rows to stay alias-free after the
+    # warp → resize chain, so the engine default is 64
+    rec_img_h: int = 64
     rec_img_w: int = 320
 
     # --- output (cpp/src/args.cpp:40, task.cpp:22-37)

@@ -1,0 +1,327 @@
+"""Deterministic synthetic corpus of interleaved text+media documents.
+
+Implements FIXTURES.md F1-F3: the ``documents`` table (doc_id, spans),
+the ``media`` side table (media_ref → PNG bytes + ground truth), and the
+``expected_spans`` golden table — the span-sequence-equality oracle
+(kind, text, media_ref, order) per BASELINE.json.
+
+Everything is seeded (seed=42, per-entity sub-seeds); no wall clock, no
+unseeded RNG; byte-for-byte reproducible.
+
+Expected media text is computed at generation time by running the real
+detector on the rendered page, asserting a 1:1 box↔truth-line mapping
+(generation FAILS if detection is broken — no silent drift), assigning the
+*known source text* to each box, and running the configured tbpu parser
+over the detected geometry. The pipeline must then reproduce that text via
+actual recognition — recognition accuracy is what the e2e equality tests.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ppocr_spark.config import PPOCRConfig
+from ppocr_spark.font import _CJK, glyph_bank
+from ppocr_spark.operators.detect import detect
+from ppocr_spark.operators.layout import assemble_text, run_parser
+from ppocr_spark.png import encode_gray
+from ppocr_spark.render import render_page
+from ppocr_spark.status import StatusCode
+
+SEED = 42
+
+# CHARSET-safe word pools (every char must be in the glyph bank)
+_LATIN_WORDS = (
+    "the quick brown fox jumps over lazy dog pack my box with five dozen "
+    "liquor jugs spark engine document span media text line column layout "
+    "paragraph detect classify recognize batch shuffle partition broadcast "
+    "salt skew manifest resume lineage metric vector table scan filter "
+    "join window sort limit union agg hash range bucket codec glyph pixel "
+    "quad warp crop angle rotate decode encode score index offset order"
+).split()
+
+_PUNCT_TAIL = [".", ",", "!", "?", ":", ";"]
+
+
+@dataclass
+class MediaSpec:
+    media_ref: str
+    content: bytes | None
+    truth_lines: list[str]
+    expected_text: str
+    expected_code: int
+
+
+def _rng(*parts) -> np.random.Generator:
+    """Seeded RNG from structural parts. Uses crc32, NOT Python hash() —
+    str hash is salted per process and would break reproducibility across
+    executors."""
+    import zlib
+
+    seed = SEED
+    for p in parts:
+        v = p if isinstance(p, int) else zlib.crc32(str(p).encode())
+        seed = (seed * 1_000_003 + v) % (2**31)
+    return np.random.default_rng(seed)
+
+
+def _latin_line(rng: np.random.Generator, min_w=2, max_w=6) -> str:
+    n = int(rng.integers(min_w, max_w + 1))
+    words = [str(rng.choice(_LATIN_WORDS)) for _ in range(n)]
+    if rng.random() < 0.2:
+        words[-1] += str(rng.choice(_PUNCT_TAIL))
+    return " ".join(words)
+
+
+def _cjk_line(rng: np.random.Generator) -> str:
+    n = int(rng.integers(4, 11))
+    idx = rng.integers(0, len(_CJK), size=n)
+    return "".join(_CJK[i] for i in idx)
+
+
+def _text_span_payload(rng: np.random.Generator) -> str:
+    """Raw text for a text span: Latin / CJK / mixed / trailing hyphen /
+    leading punct / whitespace-dirty / empty-after-trim (FIXTURES F1)."""
+    kind = rng.random()
+    if kind < 0.40:
+        s = _latin_line(rng, 3, 9)
+    elif kind < 0.55:
+        s = _cjk_line(rng)
+    elif kind < 0.65:
+        s = _latin_line(rng, 2, 4) + " " + _cjk_line(rng)
+    elif kind < 0.72:
+        s = _latin_line(rng, 2, 5) + "-"
+    elif kind < 0.79:
+        s = "." + _latin_line(rng, 2, 5)
+    elif kind < 0.94:
+        s = "  " + _latin_line(rng, 2, 6) + "\t "
+    else:
+        s = "   "  # empty after trim → NO_TEXT analog
+    return s
+
+
+def normalize_text_span(raw: str | None) -> tuple[str, int]:
+    """The text-branch normalizer: collapse whitespace runs to single
+    spaces, strip ends. Empty result → NO_TEXT(101), else OK(100). This is
+    the boilerplate-strip analog of the north_star; implemented in Spark
+    built-ins in the pipeline (regexp_replace + trim), mirrored here for
+    golden generation."""
+    s = " ".join((raw or "").split())
+    return (s, int(StatusCode.OK)) if s else ("", int(StatusCode.NO_TEXT))
+
+
+# ---------------------------------------------------------------------------
+# media image pool
+# ---------------------------------------------------------------------------
+
+
+def _render_spec(i: int, cfg: PPOCRConfig) -> MediaSpec:
+    """Render image i of the pool and derive its expected OCR output."""
+    ref = f"img_{i:08d}"
+    rng = _rng("media", i)
+    flavor = rng.random()
+
+    if flavor < 0.03:  # blank page → NO_TEXT
+        h = int(rng.integers(96, 300))
+        w = int(rng.integers(96, 300))
+        img = np.full((h, w), 255, dtype=np.uint8)
+        return MediaSpec(ref, encode_gray(img), [], "", int(StatusCode.NO_TEXT))
+    if flavor < 0.05:  # undecodable bytes → PATH_READ_FAIL analog
+        junk = bytes(_rng("junk", i).integers(0, 256, size=64, dtype=np.uint8))
+        return MediaSpec(ref, junk, [], "", int(StatusCode.PATH_READ_FAIL))
+
+    n_lines = int(rng.integers(1, 7))
+    cjk_doc = rng.random() < 0.2
+    kw: dict = {}
+    layout = rng.random()
+    two_col = layout < 0.2 and n_lines >= 4
+    # two-column pages: shorter lines + a wide gutter so the gutter stays
+    # >64 px after the 960-px det resize (gutter must out-gap the det
+    # model's dilation+window reach at the smallest resize ratio)
+    max_words = 5 if two_col else 8
+    lines = [
+        _cjk_line(rng) if cjk_doc else _latin_line(rng, 2, max_words)
+        for _ in range(n_lines)
+    ]
+    if two_col:
+        kw["two_columns"] = True
+        kw["gutter_cells"] = 8
+    elif layout < 0.3:
+        kw["skew_deg"] = float(rng.uniform(-2.5, 2.5))
+    elif layout < 0.35:
+        kw["skew_deg"] = float(rng.choice([-1, 1])) * float(rng.uniform(5.0, 7.0))
+    elif layout < 0.42 and cfg.cls:
+        kw["flip_lines"] = {int(j) for j in range(n_lines) if _rng("flip", i, j).random() < 0.4}
+
+    img, truth = render_page(lines, **kw)
+    boxes = detect(img, cfg)
+
+    # 1:1 box ↔ truth-line mapping by center containment — fail fast
+    truth_sorted = truth
+    assigned: list[str] = []
+    used = set()
+    for b in boxes:
+        cx = float(np.mean([p[0] for p in b]))
+        cy = float(np.mean([p[1] for p in b]))
+        best, best_d = None, None
+        for k, t in enumerate(truth_sorted):
+            if k in used:
+                continue
+            tx = (t.quad[0][0] + t.quad[2][0]) / 2
+            ty = (t.quad[0][1] + t.quad[2][1]) / 2
+            d = (tx - cx) ** 2 + (ty - cy) ** 2
+            if best_d is None or d < best_d:
+                best, best_d = k, d
+        if best is None:
+            raise RuntimeError(f"{ref}: more boxes than truth lines")
+        used.add(best)
+        assigned.append(truth_sorted[best].text)
+    if len(boxes) != len(truth_sorted):
+        raise RuntimeError(
+            f"{ref}: det found {len(boxes)} boxes for {len(truth_sorted)} lines"
+        )
+
+    blocks = [
+        {"box": b.tolist(), "text": t, "score": 1.0}
+        for b, t in zip(boxes, assigned)
+    ]
+    expected = assemble_text(run_parser(cfg.parser, blocks)) if blocks else ""
+    code = int(StatusCode.OK) if expected else int(StatusCode.NO_TEXT)
+    return MediaSpec(ref, encode_gray(img), lines, expected, code)
+
+
+def build_media_pool(n_images: int, cfg: PPOCRConfig) -> list[MediaSpec]:
+    return [_render_spec(i, cfg) for i in range(n_images)]
+
+
+# ---------------------------------------------------------------------------
+# documents + expected_spans
+# ---------------------------------------------------------------------------
+
+MISSING_REF = "img_missing"  # referenced by ~0.5% of media spans, no media row
+
+
+def generate_corpus(
+    n_docs: int,
+    cfg: PPOCRConfig | None = None,
+    media_pool_size: int | None = None,
+    skew_tail: bool = True,
+):
+    """→ (documents_rows, media_rows, expected_rows).
+
+    documents_rows: [{doc_id, spans:[{kind,text,media_ref,offset}]}]
+    media_rows:     [{media_ref, content, truth}]
+    expected_rows:  [{doc_id, spans:[{kind,text,media_ref,order,code}]}]
+    """
+    cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
+    if media_pool_size is None:
+        media_pool_size = max(8, n_docs // 3)
+    pool = build_media_pool(media_pool_size, cfg)
+
+    documents, expected = [], []
+    for d in range(n_docs):
+        doc_id = f"doc_{d:08d}"
+        rng = _rng("doc", d)
+        if skew_tail and rng.random() < 0.01:
+            n_spans = int(rng.integers(50, 201))  # media-heavy skew tail
+            media_frac = 0.95
+        else:
+            n_spans = int(rng.integers(1, 13))
+            media_frac = 0.30
+        spans, exp_spans = [], []
+        for off in range(n_spans):
+            if rng.random() < media_frac:
+                if rng.random() < 0.005:
+                    ref = MISSING_REF
+                    exp = ("media", "", ref, off, int(StatusCode.PATH_NOT_EXIST))
+                else:
+                    spec = pool[int(rng.integers(0, len(pool)))]
+                    ref = spec.media_ref
+                    exp = ("media", spec.expected_text, ref, off, spec.expected_code)
+                spans.append(
+                    {"kind": "media", "text": None, "media_ref": ref, "offset": off}
+                )
+            else:
+                raw = _text_span_payload(rng)
+                norm, code = normalize_text_span(raw)
+                spans.append(
+                    {"kind": "text", "text": raw, "media_ref": None, "offset": off}
+                )
+                exp = ("text", norm, None, off, code)
+            exp_spans.append(
+                {
+                    "kind": exp[0],
+                    "text": exp[1],
+                    "media_ref": exp[2],
+                    "order": exp[3],
+                    "code": exp[4],
+                }
+            )
+        documents.append({"doc_id": doc_id, "spans": spans})
+        expected.append({"doc_id": doc_id, "spans": exp_spans})
+
+    media_rows = [
+        {
+            "media_ref": s.media_ref,
+            "content": s.content,
+            "truth": [{"text": t, "box": None} for t in s.truth_lines] or None,
+        }
+        for s in pool
+    ]
+    return documents, media_rows, expected
+
+
+# ---------------------------------------------------------------------------
+# parquet materialization (pyarrow, no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+def write_corpus(out_dir: str, n_docs: int, cfg: PPOCRConfig | None = None, **kw):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs, media, expected = generate_corpus(n_docs, cfg, **kw)
+
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    docs_t = pa.table(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "spans": pa.array([d["spans"] for d in docs], pa.list_(span_t)),
+        }
+    )
+    truth_t = pa.struct([("text", pa.string()), ("box", pa.string())])
+    media_t = pa.table(
+        {
+            "media_ref": [m["media_ref"] for m in media],
+            "content": pa.array([m["content"] for m in media], pa.binary()),
+            "truth": pa.array(
+                [
+                    [{"text": t["text"], "box": None} for t in (m["truth"] or [])]
+                    or None
+                    for m in media
+                ],
+                pa.list_(truth_t),
+            ),
+        }
+    )
+    exp_span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("order", pa.int32()), ("code", pa.int32())]
+    )
+    exp_t = pa.table(
+        {
+            "doc_id": [e["doc_id"] for e in expected],
+            "spans": pa.array([e["spans"] for e in expected], pa.list_(exp_span_t)),
+        }
+    )
+    pq.write_table(docs_t, os.path.join(out_dir, "documents_spans.parquet"))
+    pq.write_table(media_t, os.path.join(out_dir, "media.parquet"))
+    pq.write_table(exp_t, os.path.join(out_dir, "expected_spans.parquet"))
+    return out_dir

@@ -66,8 +66,14 @@ def _orientation_evidence(img: np.ndarray) -> float:
 
 
 def classify(crop: np.ndarray) -> tuple[int, float]:
-    """C2: label (0 = upright, 1 = rotated 180°) + softmax score."""
-    img = cls_resize(crop)
+    """C2: label (0 = upright, 1 = rotated 180°) + softmax score.
+
+    Evidence is computed at height 48 with *proportional* width — the
+    reference's fixed 192-px cls width (a learned CNN tolerates the squeeze)
+    would alias our template correlation into noise on wide line crops."""
+    h, w = crop.shape
+    ratio = w / float(h)
+    img = _bilinear_resize(crop, CLS_H, max(int(np.ceil(CLS_H * ratio)), 1))
     e0 = _orientation_evidence(img)
     e180 = _orientation_evidence(img[::-1, ::-1])
     logits = np.array([e0, e180]) * CLS_SOFTMAX_TEMP

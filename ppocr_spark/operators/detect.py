@@ -35,6 +35,7 @@ from ppocr_spark.geometry import (
     expand_rect,
     min_area_rect,
     order_points_clockwise,
+    row_extremes,
     unclip_distance,
 )
 
@@ -100,9 +101,11 @@ def _hmax_filter(a: np.ndarray, width: int) -> np.ndarray:
     return win.max(axis=2)
 
 
-#: width of the horizontal dilation layer — binds intra-word char gaps
-#: (<= 8 px after resize) without bridging word gaps (>= 24 px)
-DILATE_W = 9
+#: width of the horizontal dilation layer — binds intra-line gaps (char
+#: gaps ~8 px, word gaps ~36 px, ~27 px after the 960-cap resize) so one
+#: text line = one box, the reference DB model's granularity, without
+#: bridging column gutters (>= 84 px post-resize)
+DILATE_W = 41
 
 
 def probability_map(gray: np.ndarray) -> np.ndarray:
@@ -140,7 +143,7 @@ def boxes_from_bitmap(
     boxes: list[np.ndarray] = []
     scores: list[float] = []
     for ys, xs in comps:
-        pts = np.stack([xs, ys], axis=1)
+        pts = row_extremes(ys, xs)
         rect, sside = min_area_rect(pts)
         if sside < cfg.min_box_size:
             continue

@@ -1,0 +1,348 @@
+"""The Spark extraction pipeline (SURVEY.md §3 'Our Spark lifecycle').
+
+Dataflow (all relational glue is Catalyst-optimizable DataFrame ops; all
+pixel work lives in ONE Arrow-batched ``mapInPandas`` UDF):
+
+    documents(doc_id, spans)
+      → explode(spans)                         [generate, narrow]
+      ├─ kind='text'  → vectorized normalizer  [regexp_replace/trim — JVM]
+      └─ kind='media' → join media on media_ref [left join; broadcast when
+                         the media side is small, else shuffle join + AQE]
+                      → mapInPandas(ocr_udf)    [det→cls→rec→layout, Arrow]
+      → union                                   [no shuffle]
+      → groupBy(doc_id) reassembly              [salted two-phase when docs
+                                                 are media-heavy (north_rule)]
+
+The per-request status-code contract (one answer per span, never throw —
+cpp/src/task.cpp:47-108) is preserved: every span row carries ``code``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ppocr_spark.config import PPOCRConfig
+from ppocr_spark.status import StatusCode
+
+# output schema of the OCR UDF (per media span)
+OCR_RESULT_SCHEMA = (
+    "doc_id string, offset int, media_ref string, code int, text string, "
+    "boxes array<array<int>>, texts array<string>, scores array<float>, "
+    "cls_labels array<int>, cls_scores array<float>, ends array<string>"
+)
+
+SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,order:int,code:int>"
+
+
+def _ocr_one(content, cfg: PPOCRConfig) -> dict:
+    """OCR one media payload → result dict. Total function: every failure
+    maps to a status code (cpp/include/task.h:13-61 taxonomy)."""
+    import numpy as np
+
+    from ppocr_spark.geometry import perspective_crop
+    from ppocr_spark.operators.classify import classify, maybe_rotate
+    from ppocr_spark.operators.detect import detect
+    from ppocr_spark.operators.layout import assemble_text, run_parser
+    from ppocr_spark.operators.recognize import recognize_batch
+    from ppocr_spark.png import PngError, decode, to_gray
+
+    empty = dict(
+        text="", boxes=[], texts=[], scores=[], cls_labels=[], cls_scores=[],
+        ends=[],
+    )
+    if content is None:
+        return {**empty, "code": int(StatusCode.PATH_NOT_EXIST)}
+    try:
+        img = to_gray(decode(bytes(content)))
+    except PngError:
+        return {**empty, "code": int(StatusCode.PATH_READ_FAIL)}
+    if img.size == 0:
+        return {**empty, "code": int(StatusCode.IMAGE_DECODE_FAIL)}
+
+    if cfg.det:
+        quads = detect(img, cfg)
+    else:
+        # det disabled: whole image is one box, filled with -1 sentinels on
+        # output (cpp/src/task.cpp:74-81)
+        h, w = img.shape
+        quads = [np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]])]
+    if not quads:
+        return {**empty, "code": int(StatusCode.NO_TEXT)}
+
+    crops = [perspective_crop(img, q) for q in quads]
+    cls_labels: list[int] = []
+    cls_scores: list[float] = []
+    if cfg.cls and cfg.use_angle_cls:
+        rotated = []
+        for c in crops:
+            label, score = classify(c)
+            cls_labels.append(label)
+            cls_scores.append(score)
+            rotated.append(maybe_rotate(c, label, score, cfg.cls_thresh))
+        crops = rotated
+    rec = recognize_batch(crops, img_h=cfg.rec_img_h, batch_num=cfg.rec_batch_num)
+
+    # K1 filters: drop empty-text / score<=0 records when rec is on
+    # (cpp/src/task.cpp:83-87)
+    blocks = []
+    for i, (q, (txt, score)) in enumerate(zip(quads, rec)):
+        if not txt or score <= 0:
+            continue
+        blocks.append(
+            {
+                "box": [[int(x), int(y)] for x, y in q],
+                "text": txt,
+                "score": float(score),
+                "cls_label": cls_labels[i] if cls_labels else None,
+                "cls_score": cls_scores[i] if cls_scores else None,
+            }
+        )
+    if not blocks:
+        return {**empty, "code": int(StatusCode.NO_TEXT)}
+
+    laid = run_parser(cfg.parser, blocks)
+    return {
+        "code": int(StatusCode.OK),
+        "text": assemble_text(laid),
+        "boxes": [[c for p in b["box"] for c in p] for b in laid],
+        "texts": [b["text"] for b in laid],
+        "scores": [b["score"] for b in laid],
+        "cls_labels": [b.get("cls_label") for b in laid]
+        if cls_labels
+        else [],
+        "cls_scores": [b.get("cls_score") for b in laid]
+        if cls_labels
+        else [],
+        "ends": [b.get("end", "\n") for b in laid],
+    }
+
+
+def make_ocr_udf(cfg: PPOCRConfig):
+    """mapInPandas generator; cfg travels by closure (the broadcast analog
+    of the reference's one-time engine init, cpp/src/task.cpp:243-250 — the
+    glyph 'model weights' rebuild deterministically per executor and are
+    process-cached)."""
+
+    def ocr_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "offset": [], "media_ref": [], "code": [],
+                "text": [], "boxes": [], "texts": [], "scores": [],
+                "cls_labels": [], "cls_scores": [], "ends": [],
+            }
+            for doc_id, offset, ref, content in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
+            ):
+                r = _ocr_one(content, cfg)
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["media_ref"].append(ref)
+                out["code"].append(r["code"])
+                out["text"].append(r["text"])
+                out["boxes"].append(r["boxes"])
+                out["texts"].append(r["texts"])
+                out["scores"].append(r["scores"])
+                out["cls_labels"].append(r["cls_labels"])
+                out["cls_scores"].append(r["cls_scores"])
+                out["ends"].append(r["ends"])
+            yield pd.DataFrame(out)
+
+    return ocr_udf
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages
+# ---------------------------------------------------------------------------
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """One row per span; offset comes from the span struct itself (dense,
+    authored order), no positional dependence on array layout."""
+    return documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def normalize_text_spans(spans: DataFrame) -> DataFrame:
+    """Text branch — pure JVM expressions (whole-stage codegen, no Python):
+    collapse whitespace runs, trim; empty → NO_TEXT. Mirrors
+    corpus.normalize_text_span."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit("text").alias("kind"),
+        norm.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.when(norm == "", F.lit(int(StatusCode.NO_TEXT)))
+        .otherwise(F.lit(int(StatusCode.OK)))
+        .alias("code"),
+    )
+
+
+def ocr_media_spans(
+    spans: DataFrame,
+    media: DataFrame,
+    cfg: PPOCRConfig,
+    broadcast_media: bool | None = None,
+) -> DataFrame:
+    """Media branch: resolve media_ref → content (left join keeps missing
+    refs → PATH_NOT_EXIST), then the OCR UDF. ``broadcast_media=None``
+    auto-broadcasts when the media plan is below Spark's threshold (AQE
+    decides); pass True/False to force."""
+    m = media.select("media_ref", "content")
+    if broadcast_media:
+        m = F.broadcast(m)
+    req = (
+        spans.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .join(m, "media_ref", "left")
+    )
+    result = req.mapInPandas(make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA)
+    return result
+
+
+def media_results_as_spans(ocr: DataFrame) -> DataFrame:
+    return ocr.select(
+        "doc_id",
+        "offset",
+        F.lit("media").alias("kind"),
+        "text",
+        "media_ref",
+        "code",
+    )
+
+
+def reassemble(spans: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """Reassemble per-document span sequences in original order.
+
+    salt_buckets > 1 → two-phase salted aggregation: partial collect under
+    (doc_id, hash(offset) % salt) then final merge — spreads a media-heavy
+    document (the 1% 50-200-span skew tail; north_rule salting requirement)
+    across `salt` reducers in the wide first stage so no single reducer
+    owns a whole hot document."""
+    span_struct = F.struct(
+        F.col("kind"),
+        F.col("text"),
+        F.col("media_ref"),
+        F.col("offset").alias("order"),
+        F.col("code"),
+    )
+    if salt_buckets and salt_buckets > 1:
+        partial = (
+            spans.withColumn(
+                "salt", F.pmod(F.hash("offset"), F.lit(salt_buckets))
+            )
+            .groupBy("doc_id", "salt")
+            .agg(F.collect_list(span_struct).alias("part"))
+        )
+        merged = partial.groupBy("doc_id").agg(
+            F.flatten(F.collect_list("part")).alias("spans")
+        )
+    else:
+        merged = spans.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list(span_struct)).alias("spans")
+        )
+    # array_sort on struct sorts by field order (kind first) — re-sort by
+    # `order` explicitly for the output contract
+    return merged.select(
+        "doc_id",
+        F.expr(
+            "array_sort(spans, (a, b) -> case when a.order < b.order then -1 "
+            "when a.order > b.order then 1 else 0 end)"
+        ).alias("spans"),
+    )
+
+
+def extract_documents(
+    documents: DataFrame,
+    media: DataFrame,
+    cfg: PPOCRConfig | None = None,
+    broadcast_media: bool | None = None,
+) -> DataFrame:
+    """Full pipeline: documents + media → RESULTS (doc_id, spans with
+    (kind, text, media_ref, order, code)) — the span-sequence-equality
+    surface (BASELINE.json)."""
+    cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
+    spans = explode_spans(documents)
+    text_r = normalize_text_spans(spans)
+    media_r = media_results_as_spans(
+        ocr_media_spans(spans, media, cfg, broadcast_media)
+    )
+    return reassemble(text_r.unionByName(media_r), cfg.doc_salt_buckets)
+
+
+def ocr_blocks(
+    documents: DataFrame,
+    media: DataFrame,
+    cfg: PPOCRConfig | None = None,
+    broadcast_media: bool | None = None,
+) -> DataFrame:
+    """Per-box result records — the reference's K1 JSON payload as typed
+    columns: one row per text block with (box 4x2, text, score, cls_*, end)
+    (cpp/src/task.cpp:61-108, cpp/include/utility.h:36-43)."""
+    cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
+    spans = explode_spans(documents)
+    ocr = ocr_media_spans(spans, media, cfg, broadcast_media)
+    n = F.col("pos")
+    return (
+        ocr.filter(F.col("code") == int(StatusCode.OK))
+        .select(
+            "doc_id",
+            "offset",
+            "media_ref",
+            F.posexplode(
+                F.arrays_zip("boxes", "texts", "scores", "ends")
+            ).alias("pos", "blk"),
+        )
+        .select(
+            "doc_id",
+            "offset",
+            "media_ref",
+            n.alias("block_idx"),
+            F.expr(
+                "transform(sequence(0, 3), i -> "
+                "array(blk.boxes[i*2], blk.boxes[i*2+1]))"
+            ).alias("box"),
+            F.col("blk.texts").alias("text"),
+            F.col("blk.scores").alias("score"),
+            F.col("blk.ends").alias("end"),
+        )
+    )
+
+
+def build_session(
+    app: str = "ppocr-spark",
+    cores: int | None = None,
+    cfg: PPOCRConfig | None = None,
+) -> SparkSession:
+    """local[N] session tuned per SURVEY.md §4: AQE on (runtime shuffle
+    re-plan + skew-join splitting), bounded Arrow batches (the engine's
+    inference-batch analog), shuffle partitions sized to the core count."""
+    import os
+
+    cfg = cfg or PPOCRConfig()
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(cfg.arrow_batch_rows))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )

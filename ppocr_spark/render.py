@@ -24,7 +24,7 @@ from ppocr_spark.font import GLYPH_H, GLYPH_W, glyph_bank
 SCALE = 2
 CELL_W = (GLYPH_W + 2) * SCALE   # 28 px advance per char
 CELL_H = (GLYPH_H + 4) * SCALE   # 40 px cell height
-LINE_GAP = 12 * SCALE            # extra inter-line spacing (24 px)
+LINE_GAP = 16 * SCALE            # inter-line spacing, > unclip reach
 MARGIN = 12 * SCALE
 
 
@@ -108,34 +108,29 @@ def render_page(
                 page[gy : gy + GLYPH_H * SCALE, gx : gx + GLYPH_W * SCALE][glyph] = 0
             flipped = global_line in flip_lines and bool(line_cells)
             if flipped:
-                # rotate the whole line strip 180° in place
+                # rotate the whole line strip 180° in place; the angle
+                # classifier un-rotates the crop, so the recognized text is
+                # the original line (reference C2/C3 behavior)
                 ys, ye = y0, y0 + CELL_H
                 fxs = x_base + (line_cells[0][0]) * CELL_W
                 fxe = x_base + (line_cells[-1][0] + 1) * CELL_W
                 page[ys:ye, fxs:fxe] = page[ys:ye, fxs:fxe][::-1, ::-1]
-                strip_lo = line_cells[0][0]
-                strip_hi = line_cells[-1][0] + 1
-            # ground-truth word blocks: ink bounding box per word; for a
-            # flipped line each word's ink lands at the mirrored position
-            # (the classifier un-rotates the crop, so the text survives but
-            # geometric order reverses — reference-equivalent behavior)
-            for off, word in _split_blocks(line):
-                a = off + ind
-                b = off + ind + len(word)
-                if flipped:
-                    a, b = strip_lo + (strip_hi - b), strip_lo + (strip_hi - a)
-                xs = x_base + a * CELL_W
-                xe = x_base + b * CELL_W
+            # ground-truth block: one per line (the detector's granularity —
+            # one DB-style box per text line), ink bounding box + line text
+            # with single internal spaces
+            if line_cells:
+                xs = x_base + line_cells[0][0] * CELL_W
+                xe = x_base + (line_cells[-1][0] + 1) * CELL_W
                 strip = page[y0 : y0 + CELL_H, xs:xe]
                 ink = strip < 128
-                if not ink.any():
-                    continue
-                rows = np.flatnonzero(ink.any(axis=1))
-                colsnz = np.flatnonzero(ink.any(axis=0))
-                bx0, bx1 = xs + int(colsnz[0]), xs + int(colsnz[-1])
-                by0, by1 = y0 + int(rows[0]), y0 + int(rows[-1])
-                quad = [[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1]]
-                blocks.append(TruthBlock(word, quad, global_line))
+                if ink.any():
+                    rows = np.flatnonzero(ink.any(axis=1))
+                    colsnz = np.flatnonzero(ink.any(axis=0))
+                    bx0, bx1 = xs + int(colsnz[0]), xs + int(colsnz[-1])
+                    by0, by1 = y0 + int(rows[0]), y0 + int(rows[-1])
+                    quad = [[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1]]
+                    text = " ".join(w for _, w in _split_blocks(line))
+                    blocks.append(TruthBlock(text, quad, global_line))
             global_line += 1
         x_base += col_w[ci] + gutter
 
