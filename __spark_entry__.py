@@ -1,38 +1,797 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (interleaved
+documents → OCR → reassembled spans) on a deterministic cached corpus.
+``queries()``/``oracle_sql()`` pair every implemented operator family from
+SURVEY.md §2 (+ the training-data ops) with an independent DuckDB oracle.
+
+Oracle-parity rules used throughout: only portable primitives (md5,
+regex \\s+, list/array ops, double math with identical evaluation order),
+aggregates rounded before export, every computed column aliased identically
+on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ppocr_spark.config import PPOCRConfig  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# corpus cache (shared by Spark queries and DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    if "0.1" in name and "0.01" not in name:
+        return 200
+    if "0.01" in name:
+        return 80
+    return 40
+
+
+def _corpus(sf_dir: str) -> str:
+    from ppocr_spark.corpus import ensure_corpus
+
+    return ensure_corpus(_corpus_docs_for(sf_dir))
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (Spark-dialect / DuckDB-dialect pairs)
+# ---------------------------------------------------------------------------
+
+_SPARK_TOKS = "filter(split(trim(text), '\\\\s+'), w -> w <> '')"
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+_SPARK_GRAMS = (
+    "CASE WHEN size(toks) < 3 THEN array() "
+    "ELSE array_distinct(transform(sequence(0, size(toks)-3), "
+    "i -> concat_ws(' ', slice(toks, i+1, 3)))) END"
+)
+_DUCK_GRAMS = (
+    "CASE WHEN len(toks) < 3 THEN [] "
+    "ELSE list_distinct(list_transform(range(0, len(toks)-2), "
+    "i -> array_to_string(toks[i+1:i+3], ' '))) END"
+)
+
+_STOP = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+}
+
+
+def _hits(engine: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOP[lang])
+    if engine == "spark":
+        return (
+            f"size(filter(split(lower(text), '\\\\s+'), t -> t IN ({words})))"
+        )
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"t -> t IN ({words})))"
+    )
+
+
+def _langid_case(engine: str) -> str:
+    h = {lang: _hits(engine, lang) for lang in _STOP}
+    return (
+        f"CASE WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} "
+        f"AND {h['en']} >= {h['es']} AND {h['en']} > 0 THEN 'en' "
+        f"WHEN {h['de']} >= {h['fr']} AND {h['de']} >= {h['es']} "
+        f"AND {h['de']} > 0 THEN 'de' "
+        f"WHEN {h['fr']} >= {h['es']} AND {h['fr']} > 0 THEN 'fr' "
+        f"WHEN {h['es']} > 0 THEN 'es' ELSE 'und' END"
+    )
+
+
+def _simhash_expr(engine: str) -> str:
+    """60-bit SimHash over lowercase tokens, generated for each dialect."""
+    if engine == "spark":
+        toks = "filter(split(lower(text), '\\\\s+'), w -> w <> '')"
+        h = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+        hashes = f"transform({toks}, t -> {h})"
+        bit = (
+            "aggregate(hs, 0, (acc, h) -> acc + "
+            "CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        )
+        terms = " + ".join(
+            f"(CASE WHEN ({bit.format(b=b)}) > 0 THEN cast({1 << b} as bigint) "
+            f"ELSE 0 END)"
+            for b in range(60)
+        )
+        return hashes, terms
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+    h = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    hashes = f"list_transform({toks}, t -> {h})"
+    bit = (
+        "list_reduce(list_prepend(0, list_transform(hs, h -> "
+        "CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b)"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN ({bit.format(b=b)}) > 0 THEN ({1 << b})::BIGINT "
+        f"ELSE 0 END)"
+        for b in range(60)
+    )
+    return hashes, terms
+
+
+def _minhash_sig(engine: str) -> str:
+    if engine == "spark":
+        return (
+            "array("
+            + ", ".join(
+                f"array_min(transform(grams, g -> md5(concat('{i}:', g))))"
+                for i in range(8)
+            )
+            + ")"
+        )
+    return (
+        "["
+        + ", ".join(
+            f"list_aggregate(list_transform(grams, g -> md5('{i}:' || g)), 'min')"
+            for i in range(8)
+        )
+        + "]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-01'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _load(spark, sf_dir, "region")
+    n = _load(spark, sf_dir, "nation")
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    s = _load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
+                "rnk")
+        .orderBy("n_name", "rnk")
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, rnk FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rnk <= 3 ORDER BY n_name, rnk
+"""
+
+
+def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+def _distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+    )
+
+
+_DISTINCT_EVENT_TYPES_SQL = (
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+)
+
+
+def _orders_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.length("o_orderstatus").alias("status_len"),
+    ).orderBy("o_orderkey")
+
+
+_ORDERS_CASE_SQL = """
+SELECT o_orderkey, upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band,
+       length(o_orderstatus) AS status_len
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def _span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode→filter→reassemble glue — the relational skeleton of the
+    extraction pipeline, oracle-checked end to end."""
+    d = _load(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPARK_TOKS)).alias("pos", "w"),
+    ).filter(F.length("w") > 3)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("reassembled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_EXPLODE_SQL = f"""
+SELECT doc_id,
+       len(list_filter({_DUCK_TOKS}, w -> len(w) > 3)) AS n_spans,
+       array_to_string(list_filter({_DUCK_TOKS}, w -> len(w) > 3), ' ')
+           AS reassembled
+FROM documents
+WHERE len(list_filter({_DUCK_TOKS}, w -> len(w) > 3)) > 0
+ORDER BY doc_id
+"""
+
+
+def _status_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K2 status-code discipline as a relational op: every row mapped
+    to exactly one code, counted per code."""
+    d = _load(spark, sf_dir, "documents")
+    code = (
+        F.when(F.trim("text") == "", 101)
+        .when(F.col("n_chars") > 350, 200)
+        .otherwise(100)
+    )
+    return (
+        d.select(code.alias("code"))
+        .groupBy("code")
+        .count()
+        .orderBy("code")
+    )
+
+
+_STATUS_TAXONOMY_SQL = """
+SELECT code, count(*) AS count FROM (
+  SELECT CASE WHEN trim(text) = '' THEN 101
+              WHEN n_chars > 350 THEN 200 ELSE 100 END AS code
+  FROM documents
+) GROUP BY code ORDER BY code
+"""
+
+
+def _k1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1's drop-empty/score<=0 output filter, applied relationally."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("value") > 0) & (F.trim("props") != ""))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("kept"))
+        .orderBy("event_type")
+    )
+
+
+_K1_FILTER_SQL = """
+SELECT event_type, count(*) AS kept FROM events
+WHERE value > 0 AND trim(props) <> ''
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    toks = F.expr(_SPARK_TOKS)
+    n = F.length("text")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[\p{P}]", ""))
+    ) / F.greatest(F.length("text"), F.lit(1))
+    quality = (
+        F.when((n >= 50) & (n <= 10000), 1.0).otherwise(0.4)
+        * F.when(punct < 0.2, 1.0).otherwise(0.5)
+        * F.when(((n / n_tok) >= 3) & ((n / n_tok) <= 12), 1.0).otherwise(0.6)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_TEXT_FEATURES_SQL = f"""
+SELECT doc_id,
+       len({_DUCK_TOKS}) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[\\p{{P}}]', '', 'g')))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(
+         (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.4 END) *
+         (CASE WHEN (length(text) - length(regexp_replace(text, '[\\p{{P}}]', '', 'g')))
+                    / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) *
+         (CASE WHEN length(text) / greatest(len({_DUCK_TOKS}), 1)
+                    BETWEEN 3 AND 12 THEN 1.0 ELSE 0.6 END), 6)::DOUBLE AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(_langid_case("spark")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+_LANGID_SQL = (
+    f"SELECT doc_id, {_langid_case('duck')} AS lang_pred "
+    "FROM documents ORDER BY doc_id"
+)
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(_SPARK_GRAMS).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.array_min(F.transform(F.col("grams"), F.md5)).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_aggregate(list_transform(grams, g -> md5(g)), 'min') AS fingerprint
+FROM (
+  SELECT doc_id, {_DUCK_GRAMS} AS grams
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+) WHERE len(grams) > 0 ORDER BY doc_id
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.dedup import exact_dedup
+
+    d = _load(spark, sf_dir, "documents")
+    return exact_dedup(d.withColumn("doc_id", F.col("doc_id").cast("long"))) \
+        .orderBy("h")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY h
+"""
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, threshold=0.12, n=3)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH g AS (
+  SELECT doc_id AS id, unnest(grams) AS g FROM (
+    SELECT doc_id, {_DUCK_GRAMS} AS grams
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+  )
+), sizes AS (SELECT id, count(*) AS n_g FROM g GROUP BY id),
+shared AS (
+  SELECT x.id AS a, y.id AS b, count(*) AS inter
+  FROM g x JOIN g y ON x.g = y.g AND x.id < y.id
+  GROUP BY x.id, y.id
+)
+SELECT a, b, round(inter / (sa.n_g + sb.n_g - inter), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+WHERE inter / (sa.n_g + sb.n_g - inter) >= 0.12
+ORDER BY a, b
+"""
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.dedup import minhash_dedup_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+_DEDUP_MINHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_DUCK_GRAMS} AS grams
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+), sigs AS (
+  SELECT id, grams, {_minhash_sig('duck')} AS sig FROM base WHERE len(grams) > 0
+), banded AS (
+  SELECT id, b AS band, array_to_string(sig[b*2+1:b*2+2], '|') AS key
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+), cands AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.id < y.id
+)
+SELECT a, b,
+       round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+             len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jaccard
+FROM cands JOIN base ga ON ga.id = a JOIN base gb ON gb.id = b
+WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+      len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.12
+ORDER BY a, b
+"""
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    hashes, terms = _simhash_expr("spark")
+    return (
+        d.select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.expr(terms).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_simhash_sql() -> str:
+    hashes, terms = _simhash_expr("duck")
+    return (
+        f"SELECT doc_id, {terms} AS simhash FROM "
+        f"(SELECT doc_id, {hashes} AS hs FROM documents) ORDER BY doc_id"
+    )
+
+
+def _emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.dedup import embedding_near_dup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_pairs(e, threshold=0.4)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("a", "b")
+    )
+
+
+_EMB_COSINE_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+ORDER BY a, b
+"""
+
+
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.similarity import brute_force_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return brute_force_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+_ANN_BRUTE_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 8
+   AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.similarity import lsh_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return lsh_topk(e, q, k=5, bits=6, tables=4, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --- OCR pipeline queries (our own interleaved corpus; oracle = the
+# generation-time expected_spans golden parquet, read by DuckDB directly) ---
+
+
+def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.pipeline import extract_documents
+
+    corpus = _corpus(sf_dir)
+    docs = spark.read.parquet(f"{corpus}/documents_spans.parquet")
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+    res = extract_documents(docs, media, cfg, broadcast_media=True)
+    return res.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("order"),
+        F.col("s.code").alias("code"),
+    ).orderBy("doc_id", "order")
+
+
+def _ocr_extract_sql(sf_dir: str) -> str:
+    corpus = _corpus(sf_dir)
+    return f"""
+SELECT doc_id, u.kind AS kind, u.text AS text, u.media_ref AS media_ref,
+       u."order" AS "order", u.code AS code
+FROM (SELECT doc_id, unnest(spans) AS u
+      FROM read_parquet('{corpus}/expected_spans.parquet'))
+ORDER BY doc_id, "order"
+"""
+
+
+def _ocr_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.pipeline import ocr_blocks
+
+    corpus = _corpus(sf_dir)
+    docs = spark.read.parquet(f"{corpus}/documents_spans.parquet")
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+    return (
+        ocr_blocks(docs, media, cfg, broadcast_media=True)
+        .select(
+            "doc_id", "offset", "media_ref", "block_idx", "text",
+            F.round("score", 2).alias("score"), "end",
+        )
+        .orderBy("doc_id", "offset", "block_idx")
+    )
+
+
+def _image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.multimodal import image_metadata
+
+    corpus = _corpus(sf_dir)
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+    return image_metadata(media).select(
+        "media_ref", "width", "height", "channels", "decode_ok",
+        F.round("ink_ratio", 4).alias("ink_ratio"),
+    ).orderBy("media_ref")
+
+
+def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.multimodal import image_features
+
+    corpus = _corpus(sf_dir)
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+    feats = image_features(media, grid=4)
+    return feats.select(
+        "media_ref",
+        F.round(
+            F.aggregate("features", F.lit(0.0),
+                        lambda a, x: a + x.cast("double")),
+            4,
+        ).alias("feat_sum"),
+    ).orderBy("media_ref")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved-document extraction on the deterministic
+    corpus (driver checks rows > 0 and a stable schema)."""
+    return _ocr_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_region_revenue": _q5,
+        "top_customers_window": _top_customers,
+        "events_daily": _events_daily,
+        "distinct_event_types": _distinct_event_types,
+        "orders_case_projection": _orders_case,
+        "span_explode_reassemble": _span_explode,
+        "status_code_taxonomy": _status_taxonomy,
+        "k1_output_filter": _k1_filter,
+        "text_features": _text_features,
+        "text_langid": _langid,
+        "text_fingerprint": _fingerprint,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding_cosine": _emb_cosine_pairs,
+        "ann_topk_bruteforce": _ann_brute,
+        "ann_topk_lsh": _ann_lsh,
+        "ocr_extract_spans": _ocr_extract,
+        "ocr_blocks": _ocr_blocks,
+        "image_metadata": _image_metadata,
+        "image_features": _image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sf_dir = "/root/testdata/sf0.01"  # driver correctness scale
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_revenue": _Q5_SQL,
+        "top_customers_window": _TOP_CUSTOMERS_SQL,
+        "events_daily": _EVENTS_DAILY_SQL,
+        "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,
+        "orders_case_projection": _ORDERS_CASE_SQL,
+        "span_explode_reassemble": _SPAN_EXPLODE_SQL,
+        "status_code_taxonomy": _STATUS_TAXONOMY_SQL,
+        "k1_output_filter": _K1_FILTER_SQL,
+        "text_features": _TEXT_FEATURES_SQL,
+        "text_langid": _LANGID_SQL,
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+        "dedup_simhash": _dedup_simhash_sql(),
+        "dedup_embedding_cosine": _EMB_COSINE_SQL,
+        "ann_topk_bruteforce": _ANN_BRUTE_SQL,
+        # ann_topk_lsh: no SQL oracle (numpy hyperplanes) → rows-only check
+        "ocr_extract_spans": _ocr_extract_sql(sf_dir),
+        # ocr_blocks / image_metadata / image_features: pixel-derived,
+        # not SQL-expressible → rows-only checks
+    }

@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "docs_per_sec": ..., "media_spans_per_sec": ...}.
+
+The headline is the flagship extraction pipeline (interleaved documents →
+det→cls→rec→layout → reassembly) over the deterministic synthetic corpus,
+plus the heavy relational/dedup/ANN operators over the driver tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entry
+    from ppocr_spark.corpus import ensure_corpus
+    from ppocr_spark.pipeline import build_session
+
+    corpus = ensure_corpus(entry._corpus_docs_for(sf_dir))
+
+    spark = build_session("ppocr-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # count corpus work for throughput metrics
+    docs_df = spark.read.parquet(f"{corpus}/documents_spans.parquet")
+    n_docs = docs_df.count()
+    n_media_spans = docs_df.selectExpr(
+        "sum(size(filter(spans, s -> s.kind = 'media'))) AS m"
+    ).collect()[0]["m"]
+
+    qs = entry.queries()
+    headline = [
+        "ocr_extract_spans",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "span_explode_reassemble",
+        "text_features",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_topk_bruteforce",
+        "image_features",
+    ]
+    timings: dict[str, float] = {}
+    ocr_sec = None
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full materialization
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        if name == "ocr_extract_spans":
+            ocr_sec = dt
+            _ = n
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (docs/sec for extraction in "
+        "docs_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "corpus_docs": n_docs,
+        "corpus_media_spans": int(n_media_spans),
+        "docs_per_sec": round(n_docs / ocr_sec, 2) if ocr_sec else None,
+        "media_spans_per_sec": round(int(n_media_spans) / ocr_sec, 2)
+        if ocr_sec
+        else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Resumable execution with per-partition checkpoint manifests (north_rule).
+
+The reference's only resumability is 'restart the subprocess'
+(cpp/README.md:277); at 10^12-document scale a killed run must NOT recompute
+completed work. Design:
+
+- Work is partitioned into stable **doc_id hash buckets** (content-derived,
+  independent of cluster size or task ids — a rerun at different
+  parallelism sees the same buckets).
+- Each completed bucket writes its results under ``out/results/bucket=N/``
+  and appends one manifest row (bucket, input fingerprint, doc/span/box
+  counts, status) to ``out/manifest/``.
+- On resume, completed buckets are anti-filtered from the input *before*
+  any OCR work runs (Catalyst pushes the bucket filter into the scan), so
+  only unfinished buckets recompute.
+
+The input fingerprint is a per-bucket xor-of-doc_id-hashes: if the input
+slice changed between runs, the stale manifest row is ignored and the
+bucket recomputes (lineage guard).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ppocr_spark.config import PPOCRConfig
+
+MANIFEST_COLS = [
+    "bucket",
+    "input_fingerprint",
+    "doc_count",
+    "span_count",
+    "ok_span_count",
+    "status",
+]
+
+
+def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable content-derived bucket (xxhash64 of doc_id)."""
+    return documents.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def bucket_fingerprints(documents_b: DataFrame) -> DataFrame:
+    """bucket → (fingerprint, doc_count). Fingerprint = xor of doc hashes
+    (order-independent, overflow-free) — cheap lineage identity."""
+    return documents_b.groupBy("bucket").agg(
+        F.expr("bit_xor(xxhash64(doc_id))").cast("string").alias(
+            "input_fingerprint"
+        ),
+        F.count("*").alias("doc_count"),
+    )
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    ):
+        return None
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("status") == "complete")
+        .select("bucket", F.col("input_fingerprint").alias("done_fp"))
+        .distinct()
+    )
+
+
+def run_resumable(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    cfg: PPOCRConfig | None = None,
+    n_buckets: int = 64,
+    broadcast_media: bool | None = None,
+) -> dict:
+    """Run the extraction pipeline bucket-incrementally. Returns run stats.
+
+    Results land in ``out/results`` (parquet, partitioned by bucket);
+    manifests in ``out/manifest``. Safe to re-invoke after a kill: completed
+    buckets with matching input fingerprints are skipped."""
+    from ppocr_spark.pipeline import extract_documents
+
+    cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
+    docs_b = with_bucket(documents, n_buckets)
+    fps = bucket_fingerprints(docs_b)
+
+    done = completed_buckets(spark, out_dir)
+    if done is not None:
+        todo_fps = fps.join(
+            done,
+            (fps.bucket == done.bucket)
+            & (fps.input_fingerprint == done.done_fp),
+            "left_anti",
+        )
+    else:
+        todo_fps = fps
+    todo = [
+        (r["bucket"], r["input_fingerprint"], r["doc_count"])
+        for r in todo_fps.collect()
+    ]
+    if not todo:
+        return {"buckets_run": 0, "buckets_skipped": n_buckets}
+
+    todo_ids = [b for b, _, _ in todo]
+    # one pipeline run over all remaining buckets (NOT a per-bucket loop —
+    # a single job keeps the cluster busy; the bucket column rides along)
+    docs_todo = docs_b.filter(F.col("bucket").isin(todo_ids))
+    result = extract_documents(
+        docs_todo.drop("bucket"), media, cfg, broadcast_media
+    ).join(docs_b.select("doc_id", "bucket"), "doc_id")
+
+    res_path = os.path.join(out_dir, "results")
+    result.write.mode("append").partitionBy("bucket").parquet(res_path)
+
+    # manifest rows from the written results (counts observed post-write)
+    written = spark.read.parquet(res_path).filter(F.col("bucket").isin(todo_ids))
+    stats = {
+        r["bucket"]: (r["spans"], r["ok"])
+        for r in written.select(
+            "bucket",
+            F.size("spans").alias("n"),
+            F.expr("size(filter(spans, s -> s.code = 100))").alias("k"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("spans"), F.sum("k").alias("ok"))
+        .collect()
+    }
+    rows = [
+        (
+            int(b),
+            fp,
+            int(dc),
+            int(stats.get(b, (0, 0))[0]),
+            int(stats.get(b, (0, 0))[1]),
+            "complete",
+        )
+        for b, fp, dc in todo
+    ]
+    spark.createDataFrame(
+        rows,
+        "bucket int, input_fingerprint string, doc_count long, "
+        "span_count long, ok_span_count long, status string",
+    ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    return {
+        "buckets_run": len(todo),
+        "buckets_skipped": n_buckets - len(todo),
+    }

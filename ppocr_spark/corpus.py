@@ -279,6 +279,23 @@ def generate_corpus(
 # ---------------------------------------------------------------------------
 
 
+def ensure_corpus(n_docs: int, base_dir: str | None = None) -> str:
+    """Idempotent cached corpus: generate once under
+    ``<repo>/.cache/corpus_<n>/``, reuse forever (deterministic content).
+    Both the Spark queries and the DuckDB oracle read these files."""
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                ".cache")
+    out = os.path.join(base_dir, f"corpus_{n_docs}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    write_corpus(out, n_docs)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
 def write_corpus(out_dir: str, n_docs: int, cfg: PPOCRConfig | None = None, **kw):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -1,0 +1,233 @@
+"""Deduplication operators (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine) — the training-data-pipeline staples, built Spark-first:
+
+- exact:      one hash-aggregate (map-side partial combine; no join)
+- jaccard:    distinct-ngram explode → self-join on gram → count ratio.
+  At 100 TB the gram join is the shuffle hot spot: grams are pre-distinct'd
+  per doc (shrinks the fan-out), the join key is the gram string (high
+  cardinality → well-spread), and AQE handles stragglers.
+- minhash+LSH: signatures via portable md5-min permutations (text.py),
+  banded into buckets; candidate pairs only join within a bucket —
+  the classic sub-quadratic near-dup path.
+- simhash:    64-bit fingerprints; near-dups = hamming distance <= r on
+  bucket-partitioned prefixes.
+- embedding:  cosine >= threshold pairs via block-join (LSH-bucketed
+  variant in similarity.py scales it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ppocr_spark.functions.text import minhash_signature, simhash64, word_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """Keep the min-id representative per identical text (md5 group key —
+    never groups on the raw 100 KB text blob)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, jaccard) for all pairs with n-gram Jaccard >= threshold, a<b.
+    Pure relational — the DuckDB oracle mirrors it exactly."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_g"))
+    shared = (
+        grams.alias("x")
+        .join(grams.alias("y"), (F.col("x.g") == F.col("y.g"))
+              & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "a")
+                    .withColumnRenamed("n_g", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b")
+              .withColumnRenamed("n_g", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash: signature of k hashes
+    split into `bands` bands of k/bands rows; docs sharing any full band
+    land in the same bucket. Join is per-bucket → sub-quadratic."""
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, n).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.slice("sig", b * rows + 1, rows), "|"
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    return (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by true n-gram Jaccard (candidates only —
+    the verify join touches a tiny fraction of the corpus)."""
+    cands = minhash_lsh_candidates(df, k, bands, n, text_col, id_col)
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("gs"),
+    )
+    return (
+        cands.join(grams.withColumnRenamed("id", "a")
+                   .withColumnRenamed("gs", "ga"), "a")
+        .join(grams.withColumnRenamed("id", "b")
+              .withColumnRenamed("gs", "gb"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+def _popcount(c: Column) -> Column:
+    return F.bit_count(c)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed on the top 16
+    bits (near-identical docs share the prefix with high probability) so
+    the pair join never goes all-to-all."""
+    fp = simhash_fingerprints(df, text_col, id_col).withColumn(
+        "bucket", F.shiftright("simhash", 44)
+    )
+    return (
+        fp.alias("x")
+        .join(
+            fp.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            _popcount(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dups >= threshold (brute pair join — the
+    LSH-bucketed variant lives in similarity.py for the 100 TB path)."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("x.v"),
+            F.col("y.v"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        ).alias("nrm"),
+    )
+    return (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            (dot / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

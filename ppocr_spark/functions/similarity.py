@@ -1,0 +1,172 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query side is broadcast
+  (queries ≪ corpus); the corpus scan is embarrassingly parallel; per-row
+  dot products run as JVM higher-order functions (zip_with/aggregate), no
+  Python. This is the correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH. Sign-bit signatures bucket the
+  corpus; candidates = same-bucket rows (multi-probe over all `tables`
+  signatures); exact re-rank within candidates. At 100 TB the bucket join
+  replaces the all-pairs scan — cost ~ corpus/2^bits per query per table.
+
+Hyperplanes are derived from a seeded RNG on the driver and inlined as
+literals (they are tiny: tables x bits x dim floats) — the broadcast-
+variable pattern without shipping numpy state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(vec: Column) -> Column:
+    # cast to double BEFORE multiplying: float*float rounds to float and
+    # diverges from the (double-math) oracle
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, z: a + z,
+        )
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank<=k), exact. Ties broken by
+    neighbor id for determinism. Self-matches excluded."""
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+    )
+    scored = (
+        c.join(q, F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim)).round(6).tolist()
+
+
+def _signature(vec: Column, planes: list) -> Column:
+    """Bucket id for one table: sign bits of `bits` projections."""
+    acc = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, z: a + z,
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: union of same-bucket candidates over
+    `tables` hash tables, exact re-rank. Recall grows with tables."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
+        *[
+            _signature(F.col(vec_col), planes[t]).alias(f"b{t}")
+            for t in range(tables)
+        ],
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+            *[
+                _signature(F.col(vec_col), planes[t]).alias(f"qb{t}")
+                for t in range(tables)
+            ],
+        )
+    )
+    match_any = None
+    for t in range(tables):
+        cond = F.col(f"b{t}") == F.col(f"qb{t}")
+        match_any = cond if match_any is None else (match_any | cond)
+    scored = (
+        c.join(q, match_any & (F.col("nid") != F.col("qid")))
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("cosine"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are Spark built-ins (whole-stage codegen, no
+Python): language-ID (stopword-hit heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + BPE-ish
+regex), and document fingerprinting (min-over-ngram-md5, a 1-permutation
+MinHash — only *portable* primitives so the DuckDB oracle can mirror the
+math exactly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (deterministic heuristic, not a
+# model; shared verbatim with the SQL oracle in __spark_entry__)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish count: alternating letter/digit/punct runs — the
+    regex-segmentation style of BPE pre-tokenizers."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?<=[a-zA-Z])(?=[^a-zA-Z\s])|(?<=[^a-zA-Z\s])(?=[a-zA-Z])|\s+"),
+            lambda t: t != "",
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[\p{P}]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    toks = tokens(F.lower(col))
+    hits = F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))
+    return F.size(hits)
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite quality in [0,1]: length band + low punctuation + mean
+    word length band. Deterministic arithmetic, oracle-mirrorable."""
+    n = F.length(text_col)
+    toks = tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = n / n_tok
+    len_ok = F.when((n >= 50) & (n <= 10000), 1.0).otherwise(0.4)
+    punct_ok = F.when(punct_ratio(text_col) < 0.2, 1.0).otherwise(0.5)
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.6)
+    return F.round((len_ok * punct_ok * wl_ok), 6)
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: CJK-char fraction → 'zh'; else the language
+    with the most stopword hits; ties/no-hits → 'und'."""
+    cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿]", ""))
+    frac_cjk = cjk / F.greatest(F.length(text_col), F.lit(1))
+    hit_cols = [
+        stopword_hits(text_col, lang).alias(lang) for lang in STOPWORDS
+    ]
+    arr = F.array(*[F.struct(c.alias("hits"), F.lit(lang).alias("lang"))
+                    for lang, c in zip(STOPWORDS, hit_cols)])
+    best = F.array_max(arr)
+    return (
+        F.when(frac_cjk > 0.3, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of word n-grams joined by single spaces (portable)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
+    """k-permutation MinHash over word n-grams using md5-string ordering —
+    md5 is identical in Spark and DuckDB, so the oracle reproduces the
+    signature bit-for-bit. Permutation i = lexicographic min of
+    md5(i || ':' || gram)."""
+    grams = word_ngrams(col, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    grams,
+                    lambda g: F.md5(F.concat(F.lit(f"{i}:"), g)),
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def doc_fingerprint(col: Column, n: int = 3) -> Column:
+    """1-permutation MinHash = content fingerprint robust to local edits
+    (the rolling-hash winnowing analog, portable to the oracle)."""
+    return F.array_min(F.transform(word_ngrams(col, n), F.md5))
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over tokens. Per-token 64-bit hash = first 15 hex
+    chars of md5 (portable); bit votes via sign of sum. Returns bigint."""
+    toks = tokens(F.lower(col))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    bits = []
+    for b in range(60):  # 60 bits from 15 hex chars
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )

@@ -209,6 +209,14 @@ def ocr_media_spans(
         .select("doc_id", "offset", "media_ref")
         .join(m, "media_ref", "left")
     )
+    # EXPLICIT repartition before the heavy UDF: a small parquet scan yields
+    # 1-2 input partitions and would serialize all OCR work onto 1-2 cores.
+    # Round-robin also spreads a media-heavy document's spans across the
+    # cluster (per-span work is doc-agnostic), which is the intra-stage skew
+    # control; the shuffle moves only (ids + refs + payload pointers) and is
+    # negligible next to the per-span OCR cost.
+    par = spans.sparkSession.sparkContext.defaultParallelism
+    req = req.repartition(max(par * 2, cfg.shuffle_partitions))
     result = req.mapInPandas(make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA)
     return result
 

@@ -1,0 +1,39 @@
+"""Checkpoint/resume semantics: a second invocation recomputes nothing;
+a changed input slice invalidates only its bucket (lineage guard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ppocr_spark.checkpoint import run_resumable
+from ppocr_spark.config import PPOCRConfig
+
+
+def test_resume_skips_completed(spark, small_corpus, tmp_path):
+    docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+    media = spark.read.parquet(f"{small_corpus}/media.parquet")
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+    out = str(tmp_path / "run")
+
+    s1 = run_resumable(spark, docs, media, out, cfg, n_buckets=8,
+                       broadcast_media=True)
+    assert s1["buckets_run"] > 0
+
+    s2 = run_resumable(spark, docs, media, out, cfg, n_buckets=8,
+                       broadcast_media=True)
+    assert s2["buckets_run"] == 0
+    assert s2["buckets_skipped"] == 8
+
+    # results complete & unique per doc
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == docs.count()
+    assert res.select("doc_id").distinct().count() == docs.count()
+
+    # lineage guard: a new doc lands in some bucket → only that bucket reruns
+    extra = docs.limit(1).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("_v2"))
+    )
+    docs2 = docs.unionByName(extra)
+    s3 = run_resumable(spark, docs2, media, out, cfg, n_buckets=8,
+                       broadcast_media=True)
+    assert 1 <= s3["buckets_run"] <= 2
