@@ -261,16 +261,35 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     crop_h = int(max(np.linalg.norm(q[0] - q[3]), np.linalg.norm(q[1] - q[2])))
     crop_w = max(crop_w, 1)
     crop_h = max(crop_h, 1)
+    # axis-aligned fast path: the identity homography samples exactly the
+    # integer-aligned sub-rectangle, so a direct slice is bit-identical to
+    # the warp (and most detected boxes are unrotated)
+    if (
+        q[0][1] == q[1][1]
+        and q[2][1] == q[3][1]
+        and q[0][0] == q[3][0]
+        and q[1][0] == q[2][0]
+    ):
+        x0, y0 = int(q[0][0]), int(q[0][1])
+        out = img[y0 : y0 + crop_h, x0 : x0 + crop_w]
+        if out.shape == (crop_h, crop_w):
+            out = np.ascontiguousarray(out)
+            if crop_h >= crop_w * 1.5:
+                out = np.ascontiguousarray(out.T[::-1])
+            return out
     dst = np.array(
         [[0, 0], [crop_w, 0], [crop_w, crop_h], [0, crop_h]], dtype=np.float64
     )
     hmat = _homography(dst, q)  # dest -> src direction
-    yy, xx = np.mgrid[0:crop_h, 0:crop_w]
-    ones = np.ones_like(xx, dtype=np.float64)
-    pts = np.stack([xx + 0.5, yy + 0.5, ones])  # pixel centers
-    m = hmat @ pts.reshape(3, -1)
-    sx = (m[0] / m[2]).reshape(crop_h, crop_w) - 0.5
-    sy = (m[1] / m[2]).reshape(crop_h, crop_w) - 0.5
+    xs = np.arange(crop_w, dtype=np.float64) + 0.5
+    ys = np.arange(crop_h, dtype=np.float64) + 0.5
+    # outer-product expansion of the projective map — avoids materializing
+    # the 3xHxW point grid (memory traffic matters under 32-way parallelism)
+    mx = hmat[0, 0] * xs[None, :] + hmat[0, 1] * ys[:, None] + hmat[0, 2]
+    my = hmat[1, 0] * xs[None, :] + hmat[1, 1] * ys[:, None] + hmat[1, 2]
+    mw = hmat[2, 0] * xs[None, :] + hmat[2, 1] * ys[:, None] + hmat[2, 2]
+    sx = mx / mw - 0.5
+    sy = my / mw - 0.5
     h, w = img.shape[:2]
     x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
     y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)

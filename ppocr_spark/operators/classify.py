@@ -49,7 +49,7 @@ def _orientation_evidence(img: np.ndarray) -> float:
     if not segs:
         return 0.0
     best: list[float] = []
-    for s, e in segs[:8]:  # cap work; 8 segments is plenty of evidence
+    for s, e in segs[:4]:  # cap work; 4 segments is plenty of evidence
         seg = ink[:, s:e]
         rnz = np.flatnonzero(seg.any(axis=1))
         if rnz.size == 0:
@@ -72,10 +72,18 @@ def classify(crop: np.ndarray) -> tuple[int, float]:
     reference's fixed 192-px cls width (a learned CNN tolerates the squeeze)
     would alias our template correlation into noise on wide line crops."""
     h, w = crop.shape
-    ratio = w / float(h)
-    img = _bilinear_resize(crop, CLS_H, max(int(np.ceil(CLS_H * ratio)), 1))
-    e0 = _orientation_evidence(img)
-    e180 = _orientation_evidence(img[::-1, ::-1])
+    # evidence uses <=4 segments, so only the crop ends matter: resize just
+    # the leftmost slice for 0° and the rightmost (flipped) for 180° —
+    # resizing the full width of a long line crop would dominate cls cost
+    span = min(w, 8 * h)
+    left = crop[:, :span]
+    right = crop[:, w - span:]
+    ratio = span / float(h)
+    rw = max(int(np.ceil(CLS_H * ratio)), 1)
+    e0 = _orientation_evidence(_bilinear_resize(left, CLS_H, rw))
+    e180 = _orientation_evidence(
+        _bilinear_resize(np.ascontiguousarray(right[::-1, ::-1]), CLS_H, rw)
+    )
     logits = np.array([e0, e180]) * CLS_SOFTMAX_TEMP
     ex = np.exp(logits - logits.max())
     p = ex / ex.sum()

@@ -39,9 +39,13 @@ from ppocr_spark.geometry import (
     unclip_distance,
 )
 
-# fixed 'receptive field' of the density model (odd window sizes)
-WIN_W = 21
-WIN_H = 5
+# fixed 'receptive field' of the density model (odd window sizes), defined
+# at STRIDE-2 resolution: like a real DB head, the model evaluates on a
+# 2x2-mean-pooled feature map (quarter the memory traffic of full-res) and
+# its outputs are rescaled back through the resize ratios
+WIN_W = 11
+WIN_H = 3
+STRIDE = 2
 
 
 def resize_type0(
@@ -94,28 +98,54 @@ def _box_filter(a: np.ndarray, wh: int, ww: int) -> np.ndarray:
 
 
 def _hmax_filter(a: np.ndarray, width: int) -> np.ndarray:
-    """Horizontal sliding-window maximum (grayscale dilation), width odd."""
+    """Horizontal sliding-window maximum (grayscale dilation), width odd.
+
+    Log-doubling van-Herk-style composition: O(log width) full-array passes
+    instead of the naive windowed reduce's O(width) — the det stage is the
+    pipeline's memory-bandwidth hot spot and this keeps it ~6 passes."""
     r = width // 2
     pad = np.pad(a, ((0, 0), (r, r)), mode="constant")
-    win = np.lib.stride_tricks.sliding_window_view(pad, width, axis=1)
-    return win.max(axis=2)
+    # running max over windows of growing power-of-two span
+    span = 1
+    cur = pad
+    while span < width:
+        step = min(span, width - span)
+        shifted = cur[:, step:]
+        n = shifted.shape[1]
+        out = cur[:, :n].copy()
+        np.maximum(out, shifted, out=out)
+        cur = out
+        span += step
+    return cur
 
 
-#: width of the horizontal dilation layer — binds intra-line gaps (char
-#: gaps ~8 px, word gaps ~36 px, ~27 px after the 960-cap resize) so one
-#: text line = one box, the reference DB model's granularity, without
-#: bridging column gutters (>= 84 px post-resize)
-DILATE_W = 41
+#: width of the horizontal dilation layer (stride-2 pixels) — binds
+#: intra-line gaps (char gaps ~4, word gaps ~18, ~13 after the 960-cap
+#: resize, all in stride-2 units) so one text line = one box, the reference
+#: DB model's granularity, without bridging column gutters (>= 42)
+DILATE_W = 21
+
+
+def _pool2(gray: np.ndarray) -> np.ndarray:
+    """2x2 mean pool (stride-2 feature map), uint8 → float32 ink in [0,1]."""
+    h, w = gray.shape
+    h2, w2 = h - (h % 2), w - (w % 2)
+    g = gray[:h2, :w2].astype(np.float32)
+    pooled = (
+        g[0::2, 0::2] + g[0::2, 1::2] + g[1::2, 0::2] + g[1::2, 1::2]
+    ) * 0.25
+    return (255.0 - pooled) / 255.0
 
 
 def probability_map(gray: np.ndarray) -> np.ndarray:
-    """D2-D4: the from-scratch 'DB network' — a fixed two-layer conv-style
-    map: horizontal grayscale dilation (binds characters of a word across
-    <=8 px gaps) followed by an anisotropic mean filter (21x5 receptive
-    field: wide horizontally, narrow vertically so adjacent lines stay
-    apart). Output in [0,1], high inside text lines, decaying across word
-    gaps — the shrunk-region semantics a DB model is trained to produce."""
-    ink = (255.0 - gray.astype(np.float32)) / 255.0
+    """D2-D4: the from-scratch 'DB network' — a fixed conv-style stack at
+    stride 2: 2x2 mean pool, horizontal grayscale dilation (binds the
+    characters of a line across word gaps), anisotropic mean filter (11x3
+    receptive field: wide horizontally, narrow vertically so adjacent lines
+    stay apart). Output in [0,1] at half resolution — high inside text
+    lines, decaying across gaps: the shrunk-region semantics a DB model is
+    trained to produce (cpp/src/ocr_det.cpp:103-121)."""
+    ink = _pool2(gray)
     ink = _hmax_filter(ink, DILATE_W)
     return _box_filter(ink, WIN_H, WIN_W).astype(np.float32)
 
@@ -218,7 +248,9 @@ def detect(gray: np.ndarray, cfg: PPOCRConfig) -> list[np.ndarray]:
     if cfg.use_dilation:
         bitmap = _dilate2x2(bitmap)
     boxes, _scores = boxes_from_bitmap(prob, bitmap, cfg)
+    # geometry lives in stride-2 coordinates: fold STRIDE into the ratios
     boxes = filter_tag_det_res(
-        boxes, ratio_h, ratio_w, src_h, src_w, cfg.min_area_size
+        boxes, ratio_h / STRIDE, ratio_w / STRIDE, src_h, src_w,
+        cfg.min_area_size,
     )
     return sorted_boxes(boxes)

@@ -62,31 +62,46 @@ def forward_probs(crop: np.ndarray) -> np.ndarray:
         return np.stack([blank, blank])
     widths = [e - s for s, e in segs]
     med_w = float(np.median(widths))
+    # pass 1: extract + normalize all segment features (Python loop over
+    # segments is unavoidable — tile shapes differ — but the expensive
+    # template correlation is batched into ONE matmul below)
+    feats: list[np.ndarray | None] = []
+    space_before: list[bool] = []
     prev_end: int | None = None
     for (s, e) in segs:
-        if prev_end is not None and (s - prev_end) > SPACE_GAP_FRAC * med_w:
-            sp = np.zeros(dict_size, dtype=np.float32)
-            sp[space_cls] = 1.0
-            rows.extend([blank, sp])
+        space_before.append(
+            prev_end is not None and (s - prev_end) > SPACE_GAP_FRAC * med_w
+        )
         prev_end = e
         seg = ink[:, s:e]
         rnz = np.flatnonzero(seg.any(axis=1))
         if rnz.size == 0:
+            feats.append(None)
             continue
-        tile = crop[rnz[0] : rnz[-1] + 1, s:e]
-        tile = area_resize(tile, GLYPH_H, GLYPH_W)
+        tile = area_resize(crop[rnz[0] : rnz[-1] + 1, s:e], GLYPH_H, GLYPH_W)
         # grayscale ink fraction — anti-aliased edges carry subpixel signal
         feat = (255.0 - tile).reshape(-1) / 255.0
         feat -= feat.mean()
         nrm = np.linalg.norm(feat)
-        if nrm < 1e-6:
+        feats.append(feat / nrm if nrm >= 1e-6 else None)
+
+    valid = [f for f in feats if f is not None]
+    if valid:
+        corr_all = np.stack(valid) @ templates.T  # (n_valid, n_labels)
+        logits = np.full((len(valid), dict_size), -4.0, dtype=np.float32)
+        logits[:, 1 : 1 + len(labels)] = corr_all * SOFTMAX_TEMP
+        ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs_all = (ex / ex.sum(axis=1, keepdims=True)).astype(np.float32)
+    vi = 0
+    for f, sp_before in zip(feats, space_before):
+        if f is None:
             continue
-        feat /= nrm
-        corr = templates @ feat  # (n_labels,)
-        logits = np.full(dict_size, -4.0, dtype=np.float32)
-        logits[1 : 1 + len(labels)] = corr * SOFTMAX_TEMP
-        ex = np.exp(logits - logits.max())
-        prob = (ex / ex.sum()).astype(np.float32)
+        if sp_before:
+            sp = np.zeros(dict_size, dtype=np.float32)
+            sp[space_cls] = 1.0
+            rows.extend([blank, sp])
+        prob = probs_all[vi]
+        vi += 1
         # two identical timesteps per segment + a blank separator: real CTC
         # inputs (repeats collapse, blanks delimit)
         rows.extend([blank, prob, prob])

@@ -123,34 +123,59 @@ def _ocr_one(content, cfg: PPOCRConfig) -> dict:
 
 
 def make_ocr_udf(cfg: PPOCRConfig):
-    """mapInPandas generator; cfg travels by closure (the broadcast analog
-    of the reference's one-time engine init, cpp/src/task.cpp:243-250 — the
-    glyph 'model weights' rebuild deterministically per executor and are
-    process-cached)."""
+    """Arrow-batch generator for ``mapInArrow``; cfg travels by closure
+    (the broadcast analog of the reference's one-time engine init,
+    cpp/src/task.cpp:243-250 — the glyph 'model weights' rebuild
+    deterministically per executor and are process-cached).
 
-    def ocr_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "offset": [], "media_ref": [], "code": [],
-                "text": [], "boxes": [], "texts": [], "scores": [],
-                "cls_labels": [], "cls_scores": [], "ends": [],
-            }
-            for doc_id, offset, ref, content in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
-            ):
-                r = _ocr_one(content, cfg)
-                out["doc_id"].append(doc_id)
-                out["offset"].append(offset)
-                out["media_ref"].append(ref)
-                out["code"].append(r["code"])
-                out["text"].append(r["text"])
-                out["boxes"].append(r["boxes"])
-                out["texts"].append(r["texts"])
-                out["scores"].append(r["scores"])
-                out["cls_labels"].append(r["cls_labels"])
-                out["cls_scores"].append(r["cls_scores"])
-                out["ends"].append(r["ends"])
-            yield pd.DataFrame(out)
+    mapInArrow, not mapInPandas: the input carries multi-MB binary image
+    payloads, and pandas conversion would copy every payload into Python
+    object arrays twice per batch."""
+    import pyarrow as pa
+
+    out_type = pa.struct(
+        [
+            ("doc_id", pa.string()),
+            ("offset", pa.int32()),
+            ("media_ref", pa.string()),
+            ("code", pa.int32()),
+            ("text", pa.string()),
+            ("boxes", pa.list_(pa.list_(pa.int32()))),
+            ("texts", pa.list_(pa.string())),
+            ("scores", pa.list_(pa.float32())),
+            ("cls_labels", pa.list_(pa.int32())),
+            ("cls_scores", pa.list_(pa.float32())),
+            ("ends", pa.list_(pa.string())),
+        ]
+    )
+
+    def ocr_udf(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            offsets = batch.column("offset").to_pylist()
+            refs = batch.column("media_ref").to_pylist()
+            contents = batch.column("content")
+            rows = []
+            for i in range(batch.num_rows):
+                c = contents[i].as_py() if contents[i].is_valid else None
+                r = _ocr_one(c, cfg)
+                rows.append(
+                    {
+                        "doc_id": doc_ids[i],
+                        "offset": offsets[i],
+                        "media_ref": refs[i],
+                        "code": r["code"],
+                        "text": r["text"],
+                        "boxes": r["boxes"],
+                        "texts": r["texts"],
+                        "scores": r["scores"],
+                        "cls_labels": r["cls_labels"],
+                        "cls_scores": r["cls_scores"],
+                        "ends": r["ends"],
+                    }
+                )
+            arr = pa.array(rows, type=out_type)
+            yield pa.RecordBatch.from_struct_array(arr)
 
     return ocr_udf
 
@@ -202,22 +227,27 @@ def ocr_media_spans(
     auto-broadcasts when the media plan is below Spark's threshold (AQE
     decides); pass True/False to force."""
     m = media.select("media_ref", "content")
-    if broadcast_media:
-        m = F.broadcast(m)
-    req = (
-        spans.filter(F.col("kind") == "media")
-        .select("doc_id", "offset", "media_ref")
-        .join(m, "media_ref", "left")
+    ids = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
     )
     # EXPLICIT repartition before the heavy UDF: a small parquet scan yields
     # 1-2 input partitions and would serialize all OCR work onto 1-2 cores.
     # Round-robin also spreads a media-heavy document's spans across the
-    # cluster (per-span work is doc-agnostic), which is the intra-stage skew
-    # control; the shuffle moves only (ids + refs + payload pointers) and is
-    # negligible next to the per-span OCR cost.
+    # cluster (per-span work is doc-agnostic) — the intra-stage skew control.
     par = spans.sparkSession.sparkContext.defaultParallelism
-    req = req.repartition(max(par * 2, cfg.shuffle_partitions))
-    result = req.mapInPandas(make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA)
+    ids = ids.repartition(max(par * 2, cfg.shuffle_partitions))
+    if broadcast_media:
+        # broadcast join AFTER the shuffle: only the slim (doc_id, offset,
+        # media_ref) rows move; the image payload attaches in place
+        req = ids.join(F.broadcast(m), "media_ref", "left")
+    else:
+        # media too big to broadcast (the 100 TB path): co-locate by
+        # media_ref instead — shuffle both sides on the join key and let
+        # AQE split skewed buckets; payload moves once, never twice
+        req = ids.repartition(
+            max(par * 2, cfg.shuffle_partitions), "media_ref"
+        ).join(m, "media_ref", "left")
+    result = req.mapInArrow(make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA)
     return result
 
 
@@ -330,6 +360,26 @@ def ocr_blocks(
     )
 
 
+def warm_workers(spark: SparkSession, partitions: int | None = None) -> int:
+    """Initialize every Python worker: import the engine and build the
+    glyph 'model weights' (the executor-singleton load the reference does
+    once per process, cpp/src/task.cpp:243-250). Run before timing
+    throughput — steady-state workers are what a long 100 TB job sees."""
+
+    def init(batches):
+        from ppocr_spark.font import template_stack
+
+        template_stack()
+        for pdf in batches:
+            yield pdf[:0]
+
+    par = partitions or spark.sparkContext.defaultParallelism * 2
+    spark.range(par * 4, numPartitions=par).selectExpr(
+        "cast(id as long) as id"
+    ).mapInPandas(init, schema="id long").count()
+    return par
+
+
 def build_session(
     app: str = "ppocr-spark",
     cores: int | None = None,
@@ -342,9 +392,27 @@ def build_session(
 
     cfg = cfg or PPOCRConfig()
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return (
+    # worker-process memory hygiene: MB-sized numpy temporaries must reuse
+    # heap instead of mmap/munmap per call (kernel page-zeroing serializes
+    # across 32 workers and caps scaling), and BLAS must not oversubscribe
+    # (each worker is already one core's worth of parallelism)
+    worker_env = {
+        "MALLOC_MMAP_THRESHOLD_": "268435456",
+        "MALLOC_TRIM_THRESHOLD_": "268435456",
+        "MALLOC_ARENA_MAX": "2",
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+    }
+    os.environ.update(worker_env)  # local mode: workers inherit driver env
+    builder = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
+    )
+    for k, v in worker_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    return (
+        builder
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

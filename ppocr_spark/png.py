@@ -54,6 +54,8 @@ def _unfilter(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
         raise PngError("truncated image data")
     raw = raw.reshape(h, stride + 1)
     filters = raw[:, 0]
+    if not filters.any():  # all filter-0 rows: direct view, no per-row loop
+        return np.ascontiguousarray(raw[:, 1:]).reshape(h, w, channels)
     data = raw[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     bpp = channels

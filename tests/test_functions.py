@@ -1,0 +1,176 @@
+"""Tests for training-data pipeline ops: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (4, "completely different text about spark engines here"),
+        (5, "another unrelated document mentioning nothing shared"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        from ppocr_spark.functions.dedup import exact_dedup
+
+        out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+        assert out[1] == 2  # docs 1+2 identical, min id kept
+        assert out[3] == 1
+
+    def test_ngram_jaccard(self, docs):
+        from ppocr_spark.functions.dedup import ngram_jaccard_pairs
+
+        pairs = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_finds_dups(self, docs):
+        from ppocr_spark.functions.dedup import minhash_dedup_pairs
+
+        pairs = {
+            (r["a"], r["b"])
+            for r in minhash_dedup_pairs(docs, threshold=0.3).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 4) not in pairs
+
+    def test_simhash_identical_and_near(self, docs):
+        from ppocr_spark.functions.dedup import simhash_fingerprints
+
+        fp = {r["doc_id"]: r["simhash"]
+              for r in simhash_fingerprints(docs).collect()}
+        assert fp[1] == fp[2]
+        ham13 = bin(fp[1] ^ fp[3]).count("1")
+        ham14 = bin(fp[1] ^ fp[4]).count("1")
+        assert ham13 < ham14  # near-dup closer than unrelated
+
+    def test_embedding_near_dup(self, spark):
+        from ppocr_spark.functions.dedup import embedding_near_dup_pairs
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["a"], r["b"]) for r in
+                 embedding_near_dup_pairs(emb, 0.95).collect()}
+        assert pairs == {(1, 2)}
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        base[7] = base[3] * 1.1  # planted neighbor
+        rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_planted_neighbor(self, emb):
+        from ppocr_spark.functions.similarity import brute_force_topk
+
+        q = emb.filter(F.col("vec_id") == 3)
+        out = brute_force_topk(emb, q, k=1).collect()
+        assert out[0]["neighbor_id"] == 7
+        assert out[0]["cosine"] > 0.999
+
+    def test_lsh_recall_vs_brute(self, emb):
+        from ppocr_spark.functions.similarity import brute_force_topk, lsh_topk
+
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, q, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(emb, q, k=3, bits=4, tables=8, dim=16).collect()
+        }
+        recall = len(brute & approx) / len(brute)
+        assert recall >= 0.5  # small corpus, generous tables → decent recall
+
+
+class TestText:
+    def test_features(self, docs):
+        from ppocr_spark.functions.text import add_text_features
+
+        out = {r["doc_id"]: r for r in add_text_features(docs).collect()}
+        assert out[1]["n_tokens"] == 9
+        assert out[1]["lang_pred"] == "en"
+        assert 0 <= out[1]["quality"] <= 1
+        assert len(out[1]["fingerprint"]) == 32  # md5 hex
+
+    def test_fingerprint_stability_under_suffix(self, spark):
+        # 1-perm MinHash: appending one word rarely changes the min gram
+        from ppocr_spark.functions.text import doc_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+            "doc_id long, text string",
+        )
+        f1 = df.select(doc_fingerprint(F.col("text")).alias("f")).collect()[0]["f"]
+        df2 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+            "doc_id long, text string",
+        )
+        f2 = df2.select(doc_fingerprint(F.col("text")).alias("f")).collect()[0]["f"]
+        # both contain the original 7 grams; min can only move if the new
+        # gram hashes lower — assert they share the min or differ legally
+        assert f1 == f2 or f2 < f1
+
+
+class TestMultimodal:
+    def test_image_metadata_total(self, spark):
+        from ppocr_spark.functions.multimodal import image_metadata
+        from ppocr_spark.png import encode_gray
+
+        img = np.full((30, 40), 255, dtype=np.uint8)
+        img[5:10, 5:20] = 0
+        rows = [
+            ("ok", bytearray(encode_gray(img))),
+            ("junk", bytearray(b"definitely not a png")),
+        ]
+        media = spark.createDataFrame(rows, "media_ref string, content binary")
+        out = {r["media_ref"]: r for r in image_metadata(media).collect()}
+        assert out["ok"]["decode_ok"] and out["ok"]["width"] == 40
+        assert out["ok"]["ink_ratio"] > 0
+        assert not out["junk"]["decode_ok"]
+
+    def test_image_features_shape(self, spark):
+        from ppocr_spark.functions.multimodal import image_features
+        from ppocr_spark.png import encode_gray
+
+        img = np.full((64, 64), 255, dtype=np.uint8)
+        img[:32] = 0  # top half ink
+        media = spark.createDataFrame(
+            [("a", bytearray(encode_gray(img)))],
+            "media_ref string, content binary",
+        )
+        feats = image_features(media, grid=4).collect()[0]["features"]
+        assert len(feats) == 16
+        assert feats[0] > 0.9 and feats[-1] < 0.1
+
+    def test_video_stub_raises(self, spark):
+        from ppocr_spark.functions.multimodal import sample_video_frames
+
+        media = spark.createDataFrame(
+            [("v", bytearray(b"fake"))], "media_ref string, content binary"
+        )
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            sample_video_frames(media).collect()

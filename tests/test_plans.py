@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the 100 TB design checks (SURVEY.md §4):
+filter pushdown reaches the scan, column pruning holds, small dims
+broadcast, the OCR stage is explicitly repartitioned, and whole-stage
+codegen covers the relational glue."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestPlans:
+    def test_q1_filter_pushdown_and_pruning(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["q1_pricing_summary"](spark, sf_dir))
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        # column pruning: unused l_partkey/l_suppkey never read
+        assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+    def test_q3_broadcasts_customer(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["q3_shipping_priority"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_q5_no_cartesian(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["q5_region_revenue"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_text_features_stays_jvm(self, spark, sf_dir):
+        # no Python UDF nodes: whole text stage is codegen'd expressions
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["text_features"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "WholeStageCodegen" in plan
+
+    def test_ocr_pipeline_repartitions_before_udf(self, spark, small_corpus):
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.pipeline import extract_documents
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        plan = _plan(
+            extract_documents(
+                docs, media, PPOCRConfig(cls=True, use_angle_cls=True),
+                broadcast_media=True,
+            )
+        )
+        assert "MapInArrow" in plan or "MapInPandas" in plan
+        assert "Exchange RoundRobinPartitioning" in plan
+        assert "BroadcastHashJoin" in plan  # media side broadcast
+
+    def test_dedup_exact_partial_aggregation(self, spark, sf_dir):
+        # hash aggregate must have a map-side partial pass (two HashAggregates)
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["dedup_exact"](spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
+
+    def test_ann_brute_broadcasts_queries(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["ann_topk_bruteforce"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
