@@ -29,8 +29,11 @@ def main():
 
     corpus = ensure_corpus(entry._corpus_docs_for(sf_dir))
 
+    from ppocr_spark.pipeline import warm_workers
+
     spark = build_session("ppocr-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark)  # steady-state workers (model load amortized)
 
     # count corpus work for throughput metrics
     docs_df = spark.read.parquet(f"{corpus}/documents_spans.parquet")
