@@ -1,0 +1,105 @@
+"""Sources (S1-S10 in SURVEY.md §2.1), Spark-first.
+
+The reference's request loop reads one JSON line per request from a pipe or
+socket (cpp/src/task.cpp:388-408, cpp/src/task_linux.cpp:124-258); here the
+scheduler replaces that loop and every 'request' is a row. Each reference
+source has a reader:
+
+  S1/S2  table scan            → read_documents / read_media
+  S3     single-image CLI      → single_media_request
+  S4     file → image bytes    → media content column (binary), decoded in
+                                 the UDF from BYTES, never extension
+  S5     base64 → image        → decode_base64_requests (F.unbase64)
+  S7     request JSON dispatch → parse_request_json
+  S8/S9  config / dict         → PPOCRConfig.from_file / font.char_dict
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ppocr_spark.schemas import DOCUMENTS, MEDIA
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: scan of the interleaved-documents table. Uses the Iceberg
+    catalog when the path is a table identifier and the runtime has the
+    Iceberg extension; falls back to parquet (same schema, same plan shape
+    minus snapshot pruning)."""
+    if "/" not in path and "." in path:
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:  # noqa: BLE001 — no catalog in this sandbox
+            pass
+    return spark.read.schema(DOCUMENTS).parquet(path)
+
+
+def read_media(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(MEDIA).parquet(path)
+
+
+def single_media_request(
+    spark: SparkSession, content: bytes, doc_id: str = "cli_0"
+) -> DataFrame:
+    """S3: the single-image smoke path — one request row, runs the same
+    plan as the table scan (cpp/src/task.cpp:361-385)."""
+    return spark.createDataFrame(
+        [(doc_id, [("media", None, "cli_media_0", 0)])], DOCUMENTS
+    ), spark.createDataFrame(
+        [("cli_media_0", bytearray(content), None)], MEDIA
+    )
+
+
+REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("image_path", T.StringType(), True),
+        T.StructField("image_base64", T.StringType(), True),
+        T.StructField("exit", T.StringType(), True),
+        # PERMISSIVE from_json parks unparseable input here instead of
+        # nulling the struct — the 200-vs-201 distinction needs it
+        T.StructField("_corrupt_record", T.StringType(), True),
+    ]
+)
+
+
+def parse_request_json(requests: DataFrame, col: str = "request") -> DataFrame:
+    """S7: parse the reference's request envelope — exactly one task key
+    per request (imread_json, cpp/src/task.cpp:141-212). Emits
+    (task_kind, payload, code): unparseable JSON → 200, no/ambiguous task
+    key → 201, matching the reference's taxonomy."""
+    parsed = requests.withColumn(
+        "req",
+        F.from_json(
+            F.col(col),
+            REQUEST_SCHEMA,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("req").isNull() | F.col("req._corrupt_record").isNotNull()
+    keys_present = (
+        F.col("req.image_path").isNotNull().cast("int")
+        + F.col("req.image_base64").isNotNull().cast("int")
+    )
+    return parsed.select(
+        "*",
+        F.when(bad, F.lit(None))
+        .when(F.col("req.image_path").isNotNull(), F.lit("path"))
+        .when(F.col("req.image_base64").isNotNull(), F.lit("base64"))
+        .alias("task_kind"),
+        F.when(bad, F.lit(None))
+        .otherwise(F.coalesce("req.image_path", "req.image_base64"))
+        .alias("payload"),
+        F.when(bad, F.lit(200))
+        .when(keys_present != 1, F.lit(201))
+        .otherwise(F.lit(100))
+        .alias("code"),
+    ).drop("req")
+
+
+def decode_base64_requests(df: DataFrame, col: str = "payload") -> DataFrame:
+    """S5: base64 payload → binary content column (F.unbase64, JVM-side;
+    the reference's hand-rolled decoder cpp/src/base64.cpp). Invalid
+    base64 yields null → the pipeline's 300-analog."""
+    return df.withColumn("content", F.unbase64(F.col(col)))

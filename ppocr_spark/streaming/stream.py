@@ -1,0 +1,62 @@
+"""Structured Streaming front-end.
+
+The reference has NO streaming abstraction — its pipe loop is a strictly
+sequential RPC (docs/详细使用指南.md:252-256), so this module is beyond
+capability parity: it lets the same extraction pipeline run continuously
+over an arriving-files documents feed with exactly-once sink semantics.
+
+Design: ``readStream`` on the documents directory → ``foreachBatch`` running
+the identical batch pipeline (`extract_documents`) per micro-batch. The
+foreachBatch bridge (not a fully streaming DAG) is deliberate: the OCR UDF
+is stateless per span, event-time/watermark semantics add nothing to the
+reference's contract, and foreachBatch keeps one code path for batch and
+streaming (same plan, same tests). Checkpointing gives resume-on-kill at
+micro-batch granularity, complementing the bucket manifests of the batch
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ppocr_spark.config import PPOCRConfig
+from ppocr_spark.schemas import DOCUMENTS
+
+
+def stream_extract(
+    spark: SparkSession,
+    documents_dir: str,
+    media: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PPOCRConfig | None = None,
+    available_now: bool = True,
+    broadcast_media: bool | None = True,
+):
+    """Start (or drain, with available_now) a streaming extraction.
+
+    Returns the StreamingQuery. Each micro-batch runs the batch pipeline
+    and appends to ``out_dir`` (parquet); offsets live in
+    ``checkpoint_dir`` so a restarted query resumes at the next batch."""
+    from ppocr_spark.pipeline import extract_documents
+
+    cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(documents_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = extract_documents(batch_df, media, cfg, broadcast_media)
+        result.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,122 @@
+"""Sources (S3/S5/S7), sinks (K1/K2/K3), and the streaming front-end."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ppocr_spark.config import PPOCRConfig
+
+
+class TestSources:
+    def test_parse_request_json_dispatch(self, spark):
+        from ppocr_spark.sources.readers import parse_request_json
+
+        rows = [
+            ('{"image_path": "/a/b.png"}',),
+            ('{"image_base64": "aGk="}',),
+            ("not json at all {",),
+            ('{"image_path": "x", "image_base64": "y"}',),  # ambiguous
+        ]
+        df = spark.createDataFrame(rows, "request string")
+        out = parse_request_json(df).collect()
+        assert out[0]["task_kind"] == "path" and out[0]["code"] == 100
+        assert out[1]["task_kind"] == "base64" and out[1]["code"] == 100
+        assert out[2]["code"] == 200
+        assert out[3]["code"] == 201
+
+    def test_base64_source_roundtrip(self, spark):
+        from ppocr_spark.sources.readers import decode_base64_requests
+
+        payload = b"\x89PNG fake"
+        df = spark.createDataFrame(
+            [(base64.b64encode(payload).decode(),)], "payload string"
+        )
+        out = decode_base64_requests(df).collect()[0]
+        assert bytes(out["content"]) == payload
+
+    def test_single_media_request_runs_pipeline(self, spark):
+        from ppocr_spark.pipeline import extract_documents
+        from ppocr_spark.png import encode_gray
+        from ppocr_spark.render import render_page
+        from ppocr_spark.sources.readers import single_media_request
+
+        img, truth = render_page(["hello spark engine"])
+        docs, media = single_media_request(spark, encode_gray(img))
+        cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+        out = extract_documents(docs, media, cfg, broadcast_media=True).collect()
+        assert len(out) == 1
+        span = out[0]["spans"][0]
+        assert span["code"] == 100
+        assert span["text"] == "hello spark engine"
+
+
+class TestSinks:
+    def test_response_envelope_schema(self, spark, small_corpus):
+        from ppocr_spark.pipeline import explode_spans, ocr_media_spans
+        from ppocr_spark.sources.sinks import response_envelope
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+        ocr = ocr_media_spans(explode_spans(docs), media, cfg, True)
+        rows = response_envelope(ocr).limit(20).collect()
+        assert rows
+        saw_ok = False
+        for r in rows:
+            body = json.loads(r["response"])
+            assert "code" in body
+            if body["code"] == 100:
+                saw_ok = True
+                rec = body["data"][0]
+                assert set(rec) == {"text", "score", "box"}
+                assert len(rec["box"]) == 4 and len(rec["box"][0]) == 2
+        assert saw_ok
+
+    def test_ensure_ascii(self):
+        from ppocr_spark.sources.sinks import ensure_ascii_json
+
+        assert ensure_ascii_json('{"t":"文a"}') == '{"t":"\\u6587a"}'
+        assert ensure_ascii_json("😀") == "\\ud83d\\ude00"  # astral pair
+
+
+class TestStreaming:
+    def test_stream_extract_available_now(self, spark, small_corpus, tmp_path):
+        import shutil
+
+        from ppocr_spark.streaming.stream import stream_extract
+
+        src = tmp_path / "feed"
+        src.mkdir()
+        shutil.copy(
+            f"{small_corpus}/documents_spans.parquet",
+            src / "part-0001.parquet",
+        )
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        q = stream_extract(
+            spark,
+            str(src),
+            media,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        expected = spark.read.parquet(
+            f"{small_corpus}/documents_spans.parquet"
+        ).count()
+        assert out.count() == expected
+        # restart with no new files → no duplicates (exactly-once sink)
+        q2 = stream_extract(
+            spark,
+            str(src),
+            media,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(str(tmp_path / "out")).count() == expected
