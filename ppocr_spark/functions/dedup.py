@@ -20,7 +20,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ppocr_spark.functions.text import minhash_signature, simhash64, word_ngrams
+from ppocr_spark.functions.text import (
+    minhash_from_grams,
+    ngrams_from_tokens,
+    simhash_from_hashes,
+    token_hashes,
+    tokens,
+)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a slim projection to the cluster's parallelism when the
+    source scan under-partitions (one small parquet file locally; a handful
+    of splits for a small dimension at cluster scale). The projections this
+    guards (id+grams / id+sig) are tiny relative to the corpus and feed a
+    band-bucket shuffle anyway, so the extra exchange is noise at 100 TB
+    but turns a 1-core local scan into an n-core one."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -43,9 +62,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(a, b, jaccard) for all pairs with n-gram Jaccard >= threshold, a<b.
     Pure relational — the DuckDB oracle mirrors it exactly."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    grams = (
+        _spread(df.select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("t")))
+        .select("id", tokens(F.col("t")).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("toks"), n))
+            ).alias("g"),
+        )
     )
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_g"))
     shared = (
@@ -70,23 +96,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    k: int = 8,
-    bands: int = 4,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _gram_sig_table(
+    df: DataFrame, k: int, n: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash: signature of k hashes
-    split into `bands` bands of k/bands rows; docs sharing any full band
-    land in the same bucket. Join is per-bucket → sub-quadratic."""
+    """Persisted slim table (id, grams, sig).
+
+    Two deliberate scale choices: (1) grams are projected to a column
+    BEFORE the k minhash lambdas so the n-gram pipeline runs once per row,
+    not k times (Catalyst does not CSE across lambda bodies); (2) the table
+    is persisted, because LSH self-joins its derivation — without a
+    materialization Spark recomputes text→grams→sig on BOTH sides of the
+    band join and again in the verify join. The persisted footprint is the
+    signature projection only (~100 bytes + grams per doc), not the corpus.
+    """
+    slim = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
+    return (
+        slim.select("id", tokens(F.col("t")).alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "id",
+            F.array_distinct(
+                ngrams_from_tokens(F.col("toks"), n)
+            ).alias("grams"),
+        )
+        .select(
+            "id", "grams", minhash_from_grams(F.col("grams"), k).alias("sig")
+        )
+        .persist()
+    )
+
+
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k, n).alias("sig"),
-    ).filter(F.size("sig") > 0)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -102,6 +146,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+
+
+def _band_join(banded: DataFrame) -> DataFrame:
     return (
         banded.alias("x")
         .join(
@@ -115,6 +162,21 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash: signature of k hashes
+    split into `bands` bands of k/bands rows; docs sharing any full band
+    land in the same bucket. Join is per-bucket → sub-quadratic."""
+    sig = _gram_sig_table(df, k, n, text_col, id_col)
+    return _band_join(_banded(sig, k, bands))
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -126,11 +188,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by true n-gram Jaccard (candidates only —
     the verify join touches a tiny fraction of the corpus)."""
-    cands = minhash_lsh_candidates(df, k, bands, n, text_col, id_col)
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("gs"),
-    )
+    tbl = _gram_sig_table(df, k, n, text_col, id_col)
+    cands = _band_join(_banded(tbl, k, bands))
+    grams = tbl.select("id", F.col("grams").alias("gs"))
     return (
         cands.join(grams.withColumnRenamed("id", "a")
                    .withColumnRenamed("gs", "ga"), "a")
@@ -151,8 +211,15 @@ def minhash_dedup_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    """(id, simhash) with the token-hash array materialized as a column so
+    the 60 bit-vote aggregates share one hash pass (see simhash_from_hashes)."""
+    return (
+        _spread(df.select(F.col(id_col), F.col(text_col).alias("t")))
+        .select(F.col(id_col), token_hashes(F.col("t")).alias("hs"))
+        .select(
+            F.col(id_col),
+            simhash_from_hashes(F.col("hs")).alias("simhash"),
+        )
     )
 
 
@@ -171,7 +238,7 @@ def simhash_near_pairs(
     the pair join never goes all-to-all."""
     fp = simhash_fingerprints(df, text_col, id_col).withColumn(
         "bucket", F.shiftright("simhash", 44)
-    )
+    ).persist()  # self-joined below; one hash pass, not two
     return (
         fp.alias("x")
         .join(

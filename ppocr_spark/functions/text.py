@@ -86,9 +86,12 @@ def lang_id(text_col: Column) -> Column:
     )
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Array of word n-grams joined by single spaces (portable)."""
-    toks = tokens(col)
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from a *materialized* tokens column.
+
+    `toks` must be a real column reference, not an inline expression: the
+    slice runs inside a per-gram lambda, so an inline tokenizer would be
+    re-evaluated once per gram (O(len²) per document)."""
     return F.when(F.size(toks) < n, F.array()).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -97,12 +100,20 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
-    """k-permutation MinHash over word n-grams using md5-string ordering —
-    md5 is identical in Spark and DuckDB, so the oracle reproduces the
-    signature bit-for-bit. Permutation i = lexicographic min of
-    md5(i || ':' || gram)."""
-    grams = word_ngrams(col, n)
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of word n-grams joined by single spaces (portable).
+    Convenience form — prefer projecting `tokens(col)` to a column and
+    calling `ngrams_from_tokens` on it in hot paths."""
+    return ngrams_from_tokens(tokens(col), n)
+
+
+def minhash_from_grams(grams: Column, k: int = 8) -> Column:
+    """k-permutation MinHash from a *materialized* grams column.
+
+    Keep `grams` a real column (not an inline expression): Catalyst does
+    not share subexpressions across the k lambda bodies, so inlining the
+    n-gram pipeline here evaluates it k times per row.
+    """
     return F.array(
         *[
             F.array_min(
@@ -116,23 +127,42 @@ def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
     )
 
 
+def minhash_signature(col: Column, k: int = 8, n: int = 3) -> Column:
+    """k-permutation MinHash over word n-grams using md5-string ordering —
+    md5 is identical in Spark and DuckDB, so the oracle reproduces the
+    signature bit-for-bit. Permutation i = lexicographic min of
+    md5(i || ':' || gram).
+
+    Prefer projecting `word_ngrams` to a column first and calling
+    `minhash_from_grams` on it (see dedup.minhash_lsh_candidates) — this
+    convenience form re-evaluates the n-gram pipeline k times."""
+    return minhash_from_grams(word_ngrams(col, n), k)
+
+
 def doc_fingerprint(col: Column, n: int = 3) -> Column:
     """1-permutation MinHash = content fingerprint robust to local edits
     (the rolling-hash winnowing analog, portable to the oracle)."""
     return F.array_min(F.transform(word_ngrams(col, n), F.md5))
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash over tokens. Per-token 64-bit hash = first 15 hex
-    chars of md5 (portable); bit votes via sign of sum. Returns bigint."""
-    toks = tokens(F.lower(col))
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+def token_hashes(col: Column) -> Column:
+    """Per-token 60-bit hashes: first 15 hex chars of md5 (portable to the
+    DuckDB oracle) parsed as bigint."""
+    return F.transform(
+        tokens(F.lower(col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
+
+
+def simhash_from_hashes(hs: Column) -> Column:
+    """60-bit SimHash from a *materialized* token-hash column (bit votes
+    via sign of sum). `hs` must be a real column: each of the 60 bit votes
+    aggregates over it, so an inline hash transform would be re-evaluated
+    60 times per row."""
     bits = []
     for b in range(60):  # 60 bits from 15 hex chars
         vote = F.aggregate(
-            hashes,
+            hs,
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -142,6 +172,13 @@ def simhash64(col: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit-style SimHash over tokens (60 usable bits). Convenience
+    single-expression form — prefer projecting `token_hashes` to a column
+    and calling `simhash_from_hashes` on it (see dedup.simhash_fingerprints)."""
+    return simhash_from_hashes(token_hashes(col))
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
