@@ -45,6 +45,12 @@ def _corpus(sf_dir: str) -> str:
     return ensure_corpus(_corpus_docs_for(sf_dir))
 
 
+def _table_corpus(sf_dir: str) -> str:
+    from ppocr_spark.corpus import ensure_table_corpus
+
+    return ensure_table_corpus(max(8, _corpus_docs_for(sf_dir) // 3))
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -728,6 +734,141 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+# --- structure/table path (SURVEY §2.4 X1-X3; oracle = renderer ground
+# truth, independent of every detector) ---
+
+
+def _table_cell_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 end-to-end: pixels → grid cells + OCR blocks → nearest-cell
+    relational join; oracle is the renderer's true cell assignment."""
+    from ppocr_spark.operators.structure import (
+        detect_cells_df,
+        match_cells,
+        ocr_table_blocks_df,
+    )
+
+    tdir = _table_corpus(sf_dir)
+    media = spark.read.parquet(f"{tdir}/table_media.parquet")
+    cells = detect_cells_df(media)
+    blocks = ocr_table_blocks_df(media, PPOCRConfig())
+    return (
+        match_cells(blocks, cells)
+        .select(
+            "media_ref", "block_idx", "text",
+            F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        )
+        .orderBy("media_ref", "block_idx")
+    )
+
+
+def _table_cell_match_sql(sf_dir: str) -> str:
+    tdir = _table_corpus(sf_dir)
+    return f"""
+SELECT media_ref, block_idx, text, cell_row, cell_col
+FROM read_parquet('{tdir}/table_blocks.parquet')
+ORDER BY media_ref, block_idx
+"""
+
+
+def _table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+X3 end-to-end: pixels → cells → OCR → match → HTML rebuild;
+    oracle is the generation-time HTML built directly from truth."""
+    from ppocr_spark.operators.structure import (
+        detect_cells_df,
+        match_cells,
+        ocr_table_blocks_df,
+        table_html_df,
+    )
+
+    tdir = _table_corpus(sf_dir)
+    media = spark.read.parquet(f"{tdir}/table_media.parquet")
+    cells = detect_cells_df(media)
+    blocks = ocr_table_blocks_df(media, PPOCRConfig())
+    return table_html_df(match_cells(blocks, cells), cells).orderBy(
+        "media_ref"
+    )
+
+
+def _table_html_sql(sf_dir: str) -> str:
+    tdir = _table_corpus(sf_dir)
+    return (
+        f"SELECT media_ref, html FROM "
+        f"read_parquet('{tdir}/table_html.parquet') ORDER BY media_ref"
+    )
+
+
+def _nms_candidates(cells: DataFrame) -> DataFrame:
+    """3 deterministic jittered candidates per golden cell (md5-derived
+    jitter/score so the DuckDB oracle reproduces them bit-for-bit)."""
+
+    def h16(suffix: str):
+        s = F.concat_ws(
+            ":", "media_ref", F.col("row"), F.col("col"), F.col("k"),
+            F.lit(suffix),
+        )
+        return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+
+    cand = cells.select(
+        "media_ref", "row", "col",
+        F.explode(F.array(*[F.lit(k) for k in range(3)])).alias("k"),
+        "x0", "y0", "x1", "y1",
+    )
+    return cand.select(
+        "media_ref", "row", "col", "k",
+        (F.col("x0") + (h16("x0") % 7 - 3)).alias("jx0"),
+        (F.col("y0") + (h16("y0") % 7 - 3)).alias("jy0"),
+        (F.col("x1") + (h16("x1") % 7 - 3)).alias("jx1"),
+        (F.col("y1") + (h16("y1") % 7 - 3)).alias("jy1"),
+        (F.lit(0.5) + (h16("s") % 100) / F.lit(250.0)).alias("score"),
+    )
+
+
+def _layout_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: REAL greedy NMS (operators.structure.nms) per image over
+    deterministic jittered candidates. On this input family (per-cell
+    clusters, disjoint across cells) greedy NMS provably keeps exactly the
+    per-cell score argmax — which is what the SQL oracle states."""
+    tdir = _table_corpus(sf_dir)
+    cells = spark.read.parquet(f"{tdir}/table_cells.parquet")
+    cand = _nms_candidates(cells)
+
+    def nms_group(pdf):
+        from ppocr_spark.operators.structure import nms
+
+        pdf = pdf.sort_values(["row", "col", "k"]).reset_index(drop=True)
+        boxes = pdf[["jx0", "jy0", "jx1", "jy1"]].to_numpy(dtype=float)
+        keep = nms(boxes, pdf["score"].to_numpy(), 0.5)
+        return pdf.iloc[keep][["media_ref", "row", "col", "k", "score"]]
+
+    out = cand.groupBy("media_ref").applyInPandas(
+        nms_group,
+        schema="media_ref string, row int, col int, k int, score double",
+    )
+    return out.select(
+        "media_ref", "row", "col", "k", F.round("score", 4).alias("score")
+    ).orderBy("media_ref", "row", "col")
+
+
+def _layout_nms_sql(sf_dir: str) -> str:
+    tdir = _table_corpus(sf_dir)
+    h = (
+        "(('0x' || substr(md5(media_ref || ':' || \"row\" || ':' || col "
+        "|| ':' || k || ':s'), 1, 4))::BIGINT)"
+    )
+    return f"""
+WITH cand AS (
+  SELECT media_ref, "row", col, k, 0.5 + ({h} % 100) / 250.0 AS score
+  FROM read_parquet('{tdir}/table_cells.parquet'), unnest([0,1,2]) AS t(k)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY media_ref, "row", col
+                               ORDER BY score DESC, k) AS rnk
+  FROM cand
+)
+SELECT media_ref, "row", col, k, round(score, 4) AS score
+FROM ranked WHERE rnk = 1 ORDER BY media_ref, "row", col
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -765,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_blocks": _ocr_blocks,
         "image_metadata": _image_metadata,
         "image_features": _image_features,
+        "table_cell_match": _table_cell_match,
+        "table_html": _table_html,
+        "layout_nms": _layout_nms,
     }
 
 
@@ -794,4 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_spans": _ocr_extract_sql(sf_dir),
         # ocr_blocks / image_metadata / image_features: pixel-derived,
         # not SQL-expressible → rows-only checks
+        "table_cell_match": _table_cell_match_sql(sf_dir),
+        "table_html": _table_html_sql(sf_dir),
+        "layout_nms": _layout_nms_sql(sf_dir),
     }

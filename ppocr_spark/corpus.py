@@ -275,6 +275,149 @@ def generate_corpus(
 
 
 # ---------------------------------------------------------------------------
+# table corpus (structure path, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def _short_words(rng: np.random.Generator, n: int) -> str:
+    pool = [w for w in _LATIN_WORDS if len(w) <= 6]
+    return " ".join(str(rng.choice(pool)) for _ in range(n))
+
+
+def generate_table_corpus(n_tables: int):
+    """Deterministic ruled-table corpus → (media_rows, cell_rows,
+    block_rows, html_rows). Golden geometry/text comes from the renderer's
+    ground truth (independent of the detectors); generation FAILS if the
+    pixel path (grid detect → erase → det → rec) does not reproduce it —
+    the same fail-fast discipline as the span corpus."""
+    from ppocr_spark.operators.detect import sorted_boxes
+    from ppocr_spark.operators.structure import (
+        detect_table_cells,
+        ocr_table_image,
+    )
+    from ppocr_spark.render import render_table
+
+    cfg = PPOCRConfig()
+    media_rows, cell_rows, block_rows, html_rows = [], [], [], []
+    for i in range(n_tables):
+        ref = f"tbl_{i:06d}"
+        rng = _rng("table", i)
+        n_r = int(rng.integers(2, 5))
+        n_c = int(rng.integers(2, 4))
+        texts = []
+        for r in range(n_r):
+            row = []
+            for c in range(n_c):
+                u = rng.random()
+                if u < 0.15:
+                    row.append("")
+                elif u < 0.85:
+                    row.append(_short_words(rng, 1))
+                else:
+                    row.append(_short_words(rng, 2))
+            texts.append(row)
+        if all(t == "" for row in texts for t in row):
+            texts[0][0] = "table"
+        img, cells, truth_blocks = render_table(texts)
+
+        det_cells = detect_table_cells(img)
+        want_cells = [
+            {"row": c.row, "col": c.col, "x0": c.x0, "y0": c.y0,
+             "x1": c.x1, "y1": c.y1}
+            for c in cells
+        ]
+        if det_cells != want_cells:
+            raise RuntimeError(f"{ref}: cell grid detection drifted")
+
+        # truth blocks in detector reading order (D8 sort on truth quads)
+        quads = [np.array(b.quad) for b in truth_blocks]
+        order = sorted(
+            range(len(quads)),
+            key=lambda k: [q.tolist() for q in sorted_boxes(quads)].index(
+                quads[k].tolist()
+            ),
+        )
+        ordered = [truth_blocks[k] for k in order]
+
+        ocr = ocr_table_image(img, cfg)
+        if [b["text"] for b in ocr] != [b.text for b in ordered]:
+            raise RuntimeError(
+                f"{ref}: table OCR drifted: "
+                f"{[b['text'] for b in ocr]} != {[b.text for b in ordered]}"
+            )
+
+        media_rows.append({"media_ref": ref, "content": encode_gray(img)})
+        for c in cells:
+            cell_rows.append({"media_ref": ref, **{
+                "row": c.row, "col": c.col, "x0": c.x0, "y0": c.y0,
+                "x1": c.x1, "y1": c.y1}})
+        for bi, b in enumerate(ordered):
+            xs = [p[0] for p in b.quad]
+            ys = [p[1] for p in b.quad]
+            block_rows.append(
+                {
+                    "media_ref": ref, "block_idx": bi, "text": b.text,
+                    "x0": min(xs), "y0": min(ys),
+                    "x1": max(xs), "y1": max(ys),
+                    "cell_row": b.line_idx // n_c,
+                    "cell_col": b.line_idx % n_c,
+                }
+            )
+        html = "<table>" + "".join(
+            "<tr>" + "".join(
+                f"<td>{' '.join(t.split())}</td>" for t in row
+            ) + "</tr>"
+            for row in texts
+        ) + "</table>"
+        html_rows.append({"media_ref": ref, "html": html})
+    return media_rows, cell_rows, block_rows, html_rows
+
+
+def ensure_table_corpus(n_tables: int, base_dir: str | None = None) -> str:
+    """Idempotent cached table corpus under ``<repo>/.cache/tables_<n>/``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                ".cache")
+    out = os.path.join(base_dir, f"tables_{n_tables}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    media, cells, blocks, htmls = generate_table_corpus(n_tables)
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [m["media_ref"] for m in media],
+                "content": pa.array([m["content"] for m in media],
+                                    pa.binary()),
+            }
+        ),
+        os.path.join(out, "table_media.parquet"),
+    )
+    pq.write_table(
+        pa.table({k: [c[k] for c in cells]
+                  for k in ("media_ref", "row", "col", "x0", "y0", "x1", "y1")}),
+        os.path.join(out, "table_cells.parquet"),
+    )
+    pq.write_table(
+        pa.table({k: [b[k] for b in blocks]
+                  for k in ("media_ref", "block_idx", "text", "x0", "y0",
+                            "x1", "y1", "cell_row", "cell_col")}),
+        os.path.join(out, "table_blocks.parquet"),
+    )
+    pq.write_table(
+        pa.table({k: [h[k] for h in htmls] for k in ("media_ref", "html")}),
+        os.path.join(out, "table_html.parquet"),
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # parquet materialization (pyarrow, no Spark needed)
 # ---------------------------------------------------------------------------
 

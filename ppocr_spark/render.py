@@ -139,6 +139,102 @@ def render_page(
     return page, blocks
 
 
+RULE_W = 3            # ruled-line thickness (px)
+TABLE_HPAD = 2 * CELL_W   # inner cell padding; > the det stage's dilation
+TABLE_VPAD = LINE_GAP // 2  # reach so neighbouring cells never merge
+
+
+@dataclass
+class TruthCell:
+    row: int
+    col: int
+    x0: int
+    y0: int
+    x1: int
+    y1: int  # inclusive inner region between rules
+
+
+def render_table(
+    cell_texts: list[list[str]],
+) -> tuple[np.ndarray, list[TruthCell], list[TruthBlock]]:
+    """Render a ruled table → (page, truth cells, truth text blocks).
+
+    cell_texts: R rows × C cols of strings ('' = empty cell). Columns are
+    sized to their longest text; every cell text is one short line. Truth
+    blocks carry the ink bounding quad (same convention as render_page)
+    and line_idx = row * C + col, so the cell a block belongs to is
+    recoverable without geometry."""
+    bank = glyph_bank()
+    n_rows = len(cell_texts)
+    n_cols = len(cell_texts[0]) if n_rows else 0
+
+    col_w = [
+        max(max((len(cell_texts[r][c]) for r in range(n_rows)), default=1), 1)
+        * CELL_W
+        + 2 * TABLE_HPAD
+        for c in range(n_cols)
+    ]
+    row_h = CELL_H + 2 * TABLE_VPAD
+
+    # rule-line positions (left edge of each rule)
+    xs = [MARGIN]
+    for c in range(n_cols):
+        xs.append(xs[-1] + RULE_W + col_w[c])
+    ys = [MARGIN]
+    for _ in range(n_rows):
+        ys.append(ys[-1] + RULE_W + row_h)
+
+    width = xs[-1] + RULE_W + MARGIN
+    height = ys[-1] + RULE_W + MARGIN
+    page = np.full((height, width), 255, dtype=np.uint8)
+
+    for x in xs:  # vertical rules
+        page[ys[0] : ys[-1] + RULE_W, x : x + RULE_W] = 0
+    for y in ys:  # horizontal rules
+        page[y : y + RULE_W, xs[0] : xs[-1] + RULE_W] = 0
+
+    cells: list[TruthCell] = []
+    blocks: list[TruthBlock] = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            cx0, cx1 = xs[c] + RULE_W, xs[c + 1] - 1
+            cy0, cy1 = ys[r] + RULE_W, ys[r + 1] - 1
+            cells.append(TruthCell(r, c, cx0, cy0, cx1, cy1))
+            text = cell_texts[r][c]
+            if not text:
+                continue
+            tx = cx0 + TABLE_HPAD
+            ty = cy0 + TABLE_VPAD
+            painted = False
+            for k, ch in enumerate(text):
+                if ch == " " or ch not in bank:
+                    continue
+                gx = tx + k * CELL_W + SCALE
+                gy = ty + 2 * SCALE
+                glyph = np.kron(bank[ch], np.ones((SCALE, SCALE), dtype=bool))
+                page[gy : gy + GLYPH_H * SCALE, gx : gx + GLYPH_W * SCALE][
+                    glyph
+                ] = 0
+                painted = True
+            if painted:
+                strip = page[cy0 : cy1 + 1, cx0 : cx1 + 1]
+                ink = strip < 128
+                # exclude the (already outside) rules: strip is inner region
+                rows_nz = np.flatnonzero(ink.any(axis=1))
+                cols_nz = np.flatnonzero(ink.any(axis=0))
+                bx0, bx1 = cx0 + int(cols_nz[0]), cx0 + int(cols_nz[-1])
+                by0, by1 = cy0 + int(rows_nz[0]), cy0 + int(rows_nz[-1])
+                quad = [[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1]]
+                blocks.append(
+                    TruthBlock(
+                        " ".join(w for _, w in _split_blocks(text)),
+                        quad,
+                        r * n_cols + c,
+                    )
+                )
+    return page, cells, blocks
+
+
 def _rotate_page(
     page: np.ndarray, blocks: list[TruthBlock], deg: float
 ) -> tuple[np.ndarray, list[TruthBlock]]:
