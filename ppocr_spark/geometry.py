@@ -118,18 +118,23 @@ def row_extremes(ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain. points: (n,2) float/int → hull (m,2) CCW."""
-    pts = np.unique(points, axis=0)
+    """Andrew monotone chain. points: (n,2) float/int → hull (m,2) CCW.
+
+    Pure-Python floats (exact float64 arithmetic, same results as the numpy
+    formulation) — hull inputs are tiny (~2x rows of a component), where
+    per-element numpy call overhead dominates any vectorization win."""
+    pts = sorted({(float(p[0]), float(p[1])) for p in np.asarray(points)})
     if len(pts) <= 2:
-        return pts.astype(np.float64)
-    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))].astype(np.float64)
+        return np.array(pts, dtype=np.float64)
 
     def half(seq):
-        out: list[np.ndarray] = []
+        out: list[tuple[float, float]] = []
         for p in seq:
             while len(out) >= 2:
-                ax, ay = out[-1] - out[-2]
-                bx, by = p - out[-2]
+                ax = out[-1][0] - out[-2][0]
+                ay = out[-1][1] - out[-2][1]
+                bx = p[0] - out[-2][0]
+                by = p[1] - out[-2][1]
                 if ax * by - ay * bx <= 0:
                     out.pop()
                 else:
@@ -139,7 +144,7 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
 
     lower = half(pts)
     upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
 def min_area_rect(points: np.ndarray):
@@ -155,31 +160,39 @@ def min_area_rect(points: np.ndarray):
     if len(hull) == 2:
         a, b = hull
         return np.array([a, b, b, a], dtype=np.float64), 0.0
+    # all edges at once; elementwise expressions keep the exact arithmetic
+    # (and therefore tie-breaking) of the per-edge scalar loop
+    e = np.roll(hull, -1, axis=0) - hull
+    norm = np.hypot(e[:, 0], e[:, 1])
+    ok = norm >= 1e-12
+    norm_safe = np.where(ok, norm, 1.0)
+    ux = e[:, 0] / norm_safe
+    uy = e[:, 1] / norm_safe
+    # projections of every hull point on every edge frame: (n_pts, n_edges)
+    px = hull[:, 0, None] * ux[None, :] + hull[:, 1, None] * uy[None, :]
+    py = -hull[:, 0, None] * uy[None, :] + hull[:, 1, None] * ux[None, :]
+    x0s = px.min(axis=0)
+    x1s = px.max(axis=0)
+    y0s = py.min(axis=0)
+    y1s = py.max(axis=0)
+    ws = x1s - x0s
+    hs = y1s - y0s
+    areas = np.where(ok, ws * hs, math.inf)
+    # sequential 1e-9-tolerance improvement rule (first edge wins ties)
+    bi = -1
     best_area = math.inf
-    best = None
-    n = len(hull)
-    for i in range(n):
-        e = hull[(i + 1) % n] - hull[i]
-        norm = math.hypot(e[0], e[1])
-        if norm < 1e-12:
-            continue
-        ux, uy = e[0] / norm, e[1] / norm  # edge direction
-        # project all hull points on (u, v=perp)
-        px = hull[:, 0] * ux + hull[:, 1] * uy
-        py = -hull[:, 0] * uy + hull[:, 1] * ux
-        w = px.max() - px.min()
-        h = py.max() - py.min()
-        area = w * h
-        if area < best_area - 1e-9:
-            best_area = area
-            x0, x1 = px.min(), px.max()
-            y0, y1 = py.min(), py.max()
-            corners = []
-            for cx, cy in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
-                corners.append([cx * ux - cy * uy, cx * uy + cy * ux])
-            best = (np.array(corners), min(w, h))
-    assert best is not None
-    return best
+    for i in range(len(areas)):
+        if areas[i] < best_area - 1e-9:
+            best_area = areas[i]
+            bi = i
+    assert bi >= 0
+    x0, x1, y0, y1 = x0s[bi], x1s[bi], y0s[bi], y1s[bi]
+    bux, buy = ux[bi], uy[bi]
+    corners = [
+        [cx * bux - cy * buy, cx * buy + cy * bux]
+        for cx, cy in ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+    ]
+    return np.array(corners), min(ws[bi], hs[bi])
 
 
 def order_points_clockwise(box: np.ndarray) -> np.ndarray:
@@ -293,14 +306,24 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     h, w = img.shape[:2]
     x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
     y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
-    fx = np.clip(sx - x0, 0.0, 1.0)
-    fy = np.clip(sy - y0, 0.0, 1.0)
-    p = img.astype(np.float32)
+    fx = np.clip(sx - x0, 0.0, 1.0).astype(np.float32)
+    fy = np.clip(sy - y0, 0.0, 1.0).astype(np.float32)
+    # bounding-rect pre-crop (the reference's own first step,
+    # cpp/src/utility.cpp:170-180): convert/gather only the sub-image the
+    # clamped sample indices actually touch, not the whole page — bounds
+    # come from the indices themselves, so this is exact for any quad
+    bx0 = int(x0.min())
+    by0 = int(y0.min())
+    sub = img[by0 : int(y0.max()) + 2, bx0 : int(x0.max()) + 2]
+    sw = sub.shape[1]
+    p = sub.astype(np.float32)
+    flat = p.ravel()
+    base = (y0 - by0) * sw + (x0 - bx0)
     out = (
-        p[y0, x0] * (1 - fx) * (1 - fy)
-        + p[y0, x0 + 1] * fx * (1 - fy)
-        + p[y0 + 1, x0] * (1 - fx) * fy
-        + p[y0 + 1, x0 + 1] * fx * fy
+        flat[base] * (1 - fx) * (1 - fy)
+        + flat[base + 1] * fx * (1 - fy)
+        + flat[base + sw] * (1 - fx) * fy
+        + flat[base + sw + 1] * fx * fy
     )
     out = np.clip(np.round(out), 0, 255).astype(np.uint8)
     if crop_h >= crop_w * 1.5:

@@ -73,15 +73,17 @@ def _bilinear_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     xs = (np.arange(nw) + 0.5) * w / nw - 0.5
     y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 2)
     x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 2)
-    fy = np.clip(ys - y0, 0, 1)[:, None]
-    fx = np.clip(xs - x0, 0, 1)[None, :]
+    fy = np.clip(ys - y0, 0, 1)[:, None].astype(np.float32)
+    fx = np.clip(xs - x0, 0, 1)[None, :].astype(np.float32)
+    # separable two-pass float32 blend; collapse along the axis that shrinks
+    # the intermediate most (memory traffic dominates this kernel)
     p = img.astype(np.float32)
-    out = (
-        p[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
-        + p[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
-        + p[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
-        + p[np.ix_(y0 + 1, x0 + 1)] * fy * fx
-    )
+    if nh * w <= h * nw:
+        v = p[y0] * (1 - fy) + p[y0 + 1] * fy          # (nh, w)
+        out = v[:, x0] * (1 - fx) + v[:, x0 + 1] * fx  # (nh, nw)
+    else:
+        hh = p[:, x0] * (1 - fx) + p[:, x0 + 1] * fx   # (h, nw)
+        out = hh[y0] * (1 - fy) + hh[y0 + 1] * fy      # (nh, nw)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
