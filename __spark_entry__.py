@@ -734,6 +734,57 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+# --- HTML boilerplate strip / DOM heuristics (north-rule text tier;
+# oracle tier 1 = the same portable regex chain run by DuckDB, tier 2 =
+# generation-time authored main text) ---
+
+
+def _html_corpus(sf_dir: str) -> str:
+    from ppocr_spark.corpus import ensure_html_corpus
+
+    return ensure_html_corpus(_corpus_docs_for(sf_dir))
+
+
+def _html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.boilerplate import strip_tags_col
+
+    hdir = _html_corpus(sf_dir)
+    df = spark.read.parquet(f"{hdir}/html_docs.parquet")
+    return df.select(
+        "doc_id", strip_tags_col(F.col("html")).alias("stripped_text")
+    ).orderBy("doc_id")
+
+
+def _html_strip_sql(sf_dir: str) -> str:
+    from ppocr_spark.functions.boilerplate import strip_tags_sql
+
+    hdir = _html_corpus(sf_dir)
+    return (
+        f"SELECT doc_id, {strip_tags_sql('html', 'duckdb')} AS stripped_text "
+        f"FROM read_parquet('{hdir}/html_docs.parquet') ORDER BY doc_id"
+    )
+
+
+def _html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.boilerplate import main_content
+
+    hdir = _html_corpus(sf_dir)
+    df = spark.read.parquet(f"{hdir}/html_docs.parquet")
+    return (
+        main_content(df)
+        .select("doc_id", "main_text")
+        .orderBy("doc_id")
+    )
+
+
+def _html_main_sql(sf_dir: str) -> str:
+    hdir = _html_corpus(sf_dir)
+    return (
+        f"SELECT doc_id, main_text "
+        f"FROM read_parquet('{hdir}/html_truth.parquet') ORDER BY doc_id"
+    )
+
+
 # --- structure/table path (SURVEY §2.4 X1-X3; oracle = renderer ground
 # truth, independent of every detector) ---
 
@@ -906,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_blocks": _ocr_blocks,
         "image_metadata": _image_metadata,
         "image_features": _image_features,
+        "html_strip_tags": _html_strip,
+        "html_main_content": _html_main,
         "table_cell_match": _table_cell_match,
         "table_html": _table_html,
         "layout_nms": _layout_nms,
@@ -938,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_spans": _ocr_extract_sql(sf_dir),
         # ocr_blocks / image_metadata / image_features: pixel-derived,
         # not SQL-expressible → rows-only checks
+        "html_strip_tags": _html_strip_sql(sf_dir),
+        "html_main_content": _html_main_sql(sf_dir),
         "table_cell_match": _table_cell_match_sql(sf_dir),
         "table_html": _table_html_sql(sf_dir),
         "layout_nms": _layout_nms_sql(sf_dir),

@@ -53,6 +53,11 @@ class PPOCRConfig:
     parser: str = "multi_para"  # none|multi_para|multi_line|multi_none|
                                 # single_line|single_para|single_none|single_code
 
+    # --- text branch (north-rule text tier; no reference analog)
+    html_strip: str = "off"  # off|strip|main — off: whitespace normalize
+                             # only; strip: drop tags/entities (JVM regex);
+                             # main: DOM-heuristic main-content extraction
+
     # --- Spark-scale knobs (no reference analog; north_rule axes A+B)
     shuffle_partitions: int = 32
     doc_salt_buckets: int = 8        # salting factor for media-heavy docs

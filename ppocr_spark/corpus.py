@@ -157,9 +157,15 @@ def _render_spec(i: int, cfg: PPOCRConfig) -> MediaSpec:
         kw["flip_lines"] = {int(j) for j in range(n_lines) if _rng("flip", i, j).random() < 0.4}
 
     img, truth = render_page(lines, **kw)
-    boxes = detect(img, cfg)
+    expected, code = _expected_for_page(img, truth, ref, cfg)
+    return MediaSpec(ref, encode_gray(img), lines, expected, code)
 
-    # 1:1 box ↔ truth-line mapping by center containment — fail fast
+
+def _expected_for_page(img, truth, ref: str, cfg: PPOCRConfig):
+    """Run the real detector over a rendered page, assert a 1:1 box↔truth
+    mapping, assign known source text, run the tbpu parser → the expected
+    OCR output for that page. Fails loudly if detection is broken."""
+    boxes = detect(img, cfg)
     truth_sorted = truth
     assigned: list[str] = []
     used = set()
@@ -190,11 +196,55 @@ def _render_spec(i: int, cfg: PPOCRConfig) -> MediaSpec:
     ]
     expected = assemble_text(run_parser(cfg.parser, blocks)) if blocks else ""
     code = int(StatusCode.OK) if expected else int(StatusCode.NO_TEXT)
-    return MediaSpec(ref, encode_gray(img), lines, expected, code)
+    return expected, code
 
 
 def build_media_pool(n_images: int, cfg: PPOCRConfig) -> list[MediaSpec]:
     return [_render_spec(i, cfg) for i in range(n_images)]
+
+
+@dataclass
+class PdfSpec:
+    base_ref: str
+    content: bytes | None
+    pages: list[tuple[str, int]]  # per page: (expected_text, expected_code)
+
+
+def build_pdf_pool(n_pdfs: int, cfg: PPOCRConfig) -> list[PdfSpec]:
+    """Multi-page PDF media (north-rule 'PDF/layout parse'): spans address
+    single pages via ``base#page=N`` refs; the payload is stored once per
+    base ref and the page is resolved executor-side."""
+    from ppocr_spark.sources.pdf import encode_pdf
+
+    specs: list[PdfSpec] = []
+    for i in range(n_pdfs):
+        ref = f"pdf_{i:08d}"
+        rng = _rng("pdf", i)
+        if rng.random() < 0.06:  # corrupt container → pages unreadable
+            junk = b"%PDF-1.4\n" + bytes(
+                _rng("pdfjunk", i).integers(0, 256, size=96, dtype=np.uint8)
+            )
+            specs.append(
+                PdfSpec(ref, junk,
+                        [("", int(StatusCode.PATH_READ_FAIL))] * 2)
+            )
+            continue
+        n_pages = int(rng.integers(1, 4))
+        imgs, page_exp = [], []
+        for p in range(n_pages):
+            prng = _rng("pdfpage", i, p)
+            lines = [
+                _latin_line(prng, 2, 7)
+                for _ in range(int(prng.integers(1, 5)))
+            ]
+            img, truth = render_page(lines)
+            exp, code = _expected_for_page(
+                img, truth, f"{ref}#page={p + 1}", cfg
+            )
+            imgs.append(img)
+            page_exp.append((exp, code))
+        specs.append(PdfSpec(ref, encode_pdf(imgs), page_exp))
+    return specs
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +270,7 @@ def generate_corpus(
     if media_pool_size is None:
         media_pool_size = max(8, n_docs // 3)
     pool = build_media_pool(media_pool_size, cfg)
+    pdf_pool = build_pdf_pool(max(2, media_pool_size // 4), cfg)
 
     documents, expected = [], []
     for d in range(n_docs):
@@ -234,9 +285,16 @@ def generate_corpus(
         spans, exp_spans = [], []
         for off in range(n_spans):
             if rng.random() < media_frac:
-                if rng.random() < 0.005:
+                r = rng.random()
+                if r < 0.005:
                     ref = MISSING_REF
                     exp = ("media", "", ref, off, int(StatusCode.PATH_NOT_EXIST))
+                elif r < 0.18:  # PDF page span
+                    ps = pdf_pool[int(rng.integers(0, len(pdf_pool)))]
+                    k = int(rng.integers(0, len(ps.pages)))
+                    ref = f"{ps.base_ref}#page={k + 1}"
+                    ptext, pcode = ps.pages[k]
+                    exp = ("media", ptext, ref, off, pcode)
                 else:
                     spec = pool[int(rng.integers(0, len(pool)))]
                     ref = spec.media_ref
@@ -270,6 +328,9 @@ def generate_corpus(
             "truth": [{"text": t, "box": None} for t in s.truth_lines] or None,
         }
         for s in pool
+    ] + [
+        {"media_ref": p.base_ref, "content": p.content, "truth": None}
+        for p in pdf_pool
     ]
     return documents, media_rows, expected
 
@@ -429,7 +490,9 @@ def ensure_corpus(n_docs: int, base_dir: str | None = None) -> str:
     if base_dir is None:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
-    out = os.path.join(base_dir, f"corpus_{n_docs}")
+    # v2: PDF-page media spans (bump on any generation change so stale
+    # caches never leak across versions)
+    out = os.path.join(base_dir, f"corpus_{n_docs}_v2")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -485,3 +548,123 @@ def write_corpus(out_dir: str, n_docs: int, cfg: PPOCRConfig | None = None, **kw
     pq.write_table(media_t, os.path.join(out_dir, "media.parquet"))
     pq.write_table(exp_t, os.path.join(out_dir, "expected_spans.parquet"))
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# HTML corpus (boilerplate-strip / DOM-heuristics path; north-rule text tier)
+# ---------------------------------------------------------------------------
+
+
+def _html_paragraph(rng: np.random.Generator) -> tuple[str, str]:
+    """→ (html, truth_text) for one authored main-content paragraph.
+    At most one short inline link (density stays ≤ 1/3) and occasional
+    entities, so the extractor's generic rules must keep it."""
+    n = int(rng.integers(6, 16))
+    words = [str(rng.choice(_LATIN_WORDS)) for _ in range(n)]
+    truth_words = list(words)
+    r = rng.random()
+    if r < 0.25:
+        j = int(rng.integers(0, n))
+        words[j] = f'<a href="/w/{words[j]}">{words[j]}</a>'
+    elif r < 0.40:
+        j = int(rng.integers(0, n))
+        words[j] = f"<b>{words[j]}</b>"
+    if rng.random() < 0.2:
+        j = int(rng.integers(0, n - 1))
+        words[j] += " &amp;"
+        truth_words[j] += " &"
+    html = "<p>" + " ".join(words) + "</p>"
+    return html, " ".join(truth_words)
+
+
+def _html_linklist(rng: np.random.Generator, n: int, cls: str) -> str:
+    items = "".join(
+        f'<li><a href="/{cls}/{k}">{rng.choice(_LATIN_WORDS)} '
+        f"{rng.choice(_LATIN_WORDS)}</a></li>"
+        for k in range(n)
+    )
+    return f'<ul class="{cls}">{items}</ul>'
+
+
+def generate_html_page(i: int) -> tuple[str, str]:
+    """Deterministic page i → (html, main_text truth).
+
+    Truth is AUTHORED (known at generation), never computed by running the
+    extractor — the extractor must independently recover it through its
+    generic boilerplate/link-density/min-words rules."""
+    rng = _rng("html", i)
+    title_words = [str(rng.choice(_LATIN_WORDS)) for _ in range(int(rng.integers(3, 6)))]
+    title = " ".join(title_words)
+    paras = [_html_paragraph(rng) for _ in range(int(rng.integers(2, 7)))]
+
+    head = (
+        "<head><title>site — page</title>"
+        "<style>body{margin:0} .ad{color:red}</style>"
+        f"<script>var page={i}; if (page > 0) {{ track('<div>') }}</script>"
+        '<meta charset="utf-8"></head>'
+    )
+    nav = f"<nav>{_html_linklist(rng, int(rng.integers(3, 8)), 'nav')}</nav>"
+    header = '<header><div class="logo">Example Site</div></header>'
+    aside = (
+        f"<aside><div class='ad'>buy {rng.choice(_LATIN_WORDS)} now "
+        f"{rng.choice(_LATIN_WORDS)}</div>"
+        f"{_html_linklist(rng, int(rng.integers(2, 6)), 'promo')}</aside>"
+    )
+    # link-dense related-posts div OUTSIDE boilerplate ancestors — must be
+    # dropped by the link-density rule, not the ancestor rule
+    related = (
+        '<div class="related">'
+        + " ".join(
+            f'<a href="/r/{k}">{rng.choice(_LATIN_WORDS)} '
+            f"{rng.choice(_LATIN_WORDS)}</a>"
+            for k in range(int(rng.integers(2, 5)))
+        )
+        + "</div>"
+    )
+    share = "<div>Share</div>"  # < MIN_BLOCK_WORDS → dropped
+    footer = (
+        f"<footer>{_html_linklist(rng, 4, 'foot')}"
+        "<div>© example site all rights reserved</div></footer>"
+    )
+    comment = "<!-- rendered by generator <div>not content</div> -->"
+    body_main = (
+        "<main><article>"
+        + f"<h1>{title}</h1>"
+        + "".join(p for p, _ in paras)
+        + "</article></main>"
+    )
+    html = (
+        "<html>" + head + "<body>" + comment + nav + header
+        + body_main + related + share + aside + footer + "</body></html>"
+    )
+    truth = " ".join([title] + [t for _, t in paras])
+    return html, truth
+
+
+def ensure_html_corpus(n_pages: int, base_dir: str | None = None) -> str:
+    """Idempotent cached HTML corpus under ``<repo>/.cache/html_<n>/``:
+    html_docs.parquet(doc_id, html) + html_truth.parquet(doc_id, main_text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                ".cache")
+    out = os.path.join(base_dir, f"html_{n_pages}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    pages = [generate_html_page(i) for i in range(n_pages)]
+    ids = [f"page_{i:08d}" for i in range(n_pages)]
+    pq.write_table(
+        pa.table({"doc_id": ids, "html": [h for h, _ in pages]}),
+        os.path.join(out, "html_docs.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": ids, "main_text": [t for _, t in pages]}),
+        os.path.join(out, "html_truth.parquet"),
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out

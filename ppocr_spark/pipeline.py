@@ -39,9 +39,13 @@ OCR_RESULT_SCHEMA = (
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,order:int,code:int>"
 
 
-def _ocr_one(content, cfg: PPOCRConfig) -> dict:
+def _ocr_one(content, cfg: PPOCRConfig, page: int | None = None) -> dict:
     """OCR one media payload → result dict. Total function: every failure
-    maps to a status code (cpp/include/task.h:13-61 taxonomy)."""
+    maps to a status code (cpp/include/task.h:13-61 taxonomy).
+
+    ``page`` (1-based) addresses a page of a PDF payload
+    (``media_ref = "...#page=N"``); the format is sniffed from the bytes
+    like the reference's imread_u8 (cpp/src/task_linux.cpp:106-107)."""
     import numpy as np
 
     from ppocr_spark.geometry import perspective_crop
@@ -50,6 +54,7 @@ def _ocr_one(content, cfg: PPOCRConfig) -> dict:
     from ppocr_spark.operators.layout import assemble_text, run_parser
     from ppocr_spark.operators.recognize import recognize_batch
     from ppocr_spark.png import PngError, decode, to_gray
+    from ppocr_spark.sources.pdf import PdfError, decode_pdf_page, is_pdf
 
     empty = dict(
         text="", boxes=[], texts=[], scores=[], cls_labels=[], cls_scores=[],
@@ -57,10 +62,20 @@ def _ocr_one(content, cfg: PPOCRConfig) -> dict:
     )
     if content is None:
         return {**empty, "code": int(StatusCode.PATH_NOT_EXIST)}
-    try:
-        img = to_gray(decode(bytes(content)))
-    except PngError:
+    data = bytes(content)
+    if is_pdf(data):
+        try:
+            img = decode_pdf_page(data, page if page is not None else 1)
+        except PdfError:
+            return {**empty, "code": int(StatusCode.PATH_READ_FAIL)}
+    elif page is not None and page != 1:
+        # page addressing into a single-image payload
         return {**empty, "code": int(StatusCode.PATH_READ_FAIL)}
+    else:
+        try:
+            img = to_gray(decode(data))
+        except PngError:
+            return {**empty, "code": int(StatusCode.PATH_READ_FAIL)}
     if img.size == 0:
         return {**empty, "code": int(StatusCode.IMAGE_DECODE_FAIL)}
 
@@ -155,10 +170,15 @@ def make_ocr_udf(cfg: PPOCRConfig):
             offsets = batch.column("offset").to_pylist()
             refs = batch.column("media_ref").to_pylist()
             contents = batch.column("content")
+            pages = (
+                batch.column("page").to_pylist()
+                if "page" in batch.schema.names
+                else [None] * batch.num_rows
+            )
             rows = []
             for i in range(batch.num_rows):
                 c = contents[i].as_py() if contents[i].is_valid else None
-                r = _ocr_one(c, cfg)
+                r = _ocr_one(c, cfg, page=pages[i])
                 rows.append(
                     {
                         "doc_id": doc_ids[i],
@@ -199,12 +219,31 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     )
 
 
-def normalize_text_spans(spans: DataFrame) -> DataFrame:
+def normalize_text_spans(spans: DataFrame, html_strip: str = "off") -> DataFrame:
     """Text branch — pure JVM expressions (whole-stage codegen, no Python):
     collapse whitespace runs, trim; empty → NO_TEXT. Mirrors
-    corpus.normalize_text_span."""
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    return spans.filter(F.col("kind") == "text").select(
+    corpus.normalize_text_span.
+
+    ``html_strip`` (north-rule text tier): 'strip' removes markup/entities
+    via the portable JVM regex chain; 'main' runs the DOM-heuristic
+    main-content extractor (Arrow-batched) before normalization."""
+    spans = spans.filter(F.col("kind") == "text")
+    if html_strip == "strip":
+        from ppocr_spark.functions.boilerplate import strip_tags_col
+
+        norm = strip_tags_col(F.col("text"))
+    elif html_strip == "main":
+        from ppocr_spark.functions.boilerplate import main_content
+
+        spans = (
+            main_content(spans, html_col="text", out_col="__main")
+            .drop("text")
+            .withColumnRenamed("__main", "text")
+        )
+        norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    else:
+        norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return spans.select(
         "doc_id",
         "offset",
         F.lit("text").alias("kind"),
@@ -226,9 +265,17 @@ def ocr_media_spans(
     refs → PATH_NOT_EXIST), then the OCR UDF. ``broadcast_media=None``
     auto-broadcasts when the media plan is below Spark's threshold (AQE
     decides); pass True/False to force."""
-    m = media.select("media_ref", "content")
+    m = media.select(F.col("media_ref").alias("base_ref"), "content")
+    # '#page=N' refs address one page of a PDF payload: join on the base
+    # ref (JVM-side split, no Python) and ship the page number to the UDF
     ids = spans.filter(F.col("kind") == "media").select(
-        "doc_id", "offset", "media_ref"
+        "doc_id",
+        "offset",
+        "media_ref",
+        F.regexp_replace("media_ref", r"#page=\d+$", "").alias("base_ref"),
+        F.nullif(
+            F.regexp_extract("media_ref", r"#page=(\d+)$", 1), F.lit("")
+        ).cast("int").alias("page"),
     )
     # EXPLICIT repartition before the heavy UDF: a small parquet scan yields
     # 1-2 input partitions and would serialize all OCR work onto 1-2 cores.
@@ -239,14 +286,15 @@ def ocr_media_spans(
     if broadcast_media:
         # broadcast join AFTER the shuffle: only the slim (doc_id, offset,
         # media_ref) rows move; the image payload attaches in place
-        req = ids.join(F.broadcast(m), "media_ref", "left")
+        req = ids.join(F.broadcast(m), "base_ref", "left")
     else:
         # media too big to broadcast (the 100 TB path): co-locate by
-        # media_ref instead — shuffle both sides on the join key and let
+        # base_ref instead — shuffle both sides on the join key and let
         # AQE split skewed buckets; payload moves once, never twice
         req = ids.repartition(
-            max(par * 2, cfg.shuffle_partitions), "media_ref"
-        ).join(m, "media_ref", "left")
+            max(par * 2, cfg.shuffle_partitions), "base_ref"
+        ).join(m, "base_ref", "left")
+    req = req.drop("base_ref")
     result = req.mapInArrow(make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA)
     return result
 
@@ -314,7 +362,7 @@ def extract_documents(
     surface (BASELINE.json)."""
     cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
     spans = explode_spans(documents)
-    text_r = normalize_text_spans(spans)
+    text_r = normalize_text_spans(spans, cfg.html_strip)
     media_r = media_results_as_spans(
         ocr_media_spans(spans, media, cfg, broadcast_media)
     )
