@@ -734,6 +734,96 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+def _semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins: customers with vs without orders,
+    summarized per market segment."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+        .join(
+            without.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_without_orders")),
+            "c_mktsegment",
+            "outer",
+        )
+        .fillna(0, ["n_with_orders", "n_without_orders"])
+        .orderBy("c_mktsegment")
+    )
+
+
+_SEMI_ANTI_SQL = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1
+), wo AS (
+  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(n_with_orders, 0) AS n_with_orders,
+       coalesce(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over nation keys of customers vs suppliers."""
+    c = _load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = _load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    conly = c.subtract(s).withColumn("src", F.lit("customer_only"))
+    return both.unionByName(conly).orderBy("src", "nk")
+
+
+_SET_OPS_SQL = """
+SELECT nk, 'both' AS src FROM
+  (SELECT c_nationkey AS nk FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nk, 'customer_only' AS src FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer
+   WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier))
+ORDER BY src, nk
+"""
+
+
+def _rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (grouping-sets) aggregation over order priority x status."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+        .orderBy("prio", "status")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY prio, status
+"""
+
+
 # --- HTML boilerplate strip / DOM heuristics (north-rule text tier;
 # oracle tier 1 = the same portable regex chain run by DuckDB, tier 2 =
 # generation-time authored main text) ---
@@ -940,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _events_daily,
         "distinct_event_types": _distinct_event_types,
         "orders_case_projection": _orders_case,
+        "semi_anti_join": _semi_anti_join,
+        "set_ops_nations": _set_ops,
+        "rollup_revenue": _rollup_revenue,
         "span_explode_reassemble": _span_explode,
         "status_code_taxonomy": _status_taxonomy,
         "k1_output_filter": _k1_filter,
@@ -975,6 +1068,9 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": _EVENTS_DAILY_SQL,
         "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,
         "orders_case_projection": _ORDERS_CASE_SQL,
+        "semi_anti_join": _SEMI_ANTI_SQL,
+        "set_ops_nations": _SET_OPS_SQL,
+        "rollup_revenue": _ROLLUP_SQL,
         "span_explode_reassemble": _SPAN_EXPLODE_SQL,
         "status_code_taxonomy": _STATUS_TAXONOMY_SQL,
         "k1_output_filter": _K1_FILTER_SQL,
