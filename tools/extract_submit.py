@@ -1,0 +1,78 @@
+"""spark-submit driver for the extraction pipeline (north-rule packaging):
+
+    spark-submit --py-files dist/ppocr_spark.zip tools/extract_submit.py \
+        --documents /path/documents_spans.parquet \
+        --media /path/media.parquet \
+        --output /path/results.parquet \
+        [--resumable] [--no-broadcast-media] \
+        [--parser multi_para] [--html-strip off|strip|main] \
+        [--salt-buckets 8]
+
+Reads the interleaved documents + media tables, runs
+detect→classify→recognize→layout with salted reassembly, writes the
+per-document span results, and (with --resumable) writes bucketed results
++ per-bucket manifests under --output, resuming from completed buckets on
+rerun. The engine code arrives on executors via the --py-files zip; no
+repo checkout is needed cluster-side.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--media", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--no-broadcast-media", action="store_true")
+    ap.add_argument("--parser", default="multi_para")
+    ap.add_argument("--html-strip", default="off",
+                    choices=["off", "strip", "main"])
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    args = ap.parse_args()
+
+    # imports AFTER argparse: on executors this module is not imported at
+    # all; on the driver, pyspark must come from the spark-submit runtime
+    from pyspark.sql import SparkSession
+
+    from ppocr_spark.config import PPOCRConfig
+    from ppocr_spark.pipeline import extract_documents, warm_workers
+
+    spark = SparkSession.builder.appName("ppocr-extract").getOrCreate()
+    cfg = PPOCRConfig(
+        cls=True,
+        use_angle_cls=True,
+        parser=args.parser,
+        html_strip=args.html_strip,
+        doc_salt_buckets=args.salt_buckets,
+    )
+    docs = spark.read.parquet(args.documents)
+    media = spark.read.parquet(args.media)
+    warm_workers(spark)
+
+    if args.resumable:
+        from ppocr_spark.checkpoint import run_resumable
+
+        stats = run_resumable(
+            spark,
+            docs,
+            media,
+            out_dir=args.output,
+            cfg=cfg,
+            broadcast_media=not args.no_broadcast_media,
+        )
+        print(f"resumable run: {stats}")
+    else:
+        out = extract_documents(
+            docs, media, cfg,
+            broadcast_media=not args.no_broadcast_media,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
