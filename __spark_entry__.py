@@ -33,7 +33,7 @@ from ppocr_spark.config import PPOCRConfig  # noqa: E402
 def _corpus_docs_for(sf_dir: str) -> int:
     name = os.path.basename(sf_dir.rstrip("/"))
     if "0.1" in name and "0.01" not in name:
-        return 200
+        return 800  # bench scale: large enough that fixed costs are <1/3
     if "0.01" in name:
         return 80
     return 40

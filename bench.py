@@ -55,6 +55,11 @@ def main():
         "ann_topk_bruteforce",
         "image_features",
     ]
+    # steady-state protocol (BENCH/BASELINE.md): run the flagship pipeline
+    # once untimed first — JVM JIT + Arrow/shuffle machinery warmup that a
+    # long job amortizes to zero; the timed pass is the sustained rate
+    qs["ocr_extract_spans"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     ocr_sec = None
     for name in headline:

@@ -88,7 +88,15 @@ def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
                     feats.append([float(x) for x in pooled.reshape(-1)])
                 except (PngError, TypeError):
                     continue  # undecodable rows are dropped from features
-            yield pd.DataFrame({"media_ref": refs, "features": feats})
+            # dtype=object: an all-undecodable batch must yield an empty
+            # OBJECT column (an empty float64 ndarray can't convert to
+            # Arrow list<float>)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
+            )
 
     return media.select("media_ref", "content").mapInPandas(
         udf, schema=IMAGE_FEATURE_SCHEMA
