@@ -53,30 +53,39 @@ def connected_components(mask: np.ndarray, max_components: int = 100000):
             else:
                 parent[ra] = rb
 
+    # extract ALL row-runs in one vectorized pass: pad a False column on
+    # each side, flatten row-major, one diff over the whole bitmap — the
+    # per-row numpy call overhead (not the union-find) dominated the loop
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded.reshape(-1))
+    starts_f = np.flatnonzero(d == 1)
+    ends_f = np.flatnonzero(d == -1)
+    rows_of = starts_f // (w + 2)
+    xs_all = starts_f - rows_of * (w + 2)
+    xe_all = ends_f - rows_of * (w + 2)
+
     # runs[r] = list of (x_start, x_end_exclusive, label)
-    prev_runs: list[tuple[int, int, int]] = []
+    prev_runs: list[tuple[int, int, int]] = []  # runs of row prev_row
+    cur: list[tuple[int, int, int]] = []        # runs of the current row
     all_runs: list[tuple[int, int, int, int]] = []  # (row, xs, xe, label)
-    padded = np.zeros(w + 2, dtype=bool)
-    for r in range(h):
-        row = mask[r]
-        if not row.any():
-            prev_runs = []
-            continue
-        padded[1:-1] = row
-        d = np.diff(padded.astype(np.int8))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
-        cur: list[tuple[int, int, int]] = []
-        for xs, xe in zip(starts, ends):
-            lbl = len(parent)
-            parent.append(lbl)
-            # 8-connectivity: overlap with [xs-1, xe+1) in previous row
-            for pxs, pxe, plbl in prev_runs:
-                if pxs < xe + 1 and pxe > xs - 1:
-                    union(lbl, plbl)
-            cur.append((int(xs), int(xe), lbl))
-            all_runs.append((r, int(xs), int(xe), lbl))
-        prev_runs = cur
+    prev_row = -2
+    for i in range(len(starts_f)):
+        r = int(rows_of[i])
+        xs = int(xs_all[i])
+        xe = int(xe_all[i])
+        if r != prev_row:
+            prev_runs = cur if r == prev_row + 1 else []
+            cur = []
+            prev_row = r
+        lbl = len(parent)
+        parent.append(lbl)
+        # 8-connectivity: overlap with [xs-1, xe+1) in previous row
+        for pxs, pxe, plbl in prev_runs:
+            if pxs < xe + 1 and pxe > xs - 1:
+                union(lbl, plbl)
+        cur.append((xs, xe, lbl))
+        all_runs.append((r, xs, xe, lbl))
 
     groups: dict[int, list[tuple[int, int, int]]] = {}
     order: list[int] = []
