@@ -306,6 +306,67 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
 
 
+def _events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time windows (F.window — the batch twin of
+    the Structured-Streaming windowed aggregation)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            # decimal sum → exact and order-independent across partials
+            # (double sums + avg ties flip round(.,4) between engines)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+_EVENTS_WINDOWED_SQL = """
+SELECT strftime(time_bucket(INTERVAL 6 HOURS, ts), '%Y-%m-%d %H:%M')
+           AS win_start,
+       event_type, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+def _events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per event type (median + p90)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _load(spark, sf_dir, "events")
@@ -1028,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q5,
         "top_customers_window": _top_customers,
         "events_daily": _events_daily,
+        "events_windowed": _events_windowed,
+        "events_percentiles": _events_percentiles,
         "distinct_event_types": _distinct_event_types,
         "orders_case_projection": _orders_case,
         "semi_anti_join": _semi_anti_join,
@@ -1066,6 +1129,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_revenue": _Q5_SQL,
         "top_customers_window": _TOP_CUSTOMERS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
+        "events_windowed": _EVENTS_WINDOWED_SQL,
+        "events_percentiles": _EVENTS_PERCENTILES_SQL,
         "distinct_event_types": _DISTINCT_EVENT_TYPES_SQL,
         "orders_case_projection": _ORDERS_CASE_SQL,
         "semi_anti_join": _SEMI_ANTI_SQL,
