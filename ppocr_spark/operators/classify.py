@@ -48,7 +48,7 @@ def _orientation_evidence(img: np.ndarray) -> float:
     segs = _segments(ink)
     if not segs:
         return 0.0
-    best: list[float] = []
+    feats: list[np.ndarray] = []
     for s, e in segs[:4]:  # cap work; 4 segments is plenty of evidence
         seg = ink[:, s:e]
         rnz = np.flatnonzero(seg.any(axis=1))
@@ -60,9 +60,13 @@ def _orientation_evidence(img: np.ndarray) -> float:
         nrm = np.linalg.norm(feat)
         if nrm < 1e-6:
             continue
-        feat /= nrm
-        best.append(float((templates @ feat).max()))
-    return float(np.mean(best)) if best else 0.0
+        feats.append(feat / nrm)
+    if not feats:
+        return 0.0
+    # one matmul for all segments (same per-column result as per-segment
+    # matvecs: identical arithmetic, k independent columns)
+    corr = templates @ np.stack(feats, axis=1)
+    return float(corr.max(axis=0).mean())
 
 
 def classify(crop: np.ndarray) -> tuple[int, float]:

@@ -62,10 +62,10 @@ def forward_probs(crop: np.ndarray) -> np.ndarray:
         return np.stack([blank, blank])
     widths = [e - s for s, e in segs]
     med_w = float(np.median(widths))
-    # pass 1: extract + normalize all segment features (Python loop over
-    # segments is unavoidable — tile shapes differ — but the expensive
-    # template correlation is batched into ONE matmul below)
-    feats: list[np.ndarray | None] = []
+    # pass 1: extract segment tiles (Python loop — tile shapes differ
+    # before the resize); normalization + template correlation are then
+    # batched over ALL segments at once
+    tiles: list[np.ndarray | None] = []
     space_before: list[bool] = []
     prev_end: int | None = None
     for (s, e) in segs:
@@ -76,14 +76,31 @@ def forward_probs(crop: np.ndarray) -> np.ndarray:
         seg = ink[:, s:e]
         rnz = np.flatnonzero(seg.any(axis=1))
         if rnz.size == 0:
-            feats.append(None)
+            tiles.append(None)
             continue
-        tile = area_resize(crop[rnz[0] : rnz[-1] + 1, s:e], GLYPH_H, GLYPH_W)
+        tiles.append(
+            area_resize(crop[rnz[0] : rnz[-1] + 1, s:e], GLYPH_H, GLYPH_W)
+        )
+
+    vstack = [t for t in tiles if t is not None]
+    feats: list[np.ndarray | None]
+    if vstack:
         # grayscale ink fraction — anti-aliased edges carry subpixel signal
-        feat = (255.0 - tile).reshape(-1) / 255.0
-        feat -= feat.mean()
-        nrm = np.linalg.norm(feat)
-        feats.append(feat / nrm if nrm >= 1e-6 else None)
+        m = (255.0 - np.stack(vstack).reshape(len(vstack), -1)) / 255.0
+        m -= m.mean(axis=1, keepdims=True)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        ok = nrm >= 1e-6
+        m /= np.maximum(nrm, 1e-12)[:, None]
+        feats = []
+        j = 0
+        for t in tiles:
+            if t is None:
+                feats.append(None)
+            else:
+                feats.append(m[j] if ok[j] else None)
+                j += 1
+    else:
+        feats = [None] * len(tiles)
 
     valid = [f for f in feats if f is not None]
     if valid:
