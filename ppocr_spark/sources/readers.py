@@ -103,3 +103,22 @@ def decode_base64_requests(df: DataFrame, col: str = "payload") -> DataFrame:
     the reference's hand-rolled decoder cpp/src/base64.cpp). Invalid
     base64 yields null → the pipeline's 300-analog."""
     return df.withColumn("content", F.unbase64(F.col(col)))
+
+
+def media_from_directory(
+    spark: SparkSession, dir_path: str, glob: str = "*"
+) -> DataFrame:
+    """S10 (Utility::GetAllFiles, cpp/src/utility.cpp:123-160): list files
+    under a directory into a media relation (media_ref = file name, content
+    = raw bytes) using Spark's binaryFile source — the distributed analog
+    of the reference's directory walk; format is still sniffed from bytes
+    downstream (S4), never from the extension."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir_path)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("media_ref"),
+        F.col("content"),
+    )

@@ -93,3 +93,88 @@ __all__ = [
     "response_envelope",
     "write_results",
 ]
+
+
+def draw_boxes(img, boxes, thickness: int = 1):
+    """K4 visualization (PPOCR_visualize.createBox,
+    api/python/PPOCR_visualize.py:13-38): draw each quad's outline onto a
+    copy of the grayscale page (ink value 0). Pure numpy — line segments
+    rasterized with a dense parametric sweep; deterministic."""
+    import numpy as np
+
+    out = np.asarray(img).copy()
+    h, w = out.shape[:2]
+    for quad in boxes:
+        q = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+        for i in range(4):
+            x0, y0 = q[i]
+            x1, y1 = q[(i + 1) % 4]
+            n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) * 2 + 1
+            ts = np.linspace(0.0, 1.0, n)
+            xs = np.clip(np.round(x0 + (x1 - x0) * ts), 0, w - 1).astype(int)
+            ys = np.clip(np.round(y0 + (y1 - y0) * ts), 0, h - 1).astype(int)
+            for d in range(thickness):
+                out[np.clip(ys + d, 0, h - 1), xs] = 0
+                out[ys, np.clip(xs + d, 0, w - 1)] = 0
+    return out
+
+
+def visualize_results(ocr: DataFrame, media: DataFrame) -> DataFrame:
+    """K4 sink: join OCR box results back to their source images and emit
+    an annotated PNG per media span (media_ref, viz_png). Arrow-batched;
+    debug/inspection path, not on the hot extraction route."""
+    import pandas as pd
+
+    joined = (
+        ocr.filter(F.size("boxes") > 0)
+        .select("doc_id", "offset", "media_ref", "boxes")
+        .join(
+            F.broadcast(
+                media.select(
+                    F.col("media_ref").alias("m_ref"), "content"
+                )
+            ),
+            F.regexp_replace(F.col("media_ref"), r"#page=\d+$", "")
+            == F.col("m_ref"),
+            "inner",
+        )
+        .drop("m_ref")
+    )
+
+    def viz(batches):
+        from ppocr_spark.png import PngError, decode, encode_gray, to_gray
+        from ppocr_spark.sources.pdf import (
+            PdfError,
+            decode_pdf_page,
+            is_pdf,
+            split_page_ref,
+        )
+
+        for pdf in batches:
+            refs, pngs = [], []
+            for ref, content, boxes in zip(
+                pdf["media_ref"], pdf["content"], pdf["boxes"]
+            ):
+                try:
+                    data = bytes(content)
+                    if is_pdf(data):
+                        _, page = split_page_ref(ref)
+                        img = decode_pdf_page(data, page or 1)
+                    else:
+                        img = to_gray(decode(data))
+                except (PngError, PdfError, TypeError):
+                    continue
+                quads = [
+                    [(b[2 * i], b[2 * i + 1]) for i in range(4)]
+                    for b in boxes
+                ]
+                refs.append(ref)
+                pngs.append(encode_gray(draw_boxes(img, quads)))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "viz_png": pd.Series(pngs, dtype="object"),
+                }
+            )
+
+    return joined.mapInPandas(viz, schema="media_ref string, viz_png binary")

@@ -120,3 +120,50 @@ class TestStreaming:
         )
         q2.awaitTermination(120)
         assert spark.read.parquet(str(tmp_path / "out")).count() == expected
+
+
+class TestDirectorySource:
+    def test_media_from_directory(self, spark, tmp_path):
+        import numpy as np
+
+        from ppocr_spark.png import encode_gray
+        from ppocr_spark.sources.readers import media_from_directory
+
+        for name in ("a.png", "b.png"):
+            (tmp_path / name).write_bytes(
+                encode_gray(np.full((8, 8), 255, dtype=np.uint8))
+            )
+        (tmp_path / "notes.txt").write_bytes(b"skip me")
+        df = media_from_directory(spark, str(tmp_path), glob="*.png")
+        rows = {r["media_ref"]: bytes(r["content"]) for r in df.collect()}
+        assert set(rows) == {"a.png", "b.png"}
+        assert rows["a.png"][:4] == b"\x89PNG"
+
+
+class TestVisualizationSink:
+    def test_draw_boxes_marks_outline(self):
+        import numpy as np
+
+        from ppocr_spark.sources.sinks import draw_boxes
+
+        img = np.full((20, 30), 255, dtype=np.uint8)
+        out = draw_boxes(img, [[(2, 2), (10, 2), (10, 8), (2, 8)]])
+        assert out[2, 2] == 0 and out[2, 10] == 0 and out[8, 5] == 0
+        assert out[5, 5] == 255  # interior untouched
+        assert img[2, 2] == 255  # input not mutated
+
+    def test_visualize_results_end_to_end(self, spark, small_corpus):
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.pipeline import explode_spans, ocr_media_spans
+        from ppocr_spark.png import decode
+        from ppocr_spark.sources.sinks import visualize_results
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        cfg = PPOCRConfig()
+        ocr = ocr_media_spans(explode_spans(docs), media, cfg, True)
+        viz = visualize_results(ocr, media).limit(3).collect()
+        assert viz
+        for r in viz:
+            img = decode(bytes(r["viz_png"]))
+            assert (img == 0).any()  # drawn outlines present
