@@ -43,11 +43,28 @@ def _weights(src: int, dst: int) -> np.ndarray:
 
 
 def area_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
-    """Box-average resize of a 2-D float/uint8 array → float32 (nh, nw)."""
-    a = img.astype(np.float64)
+    """Box-average resize of a 2-D float/uint8 array → float32 (nh, nw).
+
+    float32 throughout: weights are exact-enough (row-normalized float64
+    rounded once), inputs are 8-bit, and every consumer (recognition
+    tiles AND the template bank) shifts consistently — the correlation
+    margin is orders of magnitude above the rounding."""
+    a = img.astype(np.float32)
     h, w = a.shape
     if h != nh:
-        a = _weights(h, nh) @ a
+        a = _weights32(h, nh) @ a
     if w != nw:
-        a = a @ _weights(w, nw).T
-    return a.astype(np.float32)
+        a = a @ _weights32(w, nw).T
+    return a
+
+
+_CACHE32: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _weights32(src: int, dst: int) -> np.ndarray:
+    key = (src, dst)
+    if key not in _CACHE32:
+        if len(_CACHE32) > 4096:
+            _CACHE32.clear()
+        _CACHE32[key] = _weights(src, dst).astype(np.float32)
+    return _CACHE32[key]
