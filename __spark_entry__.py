@@ -752,6 +752,9 @@ ORDER BY doc_id, "order"
 
 
 def _ocr_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 per-block payload vs generation-truth blocks (box geometry from
+    the real detector at generation + assigned source text + parser end
+    separators). Recognition scores are runtime-only → excluded."""
     from ppocr_spark.pipeline import ocr_blocks
 
     corpus = _corpus(sf_dir)
@@ -761,14 +764,36 @@ def _ocr_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ocr_blocks(docs, media, cfg, broadcast_media=True)
         .select(
-            "doc_id", "offset", "media_ref", "block_idx", "text",
-            F.round("score", 2).alias("score"), "end",
+            "doc_id", "offset", "media_ref", "block_idx",
+            F.expr(
+                "concat_ws(',', transform(flatten(box), "
+                "x -> cast(x as string)))"
+            ).alias("box_str"),
+            "text", "end",
         )
         .orderBy("doc_id", "offset", "block_idx")
     )
 
 
+def _ocr_blocks_sql(sf_dir: str) -> str:
+    corpus = _corpus(sf_dir)
+    return f"""
+SELECT s.doc_id, s."order" AS "offset", s.media_ref, b.block_idx,
+       array_to_string(flatten(b.box), ',') AS box_str, b.text, b."end"
+FROM (
+  SELECT doc_id, u.media_ref AS media_ref, u."order" AS "order"
+  FROM (SELECT doc_id, unnest(spans) AS u
+        FROM read_parquet('{corpus}/expected_spans.parquet'))
+  WHERE u.kind = 'media' AND u.code = 100
+) s JOIN read_parquet('{corpus}/expected_blocks.parquet') b
+  ON b.media_ref = s.media_ref
+ORDER BY doc_id, "offset", block_idx
+"""
+
+
 def _image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-probe vs generation-truth dimensions/ink (identical float
+    expression both sides; PNG roundtrip is lossless)."""
     from ppocr_spark.functions.multimodal import image_metadata
 
     corpus = _corpus(sf_dir)
@@ -779,7 +804,18 @@ def _image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+def _image_metadata_sql(sf_dir: str) -> str:
+    corpus = _corpus(sf_dir)
+    return (
+        "SELECT media_ref, width, height, channels, decode_ok, "
+        "round(ink_ratio, 4) AS ink_ratio "
+        f"FROM read_parquet('{corpus}/media_meta.parquet') ORDER BY media_ref"
+    )
+
+
 def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x4 pooled-ink features vs generation-truth sums (identical
+    float32 pooling both sides)."""
     from ppocr_spark.functions.multimodal import image_features
 
     corpus = _corpus(sf_dir)
@@ -793,6 +829,15 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("feat_sum"),
     ).orderBy("media_ref")
+
+
+def _image_features_sql(sf_dir: str) -> str:
+    corpus = _corpus(sf_dir)
+    return (
+        "SELECT media_ref, round(feat_sum, 4) AS feat_sum "
+        f"FROM read_parquet('{corpus}/media_meta.parquet') "
+        "WHERE feat_sum IS NOT NULL ORDER BY media_ref"
+    )
 
 
 def _semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,8 +1195,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": _ANN_BRUTE_SQL,
         # ann_topk_lsh: no SQL oracle (numpy hyperplanes) → rows-only check
         "ocr_extract_spans": _ocr_extract_sql(sf_dir),
-        # ocr_blocks / image_metadata / image_features: pixel-derived,
-        # not SQL-expressible → rows-only checks
+        "ocr_blocks": _ocr_blocks_sql(sf_dir),
+        "image_metadata": _image_metadata_sql(sf_dir),
+        "image_features": _image_features_sql(sf_dir),
         "html_strip_tags": _html_strip_sql(sf_dir),
         "html_main_content": _html_main_sql(sf_dir),
         "table_cell_match": _table_cell_match_sql(sf_dir),

@@ -53,6 +53,8 @@ class MediaSpec:
     truth_lines: list[str]
     expected_text: str
     expected_code: int
+    expected_blocks: list[dict] | None = None  # laid blocks (box/text/end)
+    meta: tuple[int, int, float] | None = None  # (width, height, ink_ratio)
 
 
 def _rng(*parts) -> np.random.Generator:
@@ -128,10 +130,12 @@ def _render_spec(i: int, cfg: PPOCRConfig) -> MediaSpec:
         h = int(rng.integers(96, 300))
         w = int(rng.integers(96, 300))
         img = np.full((h, w), 255, dtype=np.uint8)
-        return MediaSpec(ref, encode_gray(img), [], "", int(StatusCode.NO_TEXT))
+        return MediaSpec(ref, encode_gray(img), [], "", int(StatusCode.NO_TEXT),
+                         [], _meta_of(img))
     if flavor < 0.05:  # undecodable bytes → PATH_READ_FAIL analog
         junk = bytes(_rng("junk", i).integers(0, 256, size=64, dtype=np.uint8))
-        return MediaSpec(ref, junk, [], "", int(StatusCode.PATH_READ_FAIL))
+        return MediaSpec(ref, junk, [], "", int(StatusCode.PATH_READ_FAIL),
+                         [], None)
 
     n_lines = int(rng.integers(1, 7))
     cjk_doc = rng.random() < 0.2
@@ -157,8 +161,21 @@ def _render_spec(i: int, cfg: PPOCRConfig) -> MediaSpec:
         kw["flip_lines"] = {int(j) for j in range(n_lines) if _rng("flip", i, j).random() < 0.4}
 
     img, truth = render_page(lines, **kw)
-    expected, code = _expected_for_page(img, truth, ref, cfg)
-    return MediaSpec(ref, encode_gray(img), lines, expected, code)
+    expected, code, laid = _expected_for_page(img, truth, ref, cfg)
+    return MediaSpec(ref, encode_gray(img), lines, expected, code, laid,
+                     _meta_of(img))
+
+
+def _meta_of(img) -> tuple[int, int, float, float]:
+    """(width, height, ink_ratio, feat_sum) — the image_metadata and
+    image_features ground truth, computed with the identical expressions
+    the UDFs use ((img < 128).mean(); 4x4 area-pooled ink sum)."""
+    from ppocr_spark.resample import area_resize
+
+    pooled = area_resize((255.0 - img.astype(np.float32)) / 255.0, 4, 4)
+    feat_sum = float(sum(float(x) for x in pooled.reshape(-1)))
+    return (int(img.shape[1]), int(img.shape[0]),
+            float((img < 128).mean()), feat_sum)
 
 
 def _expected_for_page(img, truth, ref: str, cfg: PPOCRConfig):
@@ -194,9 +211,18 @@ def _expected_for_page(img, truth, ref: str, cfg: PPOCRConfig):
         {"box": b.tolist(), "text": t, "score": 1.0}
         for b, t in zip(boxes, assigned)
     ]
-    expected = assemble_text(run_parser(cfg.parser, blocks)) if blocks else ""
+    laid = run_parser(cfg.parser, blocks) if blocks else []
+    expected = assemble_text(laid) if laid else ""
     code = int(StatusCode.OK) if expected else int(StatusCode.NO_TEXT)
-    return expected, code
+    golden = [
+        {
+            "box": [[int(x), int(y)] for x, y in b["box"]],
+            "text": b["text"],
+            "end": b.get("end", "\n"),
+        }
+        for b in laid
+    ]
+    return expected, code, golden
 
 
 def build_media_pool(n_images: int, cfg: PPOCRConfig) -> list[MediaSpec]:
@@ -207,7 +233,8 @@ def build_media_pool(n_images: int, cfg: PPOCRConfig) -> list[MediaSpec]:
 class PdfSpec:
     base_ref: str
     content: bytes | None
-    pages: list[tuple[str, int]]  # per page: (expected_text, expected_code)
+    # per page: (expected_text, expected_code, expected_blocks)
+    pages: list[tuple[str, int, list[dict]]]
 
 
 def build_pdf_pool(n_pdfs: int, cfg: PPOCRConfig) -> list[PdfSpec]:
@@ -226,7 +253,7 @@ def build_pdf_pool(n_pdfs: int, cfg: PPOCRConfig) -> list[PdfSpec]:
             )
             specs.append(
                 PdfSpec(ref, junk,
-                        [("", int(StatusCode.PATH_READ_FAIL))] * 2)
+                        [("", int(StatusCode.PATH_READ_FAIL), [])] * 2)
             )
             continue
         n_pages = int(rng.integers(1, 4))
@@ -238,11 +265,11 @@ def build_pdf_pool(n_pdfs: int, cfg: PPOCRConfig) -> list[PdfSpec]:
                 for _ in range(int(prng.integers(1, 5)))
             ]
             img, truth = render_page(lines)
-            exp, code = _expected_for_page(
+            exp, code, laid = _expected_for_page(
                 img, truth, f"{ref}#page={p + 1}", cfg
             )
             imgs.append(img)
-            page_exp.append((exp, code))
+            page_exp.append((exp, code, laid))
         specs.append(PdfSpec(ref, encode_pdf(imgs), page_exp))
     return specs
 
@@ -293,7 +320,7 @@ def generate_corpus(
                     ps = pdf_pool[int(rng.integers(0, len(pdf_pool)))]
                     k = int(rng.integers(0, len(ps.pages)))
                     ref = f"{ps.base_ref}#page={k + 1}"
-                    ptext, pcode = ps.pages[k]
+                    ptext, pcode, _pblocks = ps.pages[k]
                     exp = ("media", ptext, ref, off, pcode)
                 else:
                     spec = pool[int(rng.integers(0, len(pool)))]
@@ -332,7 +359,42 @@ def generate_corpus(
         {"media_ref": p.base_ref, "content": p.content, "truth": None}
         for p in pdf_pool
     ]
-    return documents, media_rows, expected
+
+    # generation-truth side tables: per-block goldens (ocr_blocks oracle)
+    # and image metadata goldens (image_metadata oracle)
+    block_rows = []
+    for s in pool:
+        for bi, b in enumerate(s.expected_blocks or []):
+            block_rows.append(
+                {"media_ref": s.media_ref, "block_idx": bi,
+                 "box": b["box"], "text": b["text"], "end": b["end"]}
+            )
+    for p in pdf_pool:
+        for k, (_t, _c, laid) in enumerate(p.pages):
+            for bi, b in enumerate(laid):
+                block_rows.append(
+                    {"media_ref": f"{p.base_ref}#page={k + 1}",
+                     "block_idx": bi,
+                     "box": b["box"], "text": b["text"], "end": b["end"]}
+                )
+    meta_rows = [
+        {
+            "media_ref": s.media_ref,
+            "width": s.meta[0] if s.meta else 0,
+            "height": s.meta[1] if s.meta else 0,
+            "channels": 1 if s.meta else 0,
+            "decode_ok": s.meta is not None,
+            "ink_ratio": s.meta[2] if s.meta else 0.0,
+            "feat_sum": s.meta[3] if s.meta else None,
+        }
+        for s in pool
+    ] + [
+        # PDF payloads are not PNG-decodable: metadata probe yields zeros
+        {"media_ref": p.base_ref, "width": 0, "height": 0, "channels": 0,
+         "decode_ok": False, "ink_ratio": 0.0, "feat_sum": None}
+        for p in pdf_pool
+    ]
+    return documents, media_rows, expected, block_rows, meta_rows
 
 
 # ---------------------------------------------------------------------------
@@ -490,9 +552,9 @@ def ensure_corpus(n_docs: int, base_dir: str | None = None) -> str:
     if base_dir is None:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
-    # v2: PDF-page media spans (bump on any generation change so stale
-    # caches never leak across versions)
-    out = os.path.join(base_dir, f"corpus_{n_docs}_v2")
+    # v4: + expected_blocks / media_meta(+feat_sum) goldens (bump on any generation
+    # change so stale caches never leak across versions)
+    out = os.path.join(base_dir, f"corpus_{n_docs}_v4")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -507,7 +569,7 @@ def write_corpus(out_dir: str, n_docs: int, cfg: PPOCRConfig | None = None, **kw
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    docs, media, expected = generate_corpus(n_docs, cfg, **kw)
+    docs, media, expected, blocks, meta = generate_corpus(n_docs, cfg, **kw)
 
     span_t = pa.struct(
         [("kind", pa.string()), ("text", pa.string()),
@@ -547,6 +609,32 @@ def write_corpus(out_dir: str, n_docs: int, cfg: PPOCRConfig | None = None, **kw
     pq.write_table(docs_t, os.path.join(out_dir, "documents_spans.parquet"))
     pq.write_table(media_t, os.path.join(out_dir, "media.parquet"))
     pq.write_table(exp_t, os.path.join(out_dir, "expected_spans.parquet"))
+    blocks_t = pa.table(
+        {
+            "media_ref": [b["media_ref"] for b in blocks],
+            "block_idx": pa.array([b["block_idx"] for b in blocks],
+                                  pa.int32()),
+            "box": pa.array([b["box"] for b in blocks],
+                            pa.list_(pa.list_(pa.int32()))),
+            "text": [b["text"] for b in blocks],
+            "end": [b["end"] for b in blocks],
+        }
+    )
+    pq.write_table(blocks_t, os.path.join(out_dir, "expected_blocks.parquet"))
+    meta_t = pa.table(
+        {
+            "media_ref": [m["media_ref"] for m in meta],
+            "width": pa.array([m["width"] for m in meta], pa.int32()),
+            "height": pa.array([m["height"] for m in meta], pa.int32()),
+            "channels": pa.array([m["channels"] for m in meta], pa.int32()),
+            "decode_ok": pa.array([m["decode_ok"] for m in meta], pa.bool_()),
+            "ink_ratio": pa.array([m["ink_ratio"] for m in meta],
+                                  pa.float64()),
+            "feat_sum": pa.array([m["feat_sum"] for m in meta],
+                                 pa.float64()),
+        }
+    )
+    pq.write_table(meta_t, os.path.join(out_dir, "media_meta.parquet"))
     return out_dir
 
 
