@@ -60,3 +60,59 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_span_metrics(
+    spark: SparkSession,
+    documents_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Fully-streaming DAG (no foreachBatch): per-window span-arrival
+    metrics with event-time + watermark late-data handling — the
+    Structured-Streaming operator family (windowed stateful aggregation)
+    exercised end to end.
+
+    Documents arriving as files carry an ``ingest_ts`` column (event
+    time); the query maintains tumbling-window counts of spans by kind,
+    drops data later than the watermark, and appends closed windows to
+    ``out_dir``. This is the monitoring side-channel a 100 TB continuous
+    ingest runs next to the extraction stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(DOCUMENTS.fields)
+        + [T.StructField("ingest_ts", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(documents_dir)
+    )
+    spans = stream.select(
+        "ingest_ts", F.explode("spans").alias("span")
+    ).select("ingest_ts", F.col("span.kind").alias("kind"))
+    agg = (
+        spans.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "kind")
+        .agg(F.count("*").alias("n_spans"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "kind",
+            "n_spans",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -107,3 +107,31 @@ class TestOcrDispatch:
         assert _ocr_one(b"%PDF-1.4 junk", cfg, page=1)["code"] == int(
             StatusCode.PATH_READ_FAIL
         )
+
+
+class TestPropertyRoundtrip:
+    def test_hypothesis_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.lists(
+                arrays(
+                    np.uint8,
+                    st.tuples(
+                        st.integers(1, 40), st.integers(1, 40)
+                    ),
+                ),
+                min_size=1,
+                max_size=4,
+            )
+        )
+        def roundtrip(pages):
+            blob = encode_pdf(pages)
+            assert pdf_page_count(blob) == len(pages)
+            for i, p in enumerate(pages):
+                assert np.array_equal(decode_pdf_page(blob, i + 1), p)
+
+        roundtrip()

@@ -167,3 +167,53 @@ class TestVisualizationSink:
         for r in viz:
             img = decode(bytes(r["viz_png"]))
             assert (img == 0).any()  # drawn outlines present
+
+
+class TestStreamingWindowedMetrics:
+    def test_windowed_watermark_counts(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from ppocr_spark.streaming.stream import stream_span_metrics
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        for i in range(40):
+            ts = t0 + dt.timedelta(minutes=i)
+            rows.append(
+                (
+                    f"d{i}",
+                    [
+                        {"kind": "text", "text": "a b", "media_ref": None,
+                         "offset": 0},
+                        {"kind": "media", "text": None,
+                         "media_ref": "img_x", "offset": 1},
+                    ],
+                    ts,
+                )
+            )
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, ingest_ts timestamp",
+        )
+        src = str(tmp_path / "docs_in")
+        df.repartition(4).write.parquet(src)
+        out = str(tmp_path / "metrics_out")
+        ck = str(tmp_path / "ck")
+        q = stream_span_metrics(
+            spark, src, out, ck, window="10 minutes",
+            watermark="0 seconds",
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        # 40 minutes of data -> 4 closed 10-min windows x 2 kinds; the
+        # final window may be held open by the watermark
+        rows_out = {
+            (r["win_start"].minute, r["kind"]): r["n_spans"]
+            for r in got.collect()
+        }
+        assert rows_out, "no windows closed"
+        for (minute, kind), n in rows_out.items():
+            assert n == 10, (minute, kind, n)
