@@ -226,7 +226,16 @@ def _expected_for_page(img, truth, ref: str, cfg: PPOCRConfig):
 
 
 def build_media_pool(n_images: int, cfg: PPOCRConfig) -> list[MediaSpec]:
-    return [_render_spec(i, cfg) for i in range(n_images)]
+    """Render the pool; parallel for large pools (each spec is a pure
+    function of (i, cfg) — deterministic regardless of worker count)."""
+    if n_images < 64:
+        return [_render_spec(i, cfg) for i in range(n_images)]
+    import multiprocessing as mp
+
+    with mp.Pool(min(16, mp.cpu_count())) as pool:
+        return pool.starmap(
+            _render_spec, [(i, cfg) for i in range(n_images)], chunksize=8
+        )
 
 
 @dataclass
@@ -240,22 +249,31 @@ class PdfSpec:
 def build_pdf_pool(n_pdfs: int, cfg: PPOCRConfig) -> list[PdfSpec]:
     """Multi-page PDF media (north-rule 'PDF/layout parse'): spans address
     single pages via ``base#page=N`` refs; the payload is stored once per
-    base ref and the page is resolved executor-side."""
+    base ref and the page is resolved executor-side. Parallel for large
+    pools (pure function of (i, cfg))."""
+    if n_pdfs >= 32:
+        import multiprocessing as mp
+
+        with mp.Pool(min(16, mp.cpu_count())) as pool:
+            return pool.starmap(
+                _pdf_spec, [(i, cfg) for i in range(n_pdfs)], chunksize=4
+            )
+    return [_pdf_spec(i, cfg) for i in range(n_pdfs)]
+
+
+def _pdf_spec(i: int, cfg: PPOCRConfig) -> PdfSpec:
     from ppocr_spark.sources.pdf import encode_pdf
 
-    specs: list[PdfSpec] = []
-    for i in range(n_pdfs):
+    if True:
         ref = f"pdf_{i:08d}"
         rng = _rng("pdf", i)
         if rng.random() < 0.06:  # corrupt container → pages unreadable
             junk = b"%PDF-1.4\n" + bytes(
                 _rng("pdfjunk", i).integers(0, 256, size=96, dtype=np.uint8)
             )
-            specs.append(
-                PdfSpec(ref, junk,
-                        [("", int(StatusCode.PATH_READ_FAIL), [])] * 2)
+            return PdfSpec(
+                ref, junk, [("", int(StatusCode.PATH_READ_FAIL), [])] * 2
             )
-            continue
         n_pages = int(rng.integers(1, 4))
         imgs, page_exp = [], []
         for p in range(n_pages):
@@ -270,8 +288,7 @@ def build_pdf_pool(n_pdfs: int, cfg: PPOCRConfig) -> list[PdfSpec]:
             )
             imgs.append(img)
             page_exp.append((exp, code, laid))
-        specs.append(PdfSpec(ref, encode_pdf(imgs), page_exp))
-    return specs
+        return PdfSpec(ref, encode_pdf(imgs), page_exp)
 
 
 # ---------------------------------------------------------------------------
