@@ -79,3 +79,52 @@ class TestPlans:
 
         plan = _plan(entry.queries()["ann_topk_bruteforce"](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestNewPathPlans:
+    def test_html_strip_stays_jvm(self, spark):
+        # 'strip' mode is regexp_replace/replace chains only — zero Python
+        from pyspark.sql import functions as F
+
+        from ppocr_spark.corpus import ensure_html_corpus
+        from ppocr_spark.functions.boilerplate import strip_tags_col
+
+        d = ensure_html_corpus(12)
+        df = spark.read.parquet(f"{d}/html_docs.parquet").select(
+            "doc_id", strip_tags_col(F.col("html")).alias("t")
+        )
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_html_main_is_single_arrow_stage(self, spark):
+        from ppocr_spark.corpus import ensure_html_corpus
+        from ppocr_spark.functions.boilerplate import main_content
+
+        d = ensure_html_corpus(12)
+        df = main_content(spark.read.parquet(f"{d}/html_docs.parquet"))
+        plan = _plan(df)
+        # one vectorized stage (each node appears twice in 'formatted':
+        # once in the tree, once in the detail section)
+        assert plan.count("ArrowEvalPython") == 2
+        assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+    def test_pdf_page_join_is_jvm_side_split(self, spark, small_corpus):
+        # the #page=N split happens in JVM expressions (regexp) before the
+        # join; the payload joins on base_ref via broadcast
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.pipeline import explode_spans, ocr_media_spans
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        df = ocr_media_spans(
+            explode_spans(docs), media, PPOCRConfig(), broadcast_media=True
+        )
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "base_ref" in plan
+        # exactly one Python stage: the OCR UDF itself
+        assert plan.count("ArrowEvalPython") + plan.count(
+            "MapInArrow"
+        ) + plan.count("PythonMapInArrow") >= 1
+        assert "BatchEvalPython" not in plan
