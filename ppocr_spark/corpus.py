@@ -569,9 +569,9 @@ def ensure_corpus(n_docs: int, base_dir: str | None = None) -> str:
     if base_dir is None:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
-    # v4: + expected_blocks / media_meta(+feat_sum) goldens (bump on any generation
+    # v5: fused det resize+pool (float32 prob map, no uint8 quantization) (bump on any generation
     # change so stale caches never leak across versions)
-    out = os.path.join(base_dir, f"corpus_{n_docs}_v4")
+    out = os.path.join(base_dir, f"corpus_{n_docs}_v5")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out

@@ -48,19 +48,28 @@ WIN_H = 3
 STRIDE = 2
 
 
-def resize_type0(
-    img: np.ndarray, limit_type: str, limit_side_len: int
-) -> tuple[np.ndarray, float, float]:
-    """D1: scale so the longest side <= limit (type 'max') or the shortest
-    side >= limit (type 'min'); round result dims to multiples of 32, min 32.
-    Returns (resized, ratio_h, ratio_w)."""
-    h, w = img.shape[:2]
+def resize_dims(
+    h: int, w: int, limit_type: str, limit_side_len: int
+) -> tuple[int, int]:
+    """D1 target dims: longest side <= limit (type 'max') or shortest
+    side >= limit (type 'min'); rounded to multiples of 32, min 32."""
     if limit_type == "max":
         ratio = float(limit_side_len) / max(h, w) if max(h, w) > limit_side_len else 1.0
     else:
         ratio = float(limit_side_len) / min(h, w) if min(h, w) < limit_side_len else 1.0
     resize_h = max(int(round(h * ratio / 32) * 32), 32)
     resize_w = max(int(round(w * ratio / 32) * 32), 32)
+    return resize_h, resize_w
+
+
+def resize_type0(
+    img: np.ndarray, limit_type: str, limit_side_len: int
+) -> tuple[np.ndarray, float, float]:
+    """D1: materialized resize (kept for callers that need pixels; the det
+    hot path uses the fused ``pooled_ink`` instead).
+    Returns (resized, ratio_h, ratio_w)."""
+    h, w = img.shape[:2]
+    resize_h, resize_w = resize_dims(h, w, limit_type, limit_side_len)
     resized = _bilinear_resize(img, resize_h, resize_w)
     return resized, resize_h / float(h), resize_w / float(w)
 
@@ -136,6 +145,45 @@ def _pool2(gray: np.ndarray) -> np.ndarray:
     pooled = (
         g[0::2, 0::2] + g[0::2, 1::2] + g[1::2, 0::2] + g[1::2, 1::2]
     ) * 0.25
+    return (255.0 - pooled) / 255.0
+
+
+def _pooled_axis_taps(src: int, dst: int):
+    """Compose bilinear(src→dst) with 2-mean pooling along one axis:
+    per stride-2 output k, four source taps (a0, a0+1, a1, a1+1) with
+    weights ((1-f0)/2, f0/2, (1-f1)/2, f1/2) where (a0,f0)/(a1,f1) are the
+    bilinear taps of rows 2k and 2k+1."""
+    ys = (np.arange(dst) + 0.5) * src / dst - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, src - 2)
+    fy = np.clip(ys - y0, 0, 1).astype(np.float32)
+    half = dst // 2
+    a0 = y0[0 : 2 * half : 2]
+    a1 = y0[1 : 2 * half : 2]
+    f0 = fy[0 : 2 * half : 2] * 0.5
+    g0 = 0.5 - f0
+    f1 = fy[1 : 2 * half : 2] * 0.5
+    g1 = 0.5 - f1
+    return a0, a1, g0, f0, g1, f1
+
+
+def pooled_ink(img: np.ndarray, resize_h: int, resize_w: int) -> np.ndarray:
+    """Fused D1+pool: the stride-2 ink map the det head consumes, computed
+    directly from the source image (one gather pass per axis at half
+    resolution) instead of materializing the full-resolution D1 resize and
+    pooling it — the det stage's largest memory pass removed. Float32
+    end-to-end (no intermediate uint8 quantization)."""
+    h, w = img.shape[:2]
+    p = img.astype(np.float32)
+    a0, a1, g0, f0, g1, f1 = _pooled_axis_taps(h, resize_h)
+    v = (
+        p[a0] * g0[:, None] + p[a0 + 1] * f0[:, None]
+        + p[a1] * g1[:, None] + p[a1 + 1] * f1[:, None]
+    )
+    b0, b1, h0, e0, h1, e1 = _pooled_axis_taps(w, resize_w)
+    pooled = (
+        v[:, b0] * h0[None, :] + v[:, b0 + 1] * e0[None, :]
+        + v[:, b1] * h1[None, :] + v[:, b1 + 1] * e1[None, :]
+    )
     return (255.0 - pooled) / 255.0
 
 
@@ -244,8 +292,14 @@ def detect(gray: np.ndarray, cfg: PPOCRConfig) -> list[np.ndarray]:
     """Full det stage on one grayscale image → list of int quads (4,2) in
     source coordinates, reading order."""
     src_h, src_w = gray.shape
-    resized, ratio_h, ratio_w = resize_type0(gray, cfg.limit_type, cfg.limit_side_len)
-    prob = probability_map(resized)
+    resize_h, resize_w = resize_dims(
+        src_h, src_w, cfg.limit_type, cfg.limit_side_len
+    )
+    ratio_h = resize_h / float(src_h)
+    ratio_w = resize_w / float(src_w)
+    ink = pooled_ink(gray, resize_h, resize_w)
+    ink = _hmax_filter(ink, DILATE_W)
+    prob = _box_filter(ink, WIN_H, WIN_W).astype(np.float32)
     bitmap = prob > cfg.det_db_thresh
     if cfg.use_dilation:
         bitmap = _dilate2x2(bitmap)
