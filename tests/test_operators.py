@@ -458,3 +458,33 @@ class TestConfig:
         from ppocr_spark.status import StatusCode, state_message
 
         assert state_message(StatusCode.NO_TEXT).startswith("No text")
+
+
+class TestGapTreeProperties:
+    def test_permutation_invariance(self):
+        """SURVEY §5.5: GapTree output order must not depend on input
+        block order (the reference sorts internally,
+        api/python/tbpu/parser_tools/gap_tree.py:74)."""
+        import random
+
+        from ppocr_spark.operators.layout import gap_tree_sort
+
+        random.seed(7)
+        # two-column page: 4 left blocks, 4 right blocks, interleaved rows
+        blocks = []
+        for r in range(4):
+            blocks.append(_blk(0, r * 30, 180, r * 30 + 20, f"L{r}"))
+            blocks.append(_blk(300, r * 30, 480, r * 30 + 20, f"R{r}"))
+        for b in blocks:
+            b["nbbox"] = (
+                b["box"][0][0], b["box"][0][1],
+                b["box"][2][0], b["box"][2][1],
+            )
+        base_order = [b["text"] for b in gap_tree_sort(list(blocks))[0]]
+        for _ in range(20):
+            shuffled = list(blocks)
+            random.shuffle(shuffled)
+            order = [b["text"] for b in gap_tree_sort(shuffled)[0]]
+            assert order == base_order, order
+        # and the order is column-major (reading order), not row-major
+        assert base_order == ["L0", "L1", "L2", "L3", "R0", "R1", "R2", "R3"]
