@@ -558,6 +558,55 @@ FROM (
 """
 
 
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-pre-tokenizer-style (letter/digit/symbol-run)
+    token counting, portable regex only."""
+    d = _load(spark, sf_dir, "documents")
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+    return d.select(
+        "doc_id",
+        F.size(F.expr(_SPARK_TOKS)).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(pat)).alias("n_bpe_ish"),
+    ).orderBy("doc_id")
+
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id, len({_DUCK_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]'))
+           AS n_bpe_ish
+FROM documents ORDER BY doc_id
+"""
+
+
+def _winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 char grams, window 5) — classic
+    near-identity document sketch; JVM expressions only."""
+    from ppocr_spark.functions.text import winnowing_fingerprint
+
+    d = _load(spark, sf_dir, "documents")
+    fp = winnowing_fingerprint(F.col("text"), k=8, w=5)
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.element_at(fp, 1).alias("fp_min"),
+    ).orderBy("doc_id")
+
+
+_WINNOWING_SQL = """
+SELECT doc_id, len(fps) AS n_fp, fps[1] AS fp_min FROM (
+  SELECT doc_id, list_sort(list_distinct(
+    list_transform(range(1, greatest(len(hs) - 4, 1) + 1),
+                   j -> list_aggregate(hs[j:j+4], 'min')))) AS fps
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                          i -> md5(substr(lower(text), i, 8))) AS hs
+    FROM documents
+  )
+) ORDER BY doc_id
+"""
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ppocr_spark.functions.dedup import exact_dedup
 
@@ -1147,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _text_features,
         "text_langid": _langid,
         "text_fingerprint": _fingerprint,
+        "text_token_counts": _token_counts,
+        "text_winnowing": _winnowing,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -1187,6 +1238,8 @@ def oracle_sql() -> dict[str, str]:
         "text_features": _TEXT_FEATURES_SQL,
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "text_token_counts": _TOKEN_COUNTS_SQL,
+        "text_winnowing": _WINNOWING_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,

@@ -191,3 +191,26 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprint(
+    col: Column, k: int = 8, w: int = 5
+) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken 2003,
+    public algorithm): hash every k-char gram of the lowercased text, take
+    the minimum hash of each w-length window, dedupe — robust to
+    insertions/reordering, the classic plagiarism/doc-identity sketch.
+    Pure JVM expressions (portable: same md5 text hashing in DuckDB)."""
+    s = F.lower(col)
+    n = F.length(s)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(s.substr(i, F.lit(k))),
+    )
+    mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))
