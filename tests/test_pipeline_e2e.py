@@ -73,3 +73,26 @@ def test_status_codes_present(frames):
     )
     seen = {r["code"] for r in codes}
     assert 100 in seen  # OK present; other codes depend on the sampled pool
+
+
+def test_copartitioned_path_matches_broadcast(frames):
+    """broadcast_media=False is the 100 TB path (media too big to
+    broadcast): co-partitioned shuffle join on base_ref must produce
+    byte-identical span sequences."""
+    docs, media, expected = frames
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+    result = extract_documents(docs, media, cfg, broadcast_media=False)
+    res = {r["doc_id"]: r["spans"] for r in result.collect()}
+    exp = {r["doc_id"]: r["spans"] for r in expected.collect()}
+    assert set(res) == set(exp)
+    for doc_id, exp_spans in exp.items():
+        got = res[doc_id]
+        assert len(got) == len(exp_spans), doc_id
+        for g, e in zip(got, exp_spans):
+            assert (
+                g["kind"], g["text"] or "", g["media_ref"] or None,
+                g["order"], g["code"],
+            ) == (
+                e["kind"], e["text"] or "", e["media_ref"] or None,
+                e["order"], e["code"],
+            ), doc_id
