@@ -76,7 +76,7 @@ def run_level(cores: int, n_docs: int) -> dict:
 
 
 def main():
-    n_docs = int(os.environ.get("SCALING_DOCS", "800"))
+    n_docs = int(os.environ.get("SCALING_DOCS", "3200"))
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     # warm the corpus cache once so no level pays generation
     from ppocr_spark.corpus import ensure_corpus
