@@ -82,16 +82,21 @@ def parse_request_json(requests: DataFrame, col: str = "request") -> DataFrame:
         F.col("req.image_path").isNotNull().cast("int")
         + F.col("req.image_base64").isNotNull().cast("int")
     )
+    # exit is checked FIRST and wins over task keys (task.cpp:143-149)
+    is_exit = F.col("req.exit").isNotNull()
     return parsed.select(
         "*",
         F.when(bad, F.lit(None))
+        .when(is_exit, F.lit("exit"))
         .when(F.col("req.image_path").isNotNull(), F.lit("path"))
         .when(F.col("req.image_base64").isNotNull(), F.lit("base64"))
         .alias("task_kind"),
         F.when(bad, F.lit(None))
         .otherwise(F.coalesce("req.image_path", "req.image_base64"))
         .alias("payload"),
+        # 'exit' is valid control, not an error (cpp/src/task.cpp:143-149)
         F.when(bad, F.lit(200))
+        .when(is_exit, F.lit(100))
         .when(keys_present != 1, F.lit(201))
         .otherwise(F.lit(100))
         .alias("code"),

@@ -217,3 +217,21 @@ class TestStreamingWindowedMetrics:
         assert rows_out, "no windows closed"
         for (minute, kind), n in rows_out.items():
             assert n == 10, (minute, kind, n)
+
+
+class TestExitControl:
+    def test_exit_request_is_valid_control(self, spark):
+        from ppocr_spark.sources.readers import parse_request_json
+
+        df = spark.createDataFrame(
+            [('{"exit": ""}',), ('{"image_path": "a.png"}',),
+             ('{"exit": "", "image_path": "a.png"}',), ("not json",)],
+            "request string",
+        )
+        rows = {r["request"]: (r["task_kind"], r["code"])
+                for r in parse_request_json(df).collect()}
+        assert rows['{"exit": ""}'] == ("exit", 100)
+        assert rows['{"image_path": "a.png"}'] == ("path", 100)
+        # exit wins over task keys (checked first, task.cpp:143-149)
+        assert rows['{"exit": "", "image_path": "a.png"}'] == ("exit", 100)
+        assert rows["not json"] == (None, 200)
