@@ -488,3 +488,45 @@ class TestGapTreeProperties:
             assert order == base_order, order
         # and the order is column-major (reading order), not row-major
         assert base_order == ["L0", "L1", "L2", "L3", "R0", "R1", "R2", "R3"]
+
+
+class TestFusedDetFrontEnd:
+    def test_fused_matches_legacy_composition(self):
+        """pooled_ink (fused D1+pool) must stay equivalent to the legacy
+        resize→uint8→pool composition up to the removed quantization: prob
+        maps within 1/255, detected boxes within 1 px on rendered pages."""
+        import numpy as np
+
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.operators import detect as D
+        from ppocr_spark.render import render_page
+
+        cfg = PPOCRConfig()
+        for i in range(8):
+            rng = np.random.default_rng(i)
+            lines = ["spark engine text"] * (1 + i % 4)
+            img, _ = render_page(
+                lines, skew_deg=float(rng.uniform(-3, 3)) if i % 2 else 0.0
+            )
+            h, w = img.shape
+            rh, rw = D.resize_dims(h, w, cfg.limit_type, cfg.limit_side_len)
+            resized, _, _ = D.resize_type0(img, cfg.limit_type,
+                                           cfg.limit_side_len)
+            legacy = D.probability_map(resized)
+            ink = D.pooled_ink(img, rh, rw)
+            ink = D._hmax_filter(ink, D.DILATE_W)
+            fused = D._box_filter(ink, D.WIN_H, D.WIN_W).astype(np.float32)
+            assert fused.shape == legacy.shape
+            assert np.abs(fused - legacy).max() <= 1.0 / 255.0 + 1e-6
+
+            boxes_fused = D.detect(img, cfg)
+            bitmap = legacy > cfg.det_db_thresh
+            b, _ = D.boxes_from_bitmap(legacy, bitmap, cfg)
+            b = D.filter_tag_det_res(
+                b, rh / float(h) / D.STRIDE, rw / float(w) / D.STRIDE,
+                h, w, cfg.min_area_size,
+            )
+            boxes_legacy = D.sorted_boxes(b)
+            assert len(boxes_fused) == len(boxes_legacy)
+            for x, y in zip(boxes_legacy, boxes_fused):
+                assert np.abs(x - y).max() <= 1
