@@ -298,6 +298,24 @@ def _pdf_spec(i: int, cfg: PPOCRConfig) -> PdfSpec:
 MISSING_REF = "img_missing"  # referenced by ~0.5% of media spans, no media row
 
 
+def _html_span_payload(rng: np.random.Generator) -> tuple[str, str]:
+    """Authored-HTML text span → (raw_html, authored_main_text). The main
+    text is KNOWN at authoring; the pipeline's html_strip='main' mode must
+    recover it through the generic extractor (never run at generation)."""
+    paras = [_html_paragraph(rng) for _ in range(int(rng.integers(1, 3)))]
+    nav = f"<nav>{_html_linklist(rng, int(rng.integers(2, 5)), 'nav')}</nav>"
+    dense = (
+        '<div class="rel">'
+        + " ".join(
+            f'<a href="/r/{k}">{rng.choice(_LATIN_WORDS)}</a>'
+            for k in range(int(rng.integers(2, 4)))
+        )
+        + "</div>"
+    )
+    html = "<div>" + nav + "".join(p for p, _ in paras) + dense + "</div>"
+    return html, " ".join(t for _, t in paras)
+
+
 def generate_corpus(
     n_docs: int,
     cfg: PPOCRConfig | None = None,
@@ -316,7 +334,7 @@ def generate_corpus(
     pool = build_media_pool(media_pool_size, cfg)
     pdf_pool = build_pdf_pool(max(2, media_pool_size // 4), cfg)
 
-    documents, expected = [], []
+    documents, expected, expected_main = [], [], []
     for d in range(n_docs):
         doc_id = f"doc_{d:08d}"
         rng = _rng("doc", d)
@@ -326,7 +344,7 @@ def generate_corpus(
         else:
             n_spans = int(rng.integers(1, 13))
             media_frac = 0.30
-        spans, exp_spans = [], []
+        spans, exp_spans, exp_main_spans = [], [], []
         for off in range(n_spans):
             if rng.random() < media_frac:
                 r = rng.random()
@@ -347,12 +365,26 @@ def generate_corpus(
                     {"kind": "media", "text": None, "media_ref": ref, "offset": off}
                 )
             else:
-                raw = _text_span_payload(rng)
+                if rng.random() < 0.10:  # authored-HTML text span
+                    raw, main_txt = _html_span_payload(rng)
+                else:
+                    raw = _text_span_payload(rng)
+                    norm0, _c0 = normalize_text_span(raw)
+                    # html_strip='main' keeps a plain block iff >= 2 words
+                    # (MIN_BLOCK_WORDS) — known at authoring, not computed
+                    # by the extractor under test
+                    main_txt = norm0 if len(norm0.split()) >= 2 else ""
                 norm, code = normalize_text_span(raw)
                 spans.append(
                     {"kind": "text", "text": raw, "media_ref": None, "offset": off}
                 )
                 exp = ("text", norm, None, off, code)
+                exp_main = (
+                    "text", main_txt, None, off,
+                    int(StatusCode.OK) if main_txt else int(StatusCode.NO_TEXT),
+                )
+            if exp[0] == "media":
+                exp_main = exp  # html_strip touches only the text branch
             exp_spans.append(
                 {
                     "kind": exp[0],
@@ -362,8 +394,18 @@ def generate_corpus(
                     "code": exp[4],
                 }
             )
+            exp_main_spans.append(
+                {
+                    "kind": exp_main[0],
+                    "text": exp_main[1],
+                    "media_ref": exp_main[2],
+                    "order": exp_main[3],
+                    "code": exp_main[4],
+                }
+            )
         documents.append({"doc_id": doc_id, "spans": spans})
         expected.append({"doc_id": doc_id, "spans": exp_spans})
+        expected_main.append({"doc_id": doc_id, "spans": exp_main_spans})
 
     media_rows = [
         {
@@ -411,7 +453,8 @@ def generate_corpus(
          "decode_ok": False, "ink_ratio": 0.0, "feat_sum": None}
         for p in pdf_pool
     ]
-    return documents, media_rows, expected, block_rows, meta_rows
+    return (documents, media_rows, expected, block_rows, meta_rows,
+            expected_main)
 
 
 # ---------------------------------------------------------------------------
@@ -569,9 +612,9 @@ def ensure_corpus(n_docs: int, base_dir: str | None = None) -> str:
     if base_dir is None:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
-    # v5: fused det resize+pool (float32 prob map, no uint8 quantization) (bump on any generation
+    # v6: authored-HTML text spans + html_strip='main' golden table (bump on any generation
     # change so stale caches never leak across versions)
-    out = os.path.join(base_dir, f"corpus_{n_docs}_v5")
+    out = os.path.join(base_dir, f"corpus_{n_docs}_v6")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -586,7 +629,8 @@ def write_corpus(out_dir: str, n_docs: int, cfg: PPOCRConfig | None = None, **kw
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    docs, media, expected, blocks, meta = generate_corpus(n_docs, cfg, **kw)
+    (docs, media, expected, blocks, meta,
+     expected_main) = generate_corpus(n_docs, cfg, **kw)
 
     span_t = pa.struct(
         [("kind", pa.string()), ("text", pa.string()),
@@ -626,6 +670,17 @@ def write_corpus(out_dir: str, n_docs: int, cfg: PPOCRConfig | None = None, **kw
     pq.write_table(docs_t, os.path.join(out_dir, "documents_spans.parquet"))
     pq.write_table(media_t, os.path.join(out_dir, "media.parquet"))
     pq.write_table(exp_t, os.path.join(out_dir, "expected_spans.parquet"))
+    exp_main_t = pa.table(
+        {
+            "doc_id": [e["doc_id"] for e in expected_main],
+            "spans": pa.array(
+                [e["spans"] for e in expected_main], pa.list_(exp_span_t)
+            ),
+        }
+    )
+    pq.write_table(
+        exp_main_t, os.path.join(out_dir, "expected_spans_main.parquet")
+    )
     blocks_t = pa.table(
         {
             "media_ref": [b["media_ref"] for b in blocks],

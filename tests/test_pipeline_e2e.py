@@ -96,3 +96,30 @@ def test_copartitioned_path_matches_broadcast(frames):
                 e["kind"], e["text"] or "", e["media_ref"] or None,
                 e["order"], e["code"],
             ), doc_id
+
+
+def test_html_main_mode_span_equality(spark, small_corpus):
+    """html_strip='main': authored-HTML text spans reduce to their
+    authored main content; plain spans obey the min-words rule; media
+    spans unchanged — against the generation-time main-mode golden."""
+    docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+    media = spark.read.parquet(f"{small_corpus}/media.parquet")
+    expected = spark.read.parquet(
+        f"{small_corpus}/expected_spans_main.parquet"
+    )
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True, html_strip="main")
+    result = extract_documents(docs, media, cfg, broadcast_media=True)
+    res = {r["doc_id"]: r["spans"] for r in result.collect()}
+    exp = {r["doc_id"]: r["spans"] for r in expected.collect()}
+    assert set(res) == set(exp)
+    for doc_id, exp_spans in exp.items():
+        got = res[doc_id]
+        assert len(got) == len(exp_spans), doc_id
+        for g, e in zip(got, exp_spans):
+            assert (
+                g["kind"], g["text"] or "", g["media_ref"] or None,
+                g["order"], g["code"],
+            ) == (
+                e["kind"], e["text"] or "", e["media_ref"] or None,
+                e["order"], e["code"],
+            ), (doc_id, g, e)
