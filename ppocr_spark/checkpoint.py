@@ -116,7 +116,18 @@ def run_resumable(
     ).join(docs_b.select("doc_id", "bucket"), "doc_id")
 
     res_path = os.path.join(out_dir, "results")
-    result.write.mode("append").partitionBy("bucket").parquet(res_path)
+    # EXACTLY-ONCE per bucket: dynamic partition overwrite makes a re-run
+    # bucket atomically REPLACE its own partition directory instead of
+    # appending a second copy. This closes both duplicate channels:
+    #   (a) kill between the results write and the manifest write → the
+    #       bucket recomputes next run and overwrites bucket=N in place;
+    #   (b) lineage-guard invalidation (input slice changed) → the whole
+    #       bucket re-runs and its stale rows are replaced, not shadowed.
+    # Only partitions present in `result` are touched — completed buckets
+    # not in `todo` keep their data (that is what 'dynamic' means).
+    result.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(res_path)
 
     # manifest rows from the written results (counts observed post-write)
     written = spark.read.parquet(res_path).filter(F.col("bucket").isin(todo_ids))

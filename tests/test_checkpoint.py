@@ -37,3 +37,35 @@ def test_resume_skips_completed(spark, small_corpus, tmp_path):
     s3 = run_resumable(spark, docs2, media, out, cfg, n_buckets=8,
                        broadcast_media=True)
     assert 1 <= s3["buckets_run"] <= 2
+
+    # EXACTLY-ONCE after the invalidated-bucket re-run: the bucket's
+    # pre-existing docs must not be duplicated by the recompute (dynamic
+    # partition overwrite replaces the partition; append would double it)
+    res3 = spark.read.parquet(f"{out}/results")
+    assert res3.count() == docs2.count()
+    assert res3.select("doc_id").distinct().count() == docs2.count()
+
+
+def test_kill_between_results_and_manifest(spark, small_corpus, tmp_path):
+    """Simulate a kill AFTER the results write but BEFORE the manifest
+    write: results exist on disk, no manifest row marks them complete.
+    The resume must recompute those buckets WITHOUT duplicating rows."""
+    import shutil
+
+    docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+    media = spark.read.parquet(f"{small_corpus}/media.parquet")
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+    out = str(tmp_path / "run")
+
+    run_resumable(spark, docs, media, out, cfg, n_buckets=8,
+                  broadcast_media=True)
+    # the kill: manifest never landed, results did
+    shutil.rmtree(f"{out}/manifest")
+
+    s2 = run_resumable(spark, docs, media, out, cfg, n_buckets=8,
+                       broadcast_media=True)
+    assert s2["buckets_run"] > 0  # nothing was marked complete
+
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == docs.count()
+    assert res.select("doc_id").distinct().count() == docs.count()
