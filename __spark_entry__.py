@@ -62,11 +62,6 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SPARK_TOKS = "filter(split(trim(text), '\\\\s+'), w -> w <> '')"
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
 
-_SPARK_GRAMS = (
-    "CASE WHEN size(toks) < 3 THEN array() "
-    "ELSE array_distinct(transform(sequence(0, size(toks)-3), "
-    "i -> concat_ws(' ', slice(toks, i+1, 3)))) END"
-)
 _DUCK_GRAMS = (
     "CASE WHEN len(toks) < 3 THEN [] "
     "ELSE list_distinct(list_transform(range(0, len(toks)-2), "
@@ -466,6 +461,40 @@ SELECT code, count(*) AS count FROM (
 """
 
 
+def _request_corpus(sf_dir: str) -> str:
+    from ppocr_spark.corpus import ensure_request_corpus
+
+    return ensure_request_corpus(max(60, _corpus_docs_for(sf_dir)))
+
+
+def _base64_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S7 failure taxonomy end-to-end: JSON requests (valid path /
+    missing path / valid b64 / invalid b64 / b64-of-junk / bad JSON /
+    ambiguous keys) through the REAL dispatch + decode + OCR plan; counts
+    per status code incl. 300 (BASE64_DECODE_FAIL) and 301
+    (BASE64_IMAGE_FAIL). Oracle = authoring-time expected codes."""
+    from ppocr_spark.pipeline import ocr_requests
+
+    rdir = _request_corpus(sf_dir)
+    reqs = spark.read.parquet(f"{rdir}/requests.parquet")
+    media = spark.read.parquet(f"{rdir}/request_media.parquet")
+    out = ocr_requests(reqs, media, PPOCRConfig(cls=True, use_angle_cls=True))
+    return (
+        out.groupBy("code")
+        .agg(F.count("*").alias("n_requests"))
+        .orderBy("code")
+    )
+
+
+def _base64_taxonomy_sql(sf_dir: str) -> str:
+    rdir = _request_corpus(sf_dir)
+    return (
+        "SELECT expected_code AS code, count(*) AS n_requests "
+        f"FROM read_parquet('{rdir}/request_truth.parquet') "
+        "GROUP BY 1 ORDER BY code"
+    )
+
+
 def _k1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1's drop-empty/score<=0 output filter, applied relationally."""
     e = _load(spark, sf_dir, "events")
@@ -485,25 +514,21 @@ GROUP BY event_type ORDER BY event_type
 
 
 def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calls the SHIPPED library surface (functions.text.add_text_features)
+    so the gate certifies what users import, not an inline twin."""
+    from ppocr_spark.functions.text import add_text_features
+
     d = _load(spark, sf_dir, "documents")
-    toks = F.expr(_SPARK_TOKS)
-    n = F.length("text")
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    punct = (
-        F.length("text")
-        - F.length(F.regexp_replace("text", r"[\p{P}]", ""))
-    ) / F.greatest(F.length("text"), F.lit(1))
-    quality = (
-        F.when((n >= 50) & (n <= 10000), 1.0).otherwise(0.4)
-        * F.when(punct < 0.2, 1.0).otherwise(0.5)
-        * F.when(((n / n_tok) >= 3) & ((n / n_tok) <= 12), 1.0).otherwise(0.6)
+    return (
+        add_text_features(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("quality", 6).alias("quality"),
+        )
+        .orderBy("doc_id")
     )
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.round(punct, 6).alias("punct_ratio"),
-        F.round(quality, 6).alias("quality"),
-    ).orderBy("doc_id")
 
 
 _TEXT_FEATURES_SQL = f"""
@@ -522,9 +547,13 @@ FROM documents ORDER BY doc_id
 
 
 def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library lang_id (priority tie-break en>de>fr>es) vs the oracle's
+    CASE chain — the same rule stated two independent ways."""
+    from ppocr_spark.functions.text import lang_id
+
     d = _load(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.expr(_langid_case("spark")).alias("lang_pred")
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
     ).orderBy("doc_id")
 
 
@@ -535,15 +564,14 @@ _LANGID_SQL = (
 
 
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ppocr_spark.functions.text import doc_fingerprint
+
     d = _load(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .select("doc_id", F.expr(_SPARK_GRAMS).alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select(
-            "doc_id",
-            F.array_min(F.transform(F.col("grams"), F.md5)).alias("fingerprint"),
+        d.select(
+            "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
         )
+        .filter(F.col("fingerprint").isNotNull())  # < n tokens → no grams
         .orderBy("doc_id")
     )
 
@@ -559,14 +587,16 @@ FROM (
 
 
 def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-pre-tokenizer-style (letter/digit/symbol-run)
-    token counting, portable regex only."""
+    """Whitespace + BPE-pre-tokenizer-style token counting — the shipped
+    functions (token_count / bpe_ish_token_count); the oracle mirrors
+    BPE_ISH_PATTERN verbatim."""
+    from ppocr_spark.functions.text import bpe_ish_token_count, token_count
+
     d = _load(spark, sf_dir, "documents")
-    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
     return d.select(
         "doc_id",
-        F.size(F.expr(_SPARK_TOKS)).alias("n_ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(pat)).alias("n_bpe_ish"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
     ).orderBy("doc_id")
 
 
@@ -687,13 +717,12 @@ ORDER BY a, b
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library simhash (dedup.simhash_fingerprints) vs the generated
+    DuckDB dialect of the same bit-vote definition."""
+    from ppocr_spark.functions.dedup import simhash_fingerprints
+
     d = _load(spark, sf_dir, "documents")
-    hashes, terms = _simhash_expr("spark")
-    return (
-        d.select("doc_id", F.expr(hashes).alias("hs"))
-        .select("doc_id", F.expr(terms).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return simhash_fingerprints(d).orderBy("doc_id")
 
 
 def _dedup_simhash_sql() -> str:
@@ -702,6 +731,31 @@ def _dedup_simhash_sql() -> str:
         f"SELECT doc_id, {terms} AS simhash FROM "
         f"(SELECT doc_id, {hashes} AS hs FROM documents) ORDER BY doc_id"
     )
+
+
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming ≤ 8 via the pigeonhole multi-block plan.
+    The oracle is the BRUTE-FORCE all-pairs hamming join — pigeonhole
+    bucketing guarantees identical output, and the gate proves it."""
+    from ppocr_spark.functions.dedup import simhash_near_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=8).orderBy("a", "b")
+
+
+def _dedup_simhash_pairs_sql() -> str:
+    hashes, terms = _simhash_expr("duck")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, {terms} AS simhash FROM
+  (SELECT doc_id, {hashes} AS hs FROM documents)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+ORDER BY a, b
+"""
 
 
 def _emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,6 +817,76 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=5, bits=6, tables=4, dim=64).orderBy(
         "query_id", "rank"
     )
+
+
+def _lsh_sigs_cte(bits: int, tables: int, dim: int) -> str:
+    """DuckDB CTE computing per-table bucket ids from the SAME hyperplane
+    literals the Spark operators inline (similarity.hyperplanes — single
+    source; kills the rows-only check on the LSH path)."""
+    from ppocr_spark.functions.similarity import (
+        hyperplanes,
+        signature_sql_duckdb,
+    )
+
+    planes = hyperplanes(dim, bits, tables)
+    sigs = ", ".join(
+        f"{signature_sql_duckdb(planes[t])} AS b{t}" for t in range(tables)
+    )
+    return f"SELECT vec_id, embedding, {sigs} FROM embeddings"
+
+
+def _ann_lsh_sql() -> str:
+    tables = 4
+    match = " OR ".join(f"c.b{t} = q.b{t}" for t in range(tables))
+    return f"""
+WITH base AS ({_lsh_sigs_cte(bits=6, tables=4, dim=64)}),
+q AS (SELECT * FROM base WHERE vec_id < 8),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw
+  FROM base c JOIN q ON ({match}) AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale embedding near-dup path: hyperplane-LSH bucket
+    join + exact cosine verify on candidates only (the all-pairs
+    dedup_embedding_cosine is the test-only recall baseline)."""
+    from ppocr_spark.functions.similarity import lsh_near_dup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return (
+        lsh_near_dup_pairs(e, threshold=0.4, bits=6, tables=4, dim=64)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("a", "b")
+    )
+
+
+def _emb_lsh_pairs_sql() -> str:
+    tables = 4
+    match = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+    return f"""
+WITH base AS ({_lsh_sigs_cte(bits=6, tables=4, dim=64)}),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cos_raw
+  FROM base x JOIN base y ON ({match}) AND x.vec_id < y.vec_id
+)
+SELECT a, b, round(cos_raw, 6) AS cosine FROM pairs
+WHERE cos_raw >= 0.4 ORDER BY a, b
+"""
 
 
 # --- OCR pipeline queries (our own interleaved corpus; oracle = the
@@ -1192,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _rollup_revenue,
         "span_explode_reassemble": _span_explode,
         "status_code_taxonomy": _status_taxonomy,
+        "base64_status_taxonomy": _base64_taxonomy,
         "k1_output_filter": _k1_filter,
         "text_features": _text_features,
         "text_langid": _langid,
@@ -1202,9 +1327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _emb_cosine_pairs,
         "ann_topk_bruteforce": _ann_brute,
         "ann_topk_lsh": _ann_lsh,
+        "dedup_embedding_lsh": _emb_lsh_pairs,
         "ocr_extract_spans": _ocr_extract,
         "ocr_blocks": _ocr_blocks,
         "image_metadata": _image_metadata,
@@ -1234,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _ROLLUP_SQL,
         "span_explode_reassemble": _SPAN_EXPLODE_SQL,
         "status_code_taxonomy": _STATUS_TAXONOMY_SQL,
+        "base64_status_taxonomy": _base64_taxonomy_sql(sf_dir),
         "k1_output_filter": _K1_FILTER_SQL,
         "text_features": _TEXT_FEATURES_SQL,
         "text_langid": _LANGID_SQL,
@@ -1244,9 +1372,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _dedup_simhash_sql(),
+        "dedup_simhash_pairs": _dedup_simhash_pairs_sql(),
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
         "ann_topk_bruteforce": _ANN_BRUTE_SQL,
-        # ann_topk_lsh: no SQL oracle (numpy hyperplanes) → rows-only check
+        "ann_topk_lsh": _ann_lsh_sql(),
+        "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
         "ocr_extract_spans": _ocr_extract_sql(sf_dir),
         "ocr_blocks": _ocr_blocks_sql(sf_dir),
         "image_metadata": _image_metadata_sql(sf_dir),

@@ -54,7 +54,8 @@ class MediaSpec:
     expected_text: str
     expected_code: int
     expected_blocks: list[dict] | None = None  # laid blocks (box/text/end)
-    meta: tuple[int, int, float] | None = None  # (width, height, ink_ratio)
+    # (width, height, ink_ratio, feat_sum)
+    meta: tuple[int, int, float, float] | None = None
 
 
 def _rng(*parts) -> np.random.Generator:
@@ -810,7 +811,9 @@ def ensure_html_corpus(n_pages: int, base_dir: str | None = None) -> str:
     if base_dir is None:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
-    out = os.path.join(base_dir, f"html_{n_pages}")
+    # bump the version suffix on ANY change to generate_html_page /
+    # _html_paragraph — same stale-cache invariant as ensure_corpus
+    out = os.path.join(base_dir, f"html_{n_pages}_v1")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -824,6 +827,126 @@ def ensure_html_corpus(n_pages: int, base_dir: str | None = None) -> str:
     pq.write_table(
         pa.table({"doc_id": ids, "main_text": [t for _, t in pages]}),
         os.path.join(out, "html_truth.parquet"),
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# request corpus (S7 dispatch + S5 base64 taxonomy, incl. codes 300/301)
+# ---------------------------------------------------------------------------
+
+
+def generate_request_corpus(n_requests: int, cfg: PPOCRConfig | None = None):
+    """→ (request_rows, media_rows, truth_rows).
+
+    Request JSON strings covering the full dispatch taxonomy with the
+    expected code KNOWN at authoring (generation picks the failure mode;
+    the pipeline under test must classify it the same way):
+
+      valid path → pool expected_code · missing path → 202
+      valid b64 of a pool image → pool expected_code
+      b64 with out-of-alphabet chars → 300 · valid b64 of junk bytes → 301
+      unparseable JSON → 200 · ambiguous keys → 201
+    """
+    import base64 as b64mod
+    import json
+
+    cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
+    pool = build_media_pool(max(6, n_requests // 10), cfg)
+
+    requests, truth = [], []
+    for i in range(n_requests):
+        rng = _rng("req", i)
+        rid = f"req_{i:08d}"
+        r = rng.random()
+        if r < 0.28:  # path to an existing media row
+            spec = pool[int(rng.integers(0, len(pool)))]
+            req = json.dumps({"image_path": spec.media_ref})
+            code = spec.expected_code
+        elif r < 0.38:  # path to a missing media row
+            req = json.dumps({"image_path": f"img_missing_{i}"})
+            code = int(StatusCode.PATH_NOT_EXIST)
+        elif r < 0.64:  # valid base64 of a valid image
+            spec = pool[int(rng.integers(0, len(pool)))]
+            req = json.dumps(
+                {"image_base64": b64mod.b64encode(spec.content).decode()}
+            )
+            code = spec.expected_code
+        elif r < 0.76:  # base64 with characters outside the alphabet
+            req = json.dumps({"image_base64": f"@@not-base64!!{i}"})
+            code = int(StatusCode.BASE64_DECODE_FAIL)
+        elif r < 0.88:  # well-formed base64 of non-image bytes
+            junk = bytes(
+                _rng("reqjunk", i).integers(0, 256, size=64, dtype=np.uint8)
+            )
+            req = json.dumps(
+                {"image_base64": b64mod.b64encode(junk).decode()}
+            )
+            code = int(StatusCode.BASE64_IMAGE_FAIL)
+        elif r < 0.94:  # unparseable JSON
+            req = '{"image_path": broken'
+            code = int(StatusCode.JSON_PARSE_ERR)
+        else:  # ambiguous: two task keys
+            req = json.dumps({"image_path": "x", "image_base64": "eA=="})
+            code = int(StatusCode.JSON_KEY_INVALID)
+        requests.append({"req_id": rid, "request": req})
+        truth.append({"req_id": rid, "expected_code": int(code)})
+
+    media_rows = [
+        {"media_ref": s.media_ref, "content": s.content} for s in pool
+    ]
+    return requests, media_rows, truth
+
+
+def ensure_request_corpus(n_requests: int, base_dir: str | None = None) -> str:
+    """Idempotent cached request corpus: requests.parquet(req_id, request)
+    + request_media.parquet(media_ref, content) +
+    request_truth.parquet(req_id, expected_code)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                ".cache")
+    # bump on any generate_request_corpus change (stale-cache invariant)
+    out = os.path.join(base_dir, f"requests_{n_requests}_v1")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    reqs, media, truth = generate_request_corpus(n_requests)
+    pq.write_table(
+        pa.table(
+            {
+                "req_id": [r["req_id"] for r in reqs],
+                "request": [r["request"] for r in reqs],
+            }
+        ),
+        os.path.join(out, "requests.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [m["media_ref"] for m in media],
+                "content": pa.array(
+                    [m["content"] for m in media], pa.binary()
+                ),
+            }
+        ),
+        os.path.join(out, "request_media.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "req_id": [t["req_id"] for t in truth],
+                "expected_code": pa.array(
+                    [t["expected_code"] for t in truth], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(out, "request_truth.parquet"),
     )
     with open(marker, "w") as fh:
         fh.write("ok")

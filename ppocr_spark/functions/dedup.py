@@ -9,10 +9,11 @@ embedding-cosine) — the training-data-pipeline staples, built Spark-first:
 - minhash+LSH: signatures via portable md5-min permutations (text.py),
   banded into buckets; candidate pairs only join within a bucket —
   the classic sub-quadratic near-dup path.
-- simhash:    64-bit fingerprints; near-dups = hamming distance <= r on
-  bucket-partitioned prefixes.
-- embedding:  cosine >= threshold pairs via block-join (LSH-bucketed
-  variant in similarity.py scales it).
+- simhash:    60-bit fingerprints; near-dups = hamming distance <= r via
+  pigeonhole multi-block bucketing (r+1 blocks → guaranteed recall,
+  output identical to the all-pairs scan).
+- embedding:  cosine >= threshold pairs; all-pairs baseline here,
+  production path = similarity.lsh_near_dup_pairs (bucketed).
 """
 
 from __future__ import annotations
@@ -233,17 +234,52 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed on the top 16
-    bits (near-identical docs share the prefix with high probability) so
-    the pair join never goes all-to-all."""
-    fp = simhash_fingerprints(df, text_col, id_col).withColumn(
-        "bucket", F.shiftright("simhash", 44)
-    ).persist()  # self-joined below; one hash pass, not two
+    """Near-dup pairs by SimHash hamming distance ≤ r, found by PIGEONHOLE
+    multi-block bucketing: the 60-bit fingerprint is split into r+1
+    equal-ish blocks; two fingerprints at hamming distance ≤ r differ in
+    at most r blocks, so they agree EXACTLY on at least one block —
+    joining on (block index, block value) has **guaranteed recall** (the
+    output equals the all-pairs scan's, which is what the DuckDB oracle
+    computes) while staying sub-quadratic. Multi-block also spreads
+    near-dup-heavy corpora across r+1 independent keyspaces instead of
+    piling them into one prefix bucket (the skew failure of top-k-bit
+    bucketing)."""
+    n_blocks = max_hamming + 1
+    total_bits = 60
+    base = total_bits // n_blocks
+    extra = total_bits % n_blocks  # first `extra` blocks get one more bit
+    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    # block k covers bits [off_k, off_k + width_k): value via shift+mask
+    offs, widths = [], []
+    off = 0
+    for k in range(n_blocks):
+        w = base + (1 if k < extra else 0)
+        offs.append(off)
+        widths.append(w)
+        off += w
+    blocks = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftright("simhash", offs[k])
+                        .bitwiseAND(F.lit((1 << widths[k]) - 1))
+                        .alias("val"),
+                    )
+                    for k in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), "simhash", "bk.blk", "bk.val")
     return (
-        fp.alias("x")
+        blocks.alias("x")
         .join(
-            fp.alias("y"),
-            (F.col("x.bucket") == F.col("y.bucket"))
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.val") == F.col("y.val"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
@@ -254,6 +290,7 @@ def simhash_near_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -263,8 +300,13 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dups >= threshold (brute pair join — the
-    LSH-bucketed variant lives in similarity.py for the 100 TB path)."""
+    """Embedding-cosine near-dups >= threshold via brute all-pairs join.
+
+    TEST-ONLY RECALL BASELINE — O(n²) pairs; at 10^9 vectors this is
+    ~10^18 comparisons. The production path is
+    ``similarity.lsh_near_dup_pairs`` (hyperplane-LSH bucket join + exact
+    cosine verify on candidates only), which is what the
+    ``dedup_embedding_lsh`` gate query runs."""
     dot = F.aggregate(
         F.zip_with(
             F.col("x.v"),

@@ -109,6 +109,72 @@ def _signature(vec: Column, planes: list) -> Column:
     return acc
 
 
+def signature_sql_duckdb(planes: list, vec_expr: str = "embedding") -> str:
+    """DuckDB expression computing the SAME bucket id as ``_signature``
+    for one table — generated from the SAME hyperplane literals (the
+    dual-dialect single-source pattern), so the gate value-checks bucket
+    assignment itself instead of a rows-only count."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(w)) for w in plane)
+        proj = f"list_dot_product({vec_expr}::DOUBLE[], [{lits}])"
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list:
+    """Public accessor for the seeded hyperplane literals — the single
+    source shared by the Spark signatures and the DuckDB oracle SQL."""
+    return _hyperplanes(dim, bits, tables, seed)
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) via hyperplane-LSH
+    bucketing — the 100 TB replacement for the all-pairs
+    ``dedup.embedding_near_dup_pairs`` baseline. Candidates = pairs
+    sharing a bucket in ANY table (cost ~ n²/2^bits per table instead of
+    n²); exact cosine verify on candidates only. Recall grows with
+    ``tables`` (union of independent tables); the all-pairs form remains
+    the test-only recall baseline."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *[
+            _signature(F.col(vec_col), planes[t]).alias(f"b{t}")
+            for t in range(tables)
+        ],
+    ).persist()  # self-joined: one signature pass, not two
+    match_any = None
+    for t in range(tables):
+        cond = F.col(f"x.b{t}") == F.col(f"y.b{t}")
+        match_any = cond if match_any is None else (match_any | cond)
+    return (
+        e.alias("x")
+        .join(e.alias("y"), match_any & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            (
+                _dot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nrm") * F.col("y.nrm"))
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -31,15 +31,14 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+
+
 def bpe_ish_token_count(col: Column) -> Column:
-    """Sub-word-ish count: alternating letter/digit/punct runs — the
-    regex-segmentation style of BPE pre-tokenizers."""
-    return F.size(
-        F.filter(
-            F.split(col, r"(?<=[a-zA-Z])(?=[^a-zA-Z\s])|(?<=[^a-zA-Z\s])(?=[a-zA-Z])|\s+"),
-            lambda t: t != "",
-        )
-    )
+    """Sub-word-ish count: letter runs, digit runs, and single symbols —
+    the regex-segmentation style of BPE pre-tokenizers. The pattern is
+    shared verbatim with the DuckDB oracle (``BPE_ISH_PATTERN``)."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -70,14 +69,24 @@ def quality_score(text_col: Column) -> Column:
 
 def lang_id(text_col: Column) -> Column:
     """Heuristic language ID: CJK-char fraction → 'zh'; else the language
-    with the most stopword hits; ties/no-hits → 'und'."""
+    with the most stopword hits; no-hits → 'und'. Ties break by declared
+    language priority (en > de > fr > es — STOPWORDS insertion order), the
+    same rule the generated SQL dialects state as a CASE chain."""
     cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿]", ""))
     frac_cjk = cjk / F.greatest(F.length(text_col), F.lit(1))
-    hit_cols = [
-        stopword_hits(text_col, lang).alias(lang) for lang in STOPWORDS
-    ]
-    arr = F.array(*[F.struct(c.alias("hits"), F.lit(lang).alias("lang"))
-                    for lang, c in zip(STOPWORDS, hit_cols)])
+    langs = list(STOPWORDS)
+    # struct comparison is field-order lexicographic: (hits, priority)
+    # ranks by hits first, then by earlier-declared language
+    arr = F.array(
+        *[
+            F.struct(
+                stopword_hits(text_col, lang).alias("hits"),
+                F.lit(len(langs) - i).alias("pri"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
     best = F.array_max(arr)
     return (
         F.when(frac_cjk > 0.3, F.lit("zh"))

@@ -39,13 +39,22 @@ OCR_RESULT_SCHEMA = (
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,order:int,code:int>"
 
 
-def _ocr_one(content, cfg: PPOCRConfig, page: int | None = None) -> dict:
+def _ocr_one(
+    content,
+    cfg: PPOCRConfig,
+    page: int | None = None,
+    from_base64: bool = False,
+) -> dict:
     """OCR one media payload → result dict. Total function: every failure
     maps to a status code (cpp/include/task.h:13-61 taxonomy).
 
     ``page`` (1-based) addresses a page of a PDF payload
     (``media_ref = "...#page=N"``); the format is sniffed from the bytes
-    like the reference's imread_u8 (cpp/src/task_linux.cpp:106-107)."""
+    like the reference's imread_u8 (cpp/src/task_linux.cpp:106-107).
+
+    ``from_base64`` selects the reference's base64 error family
+    (cpp/src/task.cpp:111-138): missing content (= the base64 string did
+    not decode) → 300, content that decodes to no usable image → 301."""
     import numpy as np
 
     from ppocr_spark.geometry import perspective_crop
@@ -60,24 +69,38 @@ def _ocr_one(content, cfg: PPOCRConfig, page: int | None = None) -> dict:
         text="", boxes=[], texts=[], scores=[], cls_labels=[], cls_scores=[],
         ends=[],
     )
+    no_content = (
+        StatusCode.BASE64_DECODE_FAIL if from_base64
+        else StatusCode.PATH_NOT_EXIST
+    )
+    bad_image = (
+        StatusCode.BASE64_IMAGE_FAIL if from_base64
+        else StatusCode.PATH_READ_FAIL
+    )
     if content is None:
-        return {**empty, "code": int(StatusCode.PATH_NOT_EXIST)}
+        return {**empty, "code": int(no_content)}
     data = bytes(content)
     if is_pdf(data):
         try:
             img = decode_pdf_page(data, page if page is not None else 1)
         except PdfError:
-            return {**empty, "code": int(StatusCode.PATH_READ_FAIL)}
+            return {**empty, "code": int(bad_image)}
     elif page is not None and page != 1:
         # page addressing into a single-image payload
-        return {**empty, "code": int(StatusCode.PATH_READ_FAIL)}
+        return {**empty, "code": int(bad_image)}
     else:
         try:
             img = to_gray(decode(data))
         except PngError:
-            return {**empty, "code": int(StatusCode.PATH_READ_FAIL)}
+            return {**empty, "code": int(bad_image)}
     if img.size == 0:
-        return {**empty, "code": int(StatusCode.IMAGE_DECODE_FAIL)}
+        return {
+            **empty,
+            "code": int(
+                StatusCode.BASE64_IMAGE_FAIL if from_base64
+                else StatusCode.IMAGE_DECODE_FAIL
+            ),
+        }
 
     if cfg.det:
         quads = detect(img, cfg)
@@ -175,10 +198,15 @@ def make_ocr_udf(cfg: PPOCRConfig):
                 if "page" in batch.schema.names
                 else [None] * batch.num_rows
             )
+            b64s = (
+                batch.column("src_b64").to_pylist()
+                if "src_b64" in batch.schema.names
+                else [False] * batch.num_rows
+            )
             rows = []
             for i in range(batch.num_rows):
                 c = contents[i].as_py() if contents[i].is_valid else None
-                r = _ocr_one(c, cfg, page=pages[i])
+                r = _ocr_one(c, cfg, page=pages[i], from_base64=bool(b64s[i]))
                 rows.append(
                     {
                         "doc_id": doc_ids[i],
@@ -300,6 +328,73 @@ def ocr_media_spans(
     req = req.drop("base_ref")
     result = req.mapInArrow(make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA)
     return result
+
+
+def ocr_requests(
+    requests: DataFrame,
+    media: DataFrame,
+    cfg: PPOCRConfig | None = None,
+) -> DataFrame:
+    """The reference's request loop as ONE relational plan: JSON request
+    rows → per-request (req_id, task_kind, code, text), covering the full
+    dispatch taxonomy (cpp/src/task.cpp:111-212):
+
+      unparseable JSON → 200 · no/ambiguous task key → 201 · exit → 100
+      path + missing media → 202 · path + bad payload → 203/204
+      invalid base64 → 300 · base64 decodes, image doesn't → 301
+
+    ``requests`` needs (req_id, request). Envelope errors short-circuit
+    before any OCR work (the rows never reach the UDF); path and base64
+    tasks run through the SAME OCR stage with a source flag selecting the
+    error family."""
+    from ppocr_spark.sources.readers import (
+        decode_base64_requests,
+        parse_request_json,
+    )
+
+    cfg = cfg or PPOCRConfig()
+    parsed = parse_request_json(requests).persist()
+    # envelope errors + exit: answered without touching media or the UDF
+    envelope = parsed.filter(
+        (F.col("code") != int(StatusCode.OK))
+        | (F.col("task_kind") == "exit")
+    ).select("req_id", "task_kind", "code", F.lit("").alias("text"))
+
+    def run_ocr(df: DataFrame, kind: str) -> DataFrame:
+        ocr_in = df.select(
+            F.col("req_id").alias("doc_id"),
+            F.lit(0).alias("offset"),
+            F.col("payload").alias("media_ref"),
+            "content",
+            F.lit(kind == "base64").alias("src_b64"),
+        )
+        return ocr_in.mapInArrow(
+            make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA
+        ).select(
+            F.col("doc_id").alias("req_id"),
+            F.lit(kind).alias("task_kind"),
+            "code",
+            "text",
+        )
+
+    paths = parsed.filter(
+        (F.col("code") == int(StatusCode.OK)) & (F.col("task_kind") == "path")
+    ).join(
+        F.broadcast(
+            media.select(F.col("media_ref").alias("payload"), "content")
+        ),
+        "payload",
+        "left",
+    )
+    b64 = decode_base64_requests(
+        parsed.filter(
+            (F.col("code") == int(StatusCode.OK))
+            & (F.col("task_kind") == "base64")
+        )
+    )
+    return envelope.unionByName(run_ocr(paths, "path")).unionByName(
+        run_ocr(b64, "base64")
+    )
 
 
 def media_results_as_spans(ocr: DataFrame) -> DataFrame:

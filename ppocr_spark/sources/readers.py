@@ -104,10 +104,14 @@ def parse_request_json(requests: DataFrame, col: str = "request") -> DataFrame:
 
 
 def decode_base64_requests(df: DataFrame, col: str = "payload") -> DataFrame:
-    """S5: base64 payload → binary content column (F.unbase64, JVM-side;
-    the reference's hand-rolled decoder cpp/src/base64.cpp). Invalid
-    base64 yields null → the pipeline's 300-analog."""
-    return df.withColumn("content", F.unbase64(F.col(col)))
+    """S5: base64 payload → binary content column (``try_to_binary``,
+    JVM-side; the reference's hand-rolled decoder cpp/src/base64.cpp).
+    Invalid base64 yields NULL content with ``src_b64 = true`` — the OCR
+    stage maps that pair to code 300 (BASE64_DECODE_FAIL) and a decoded-
+    but-undecodable payload to 301 (cpp/src/task.cpp:111-138)."""
+    return df.withColumn(
+        "content", F.expr(f"try_to_binary({col}, 'base64')")
+    ).withColumn("src_b64", F.lit(True))
 
 
 def media_from_directory(

@@ -174,3 +174,109 @@ class TestMultimodal:
         )
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             sample_video_frames(media).collect()
+
+
+class TestSimhashPigeonhole:
+    """Recall guarantee of the multi-block bucketing: the bucketed plan's
+    output must EQUAL the all-pairs scan's, including pairs whose
+    fingerprints differ only in the top 16 bits (which the old
+    prefix-bucket plan missed)."""
+
+    @pytest.fixture(scope="class")
+    def edit_docs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        words = [f"w{i:03d}" for i in range(400)]
+        rows = []
+        for d in range(30):
+            base = [words[rng.integers(0, len(words))] for _ in range(40)]
+            rows.append((2 * d, " ".join(base)))
+            edited = list(base)
+            edited[int(rng.integers(0, len(edited)))] = words[
+                int(rng.integers(0, len(words)))
+            ]
+            rows.append((2 * d + 1, " ".join(edited)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_brute_force(self, edit_docs):
+        from ppocr_spark.functions.dedup import (
+            simhash_fingerprints,
+            simhash_near_pairs,
+        )
+
+        r = 8
+        got = {
+            (row["a"], row["b"]): row["hamming"]
+            for row in simhash_near_pairs(edit_docs, max_hamming=r).collect()
+        }
+        fps = {
+            row["doc_id"]: row["simhash"]
+            for row in simhash_fingerprints(edit_docs).collect()
+        }
+        ids = sorted(fps)
+        want = {
+            (a, b): bin(fps[a] ^ fps[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(fps[a] ^ fps[b]).count("1") <= r
+        }
+        assert got == want and want, "bucketed output != all-pairs output"
+        # at least one qualifying pair must differ in the top 16 bits —
+        # the case the old top-prefix bucketing could not find
+        assert any(
+            (fps[a] >> 44) != (fps[b] >> 44) for a, b in want
+        ), "test corpus never exercises the prefix-divergent case"
+
+
+class TestLshNearDupPairs:
+    def test_subset_and_recall(self, spark):
+        import numpy as np
+
+        from ppocr_spark.functions.dedup import embedding_near_dup_pairs
+        from ppocr_spark.functions.similarity import lsh_near_dup_pairs
+
+        rng = np.random.default_rng(11)
+        rows = []
+        vid = 0
+        for c in range(12):  # 12 clusters of 3 near-identical vectors
+            center = rng.standard_normal(16)
+            for _ in range(3):
+                v = center + 0.05 * rng.standard_normal(16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        base = {
+            (r["a"], r["b"])
+            for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()
+        }
+        got = {
+            (r["a"], r["b"])
+            for r in lsh_near_dup_pairs(
+                emb, threshold=0.95, bits=6, tables=8, dim=16
+            ).collect()
+        }
+        assert got <= base  # exact verify → no false positives
+        assert base, "baseline found no near-dup pairs"
+        assert len(got) / len(base) >= 0.8  # multi-table recall
+
+
+class TestLangIdTieBreak:
+    def test_priority_order_on_ties(self, spark):
+        from ppocr_spark.functions.text import lang_id
+
+        rows = [
+            (1, "the le"),        # en/fr tie → en (priority)
+            (2, "der le la und"), # de=2 fr=2 tie → de
+            (3, "xyzzy qwerty"),  # no hits → und
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["lang"]
+            for r in df.select(
+                "doc_id", lang_id(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert out == {1: "en", 2: "de", 3: "und"}

@@ -235,3 +235,48 @@ class TestExitControl:
         # exit wins over task keys (checked first, task.cpp:143-149)
         assert rows['{"exit": "", "image_path": "a.png"}'] == ("exit", 100)
         assert rows["not json"] == (None, 200)
+
+
+class TestBase64Taxonomy:
+    """S5 failure codes (cpp/src/task.cpp:111-138): invalid base64 → 300,
+    base64 that decodes to a non-image → 301, never 202/203."""
+
+    def test_codes_300_and_301(self, spark):
+        import base64
+        import json
+
+        from ppocr_spark.pipeline import ocr_requests
+        from ppocr_spark.render import render_page
+        from ppocr_spark.png import encode_gray
+
+        img, _truth = render_page(["hello world"])
+        good_b64 = base64.b64encode(encode_gray(img)).decode()
+        junk_b64 = base64.b64encode(b"\x00\x01not-an-image\xff" * 4).decode()
+        reqs = spark.createDataFrame(
+            [
+                ("r0", json.dumps({"image_base64": good_b64})),
+                ("r1", json.dumps({"image_base64": "@@!bad-alphabet"})),
+                ("r2", json.dumps({"image_base64": junk_b64})),
+                ("r3", json.dumps({"image_path": "nope.png"})),
+            ],
+            "req_id string, request string",
+        )
+        media = spark.createDataFrame([], "media_ref string, content binary")
+        codes = {
+            r["req_id"]: r["code"] for r in ocr_requests(reqs, media).collect()
+        }
+        assert codes == {"r0": 100, "r1": 300, "r2": 301, "r3": 202}
+
+    def test_decode_marks_source(self, spark):
+        from pyspark.sql import functions as F
+
+        from ppocr_spark.sources.readers import decode_base64_requests
+
+        df = spark.createDataFrame(
+            [("aGk=",), ("@@@",)], "payload string"
+        )
+        rows = decode_base64_requests(df).collect()
+        by_payload = {r["payload"]: r for r in rows}
+        assert bytes(by_payload["aGk="]["content"]) == b"hi"
+        assert by_payload["@@@"]["content"] is None
+        assert all(r["src_b64"] for r in rows)
