@@ -57,8 +57,23 @@ def main():
     ]
     # steady-state protocol (BENCH/BASELINE.md): run the flagship pipeline
     # once untimed first — JVM JIT + Arrow/shuffle machinery warmup that a
-    # long job amortizes to zero; the timed pass is the sustained rate
-    qs["ocr_extract_spans"](spark, sf_dir).count()
+    # long job amortizes to zero; the timed pass is the sustained rate.
+    # The warmup pass doubles as the K5 stage-breakdown probe (AutoLogger
+    # analog): per-stage wall-ms accumulated inside the OCR UDF.
+    from ppocr_spark.config import PPOCRConfig
+    from ppocr_spark.pipeline import (
+        extract_documents,
+        make_stage_metrics,
+        snapshot_stage_metrics,
+    )
+
+    media_df = spark.read.parquet(f"{corpus}/media.parquet")
+    stage_metrics = make_stage_metrics(spark)
+    extract_documents(
+        docs_df, media_df, PPOCRConfig(cls=True, use_angle_cls=True),
+        broadcast_media=True, metrics=stage_metrics,
+    ).count()
+    stage_ms = snapshot_stage_metrics(stage_metrics)
 
     timings: dict[str, float] = {}
     ocr_sec = None
@@ -87,6 +102,7 @@ def main():
         "media_spans_per_sec": round(int(n_media_spans) / ocr_sec, 2)
         if ocr_sec
         else None,
+        "stage_ms": stage_ms,
     }
     print(json.dumps(out))
     spark.stop()

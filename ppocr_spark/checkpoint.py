@@ -35,6 +35,17 @@ MANIFEST_COLS = [
     "span_count",
     "ok_span_count",
     "status",
+    # K5 stage timings (decode/det/crop/cls/rec/layout wall-ms + spans),
+    # run-scoped: every bucket written by one run carries that run's
+    # accumulator totals (the reference's AutoLogger is process-scoped
+    # the same way, cpp/src/paddleocr.cpp:209-237)
+    "run_decode_ms",
+    "run_det_ms",
+    "run_crop_ms",
+    "run_cls_ms",
+    "run_rec_ms",
+    "run_layout_ms",
+    "run_ocr_spans",
 ]
 
 
@@ -84,7 +95,12 @@ def run_resumable(
     Results land in ``out/results`` (parquet, partitioned by bucket);
     manifests in ``out/manifest``. Safe to re-invoke after a kill: completed
     buckets with matching input fingerprints are skipped."""
-    from ppocr_spark.pipeline import extract_documents
+    from ppocr_spark.pipeline import (
+        STAGE_KEYS,
+        extract_documents,
+        make_stage_metrics,
+        snapshot_stage_metrics,
+    )
 
     cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
     docs_b = with_bucket(documents, n_buckets)
@@ -110,9 +126,10 @@ def run_resumable(
     todo_ids = [b for b, _, _ in todo]
     # one pipeline run over all remaining buckets (NOT a per-bucket loop —
     # a single job keeps the cluster busy; the bucket column rides along)
+    metrics = make_stage_metrics(spark)
     docs_todo = docs_b.filter(F.col("bucket").isin(todo_ids))
     result = extract_documents(
-        docs_todo.drop("bucket"), media, cfg, broadcast_media
+        docs_todo.drop("bucket"), media, cfg, broadcast_media, metrics
     ).join(docs_b.select("doc_id", "bucket"), "doc_id")
 
     res_path = os.path.join(out_dir, "results")
@@ -142,6 +159,7 @@ def run_resumable(
         .agg(F.sum("n").alias("spans"), F.sum("k").alias("ok"))
         .collect()
     }
+    stage = snapshot_stage_metrics(metrics)
     rows = [
         (
             int(b),
@@ -150,15 +168,20 @@ def run_resumable(
             int(stats.get(b, (0, 0))[0]),
             int(stats.get(b, (0, 0))[1]),
             "complete",
+            *[float(stage.get(k, 0.0)) for k in STAGE_KEYS],
         )
         for b, fp, dc in todo
     ]
     spark.createDataFrame(
         rows,
         "bucket int, input_fingerprint string, doc_count long, "
-        "span_count long, ok_span_count long, status string",
+        "span_count long, ok_span_count long, status string, "
+        "run_decode_ms double, run_det_ms double, run_crop_ms double, "
+        "run_cls_ms double, run_rec_ms double, run_layout_ms double, "
+        "run_ocr_spans double",
     ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
     return {
         "buckets_run": len(todo),
         "buckets_skipped": n_buckets - len(todo),
+        "stage_ms": stage,
     }

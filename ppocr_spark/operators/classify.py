@@ -63,8 +63,11 @@ def _orientation_evidence(img: np.ndarray) -> float:
         feats.append(feat / nrm)
     if not feats:
         return 0.0
-    # one matmul for all segments (same per-column result as per-segment
-    # matvecs: identical arithmetic, k independent columns)
+    # one matmul for all segments — k independent columns. BLAS gemm vs
+    # per-segment gemv is NOT guaranteed bit-identical (cls decisions are
+    # ulp-sensitive here); the current results are pinned by golden tests,
+    # so any BLAS/threading change must re-run the goldens, not assume
+    # equivalence
     corr = templates @ np.stack(feats, axis=1)
     return float(corr.max(axis=0).mean())
 

@@ -38,6 +38,31 @@ OCR_RESULT_SCHEMA = (
 
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,order:int,code:int>"
 
+#: K5 per-stage metric names (the reference AutoLogger's det/cls/rec
+#: preprocess+infer+postprocess counters, cpp/src/paddleocr.cpp:161-237,
+#: re-expressed as Spark accumulators filled inside the OCR UDF)
+STAGE_KEYS = (
+    "decode_ms", "det_ms", "crop_ms", "cls_ms", "rec_ms", "layout_ms",
+    "ocr_spans",
+)
+
+
+def make_stage_metrics(spark: SparkSession) -> dict:
+    """Create the K5 stage-timing accumulators. Pass the dict to
+    ``extract_documents``/``ocr_media_spans``; executors add per-span
+    stage wall-ms, the driver reads totals after any action via
+    ``snapshot_stage_metrics``. Accumulators are the Spark-native analog
+    of the reference's process-global AutoLogger — run-scoped, crossing
+    executor boundaries for free."""
+    sc = spark.sparkContext
+    return {k: sc.accumulator(0.0) for k in STAGE_KEYS}
+
+
+def snapshot_stage_metrics(metrics: dict | None) -> dict:
+    if not metrics:
+        return {}
+    return {k: round(float(v.value), 3) for k, v in metrics.items()}
+
 
 def _ocr_one(
     content,
@@ -65,9 +90,12 @@ def _ocr_one(
     from ppocr_spark.png import PngError, decode, to_gray
     from ppocr_spark.sources.pdf import PdfError, decode_pdf_page, is_pdf
 
+    from time import perf_counter
+
+    stage_ms: dict[str, float] = {}
     empty = dict(
         text="", boxes=[], texts=[], scores=[], cls_labels=[], cls_scores=[],
-        ends=[],
+        ends=[], stage_ms=stage_ms,
     )
     no_content = (
         StatusCode.BASE64_DECODE_FAIL if from_base64
@@ -80,6 +108,7 @@ def _ocr_one(
     if content is None:
         return {**empty, "code": int(no_content)}
     data = bytes(content)
+    t0 = perf_counter()
     if is_pdf(data):
         try:
             img = decode_pdf_page(data, page if page is not None else 1)
@@ -93,6 +122,7 @@ def _ocr_one(
             img = to_gray(decode(data))
         except PngError:
             return {**empty, "code": int(bad_image)}
+    stage_ms["decode_ms"] = (perf_counter() - t0) * 1e3
     if img.size == 0:
         return {
             **empty,
@@ -102,6 +132,7 @@ def _ocr_one(
             ),
         }
 
+    t0 = perf_counter()
     if cfg.det:
         quads = detect(img, cfg)
     else:
@@ -109,13 +140,17 @@ def _ocr_one(
         # output (cpp/src/task.cpp:74-81)
         h, w = img.shape
         quads = [np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]])]
+    stage_ms["det_ms"] = (perf_counter() - t0) * 1e3
     if not quads:
         return {**empty, "code": int(StatusCode.NO_TEXT)}
 
+    t0 = perf_counter()
     crops = [perspective_crop(img, q) for q in quads]
+    stage_ms["crop_ms"] = (perf_counter() - t0) * 1e3
     cls_labels: list[int] = []
     cls_scores: list[float] = []
     if cfg.cls and cfg.use_angle_cls:
+        t0 = perf_counter()
         rotated = []
         for c in crops:
             label, score = classify(c)
@@ -123,7 +158,10 @@ def _ocr_one(
             cls_scores.append(score)
             rotated.append(maybe_rotate(c, label, score, cfg.cls_thresh))
         crops = rotated
+        stage_ms["cls_ms"] = (perf_counter() - t0) * 1e3
+    t0 = perf_counter()
     rec = recognize_batch(crops, img_h=cfg.rec_img_h, batch_num=cfg.rec_batch_num)
+    stage_ms["rec_ms"] = (perf_counter() - t0) * 1e3
 
     # K1 filters: drop empty-text / score<=0 records when rec is on
     # (cpp/src/task.cpp:83-87)
@@ -143,10 +181,14 @@ def _ocr_one(
     if not blocks:
         return {**empty, "code": int(StatusCode.NO_TEXT)}
 
+    t0 = perf_counter()
     laid = run_parser(cfg.parser, blocks)
+    out_text = assemble_text(laid)
+    stage_ms["layout_ms"] = (perf_counter() - t0) * 1e3
     return {
         "code": int(StatusCode.OK),
-        "text": assemble_text(laid),
+        "text": out_text,
+        "stage_ms": stage_ms,
         "boxes": [[c for p in b["box"] for c in p] for b in laid],
         "texts": [b["text"] for b in laid],
         "scores": [b["score"] for b in laid],
@@ -160,11 +202,15 @@ def _ocr_one(
     }
 
 
-def make_ocr_udf(cfg: PPOCRConfig):
+def make_ocr_udf(cfg: PPOCRConfig, metrics: dict | None = None):
     """Arrow-batch generator for ``mapInArrow``; cfg travels by closure
     (the broadcast analog of the reference's one-time engine init,
     cpp/src/task.cpp:243-250 — the glyph 'model weights' rebuild
     deterministically per executor and are process-cached).
+
+    ``metrics`` (from ``make_stage_metrics``): K5 per-stage timing
+    accumulators, added to once per batch (negligible overhead vs the
+    multi-ms spans being timed).
 
     mapInArrow, not mapInPandas: the input carries multi-MB binary image
     payloads, and pandas conversion would copy every payload into Python
@@ -203,10 +249,15 @@ def make_ocr_udf(cfg: PPOCRConfig):
                 if "src_b64" in batch.schema.names
                 else [False] * batch.num_rows
             )
+            totals = dict.fromkeys(STAGE_KEYS, 0.0)
             rows = []
             for i in range(batch.num_rows):
                 c = contents[i].as_py() if contents[i].is_valid else None
                 r = _ocr_one(c, cfg, page=pages[i], from_base64=bool(b64s[i]))
+                if metrics is not None:
+                    for k, v in r["stage_ms"].items():
+                        totals[k] += v
+                    totals["ocr_spans"] += 1
                 rows.append(
                     {
                         "doc_id": doc_ids[i],
@@ -222,6 +273,10 @@ def make_ocr_udf(cfg: PPOCRConfig):
                         "ends": r["ends"],
                     }
                 )
+            if metrics is not None:
+                for k, v in totals.items():
+                    if v:
+                        metrics[k].add(v)
             arr = pa.array(rows, type=out_type)
             yield pa.RecordBatch.from_struct_array(arr)
 
@@ -288,6 +343,7 @@ def ocr_media_spans(
     media: DataFrame,
     cfg: PPOCRConfig,
     broadcast_media: bool | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Media branch: resolve media_ref → content (left join keeps missing
     refs → PATH_NOT_EXIST), then the OCR UDF. ``broadcast_media=None``
@@ -326,7 +382,9 @@ def ocr_media_spans(
             max(par * 5, cfg.shuffle_partitions), "base_ref"
         ).join(m, "base_ref", "left")
     req = req.drop("base_ref")
-    result = req.mapInArrow(make_ocr_udf(cfg), schema=OCR_RESULT_SCHEMA)
+    result = req.mapInArrow(
+        make_ocr_udf(cfg, metrics), schema=OCR_RESULT_SCHEMA
+    )
     return result
 
 
@@ -454,15 +512,17 @@ def extract_documents(
     media: DataFrame,
     cfg: PPOCRConfig | None = None,
     broadcast_media: bool | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Full pipeline: documents + media → RESULTS (doc_id, spans with
     (kind, text, media_ref, order, code)) — the span-sequence-equality
-    surface (BASELINE.json)."""
+    surface (BASELINE.json). ``metrics``: K5 stage accumulators
+    (make_stage_metrics), filled when the result is materialized."""
     cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
     spans = explode_spans(documents)
     text_r = normalize_text_spans(spans, cfg.html_strip)
     media_r = media_results_as_spans(
-        ocr_media_spans(spans, media, cfg, broadcast_media)
+        ocr_media_spans(spans, media, cfg, broadcast_media, metrics)
     )
     return reassemble(text_r.unionByName(media_r), cfg.doc_salt_buckets)
 

@@ -146,7 +146,22 @@ def _object_at(data: bytes, off: int, num: int) -> bytes:
     m = re.match(rb"(\d+)\s+0\s+obj\b", data[off:])
     if not m or int(m.group(1)) != num:
         raise PdfError(f"object {num} not at xref offset")
-    end = data.find(b"endobj", off)
+    # a FlateDecode stream payload is arbitrary bytes and may contain the
+    # literal 'endobj' — skip past the declared /Length before searching
+    # for the real terminator, or a valid image object gets truncated
+    search_from = off + m.end()
+    naive_end = data.find(b"endobj", search_from)
+    sm = re.search(rb"stream\r?\n", data[search_from:])
+    # the stream keyword must belong to THIS object (precede the first
+    # endobj candidate) — otherwise it's a later object's stream and the
+    # first endobj is genuine
+    if sm and naive_end >= 0 and search_from + sm.start() < naive_end:
+        ln = _KEY_INT_RE[b"Length"].search(
+            data[search_from : search_from + sm.start()]
+        )
+        if ln:
+            search_from = search_from + sm.end() + int(ln.group(1))
+    end = data.find(b"endobj", search_from)
     if end < 0:
         raise PdfError("unterminated object")
     return data[off + m.end() : end]

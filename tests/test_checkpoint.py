@@ -19,6 +19,16 @@ def test_resume_skips_completed(spark, small_corpus, tmp_path):
                        broadcast_media=True)
     assert s1["buckets_run"] > 0
 
+    # K5 stage metrics: the run snapshot and manifest rows carry per-stage
+    # wall-ms (AutoLogger analog) — real OCR work must show nonzero
+    # det/rec time and a span count
+    assert s1["stage_ms"]["det_ms"] > 0
+    assert s1["stage_ms"]["rec_ms"] > 0
+    assert s1["stage_ms"]["ocr_spans"] > 0
+    man = spark.read.parquet(f"{out}/manifest")
+    assert "run_det_ms" in man.columns
+    assert man.agg(F.max("run_det_ms")).collect()[0][0] > 0
+
     s2 = run_resumable(spark, docs, media, out, cfg, n_buckets=8,
                        broadcast_media=True)
     assert s2["buckets_run"] == 0

@@ -135,3 +135,36 @@ class TestPropertyRoundtrip:
                 assert np.array_equal(decode_pdf_page(blob, i + 1), p)
 
         roundtrip()
+
+
+class TestEndobjInStream:
+    def test_object_at_skips_stream_payload(self):
+        """A FlateDecode payload may contain the literal 'endobj'; the
+        object scanner must skip /Length bytes before searching for the
+        terminator instead of truncating the object."""
+        from ppocr_spark.sources.pdf import _object_at
+
+        payload = b"\x00\x01endobj\x02\x03trailing"
+        body = (
+            b"5 0 obj\n<< /Length %d >>\nstream\n" % len(payload)
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+        data = b"%PDF-1.4\n" + body + b"6 0 obj\n<< >>\nendobj\n"
+        off = data.find(b"5 0 obj")
+        got = _object_at(data, off, 5)
+        assert payload in got  # full payload survives
+        assert got.rstrip().endswith(b"endstream")
+
+    def test_object_without_stream_unaffected(self):
+        from ppocr_spark.sources.pdf import _object_at
+
+        # object 7 has no stream; object 8 after it does — the scanner
+        # must not skip into object 8's stream
+        data = (
+            b"%PDF-1.4\n7 0 obj\n<< /Type /Page >>\nendobj\n"
+            b"8 0 obj\n<< /Length 4 >>\nstream\nabcd\nendstream\nendobj\n"
+        )
+        off = data.find(b"7 0 obj")
+        got = _object_at(data, off, 7)
+        assert b"/Type /Page" in got and b"stream" not in got

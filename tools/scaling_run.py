@@ -23,9 +23,10 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from ppocr_spark.config import PPOCRConfig
 from ppocr_spark.corpus import ensure_corpus
-from ppocr_spark.pipeline import build_session, extract_documents
-
-from ppocr_spark.pipeline import warm_workers
+from ppocr_spark.pipeline import (
+    build_session, extract_documents, make_stage_metrics,
+    snapshot_stage_metrics, warm_workers,
+)
 
 cores = int(os.environ["SPARK_GRAFT_CPUS"])
 corpus = ensure_corpus({n_docs})
@@ -43,19 +44,22 @@ cfg = PPOCRConfig(cls=True, use_angle_cls=True)
 # steady-state rate is what it sustains
 warm_workers(spark)
 extract_documents(docs, media, cfg, broadcast_media=True).count()
-best = None
+best, best_stage = None, None
 for _ in range({inner_repeats}):
+    m = make_stage_metrics(spark)  # fresh per repeat: per-run K5 totals
     t0 = time.time()
-    out = extract_documents(docs, media, cfg, broadcast_media=True)
+    out = extract_documents(docs, media, cfg, broadcast_media=True, metrics=m)
     n = out.count()
     dt = time.time() - t0
     if best is None or dt < best:
         best = dt
+        best_stage = snapshot_stage_metrics(m)
 dt = best
 print(json.dumps({{"cores": cores, "sec": round(dt, 3),
   "docs": n_docs, "media_spans": int(n_media),
   "docs_per_sec": round(n_docs / dt, 3),
-  "media_spans_per_sec": round(int(n_media) / dt, 3)}}))
+  "media_spans_per_sec": round(int(n_media) / dt, 3),
+  "stage_ms": best_stage}}))
 spark.stop()
 """
 
