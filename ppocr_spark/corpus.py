@@ -502,11 +502,29 @@ def generate_table_corpus(n_tables: int):
             texts.append(row)
         if all(t == "" for row in texts for t in row):
             texts[0][0] = "table"
-        img, cells, truth_blocks = render_table(texts)
+
+        # ~40% of 3x3+ tables get ONE spanning cell (rowspan or colspan 2);
+        # covered cells blanked; never a full row/column of coverage
+        merges: list[tuple[int, int, int, int]] = []
+        if n_r >= 3 and n_c >= 3 and rng.random() < 0.4:
+            if rng.random() < 0.5:  # colspan=2
+                mr = int(rng.integers(0, n_r))
+                mc = int(rng.integers(0, n_c - 1))
+                merges = [(mr, mc, 1, 2)]
+                texts[mr][mc + 1] = ""
+            else:  # rowspan=2
+                mr = int(rng.integers(0, n_r - 1))
+                mc = int(rng.integers(0, n_c))
+                merges = [(mr, mc, 2, 1)]
+                texts[mr + 1][mc] = ""
+            if not texts[merges[0][0]][merges[0][1]]:
+                texts[merges[0][0]][merges[0][1]] = _short_words(rng, 1)
+        img, cells, truth_blocks = render_table(texts, merges)
 
         det_cells = detect_table_cells(img)
         want_cells = [
-            {"row": c.row, "col": c.col, "x0": c.x0, "y0": c.y0,
+            {"row": c.row, "col": c.col, "rowspan": c.rowspan,
+             "colspan": c.colspan, "x0": c.x0, "y0": c.y0,
              "x1": c.x1, "y1": c.y1}
             for c in cells
         ]
@@ -533,7 +551,8 @@ def generate_table_corpus(n_tables: int):
         media_rows.append({"media_ref": ref, "content": encode_gray(img)})
         for c in cells:
             cell_rows.append({"media_ref": ref, **{
-                "row": c.row, "col": c.col, "x0": c.x0, "y0": c.y0,
+                "row": c.row, "col": c.col, "rowspan": c.rowspan,
+                "colspan": c.colspan, "x0": c.x0, "y0": c.y0,
                 "x1": c.x1, "y1": c.y1}})
         for bi, b in enumerate(ordered):
             xs = [p[0] for p in b.quad]
@@ -547,13 +566,32 @@ def generate_table_corpus(n_tables: int):
                     "cell_col": b.line_idx % n_c,
                 }
             )
-        html = "<table>" + "".join(
-            "<tr>" + "".join(
-                f"<td>{' '.join(t.split())}</td>" for t in row
-            ) + "</tr>"
-            for row in texts
-        ) + "</table>"
-        html_rows.append({"media_ref": ref, "html": html})
+        # authored truth HTML: anchors carry colspan/rowspan attributes,
+        # covered cells emit no <td> (the tag-stream contract)
+        span_of = {(r0, c0): (rs0, cs0) for r0, c0, rs0, cs0 in merges}
+        cov = {
+            (r0 + dr, c0 + dc)
+            for r0, c0, rs0, cs0 in merges
+            for dr in range(rs0)
+            for dc in range(cs0)
+            if (dr, dc) != (0, 0)
+        }
+        parts = ["<table>"]
+        for r, row in enumerate(texts):
+            parts.append("<tr>")
+            for c, t in enumerate(row):
+                if (r, c) in cov:
+                    continue
+                rs0, cs0 = span_of.get((r, c), (1, 1))
+                attrs = ""
+                if cs0 > 1:
+                    attrs += f' colspan="{cs0}"'
+                if rs0 > 1:
+                    attrs += f' rowspan="{rs0}"'
+                parts.append(f"<td{attrs}>{' '.join(t.split())}</td>")
+            parts.append("</tr>")
+        parts.append("</table>")
+        html_rows.append({"media_ref": ref, "html": "".join(parts)})
     return media_rows, cell_rows, block_rows, html_rows
 
 
@@ -565,7 +603,8 @@ def ensure_table_corpus(n_tables: int, base_dir: str | None = None) -> str:
     if base_dir is None:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
-    out = os.path.join(base_dir, f"tables_{n_tables}")
+    # v2: spanning cells (colspan/rowspan) — bump on any generation change
+    out = os.path.join(base_dir, f"tables_{n_tables}_v2")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -583,7 +622,8 @@ def ensure_table_corpus(n_tables: int, base_dir: str | None = None) -> str:
     )
     pq.write_table(
         pa.table({k: [c[k] for c in cells]
-                  for k in ("media_ref", "row", "col", "x0", "y0", "x1", "y1")}),
+                  for k in ("media_ref", "row", "col", "rowspan", "colspan",
+                            "x0", "y0", "x1", "y1")}),
         os.path.join(out, "table_cells.parquet"),
     )
     pq.write_table(

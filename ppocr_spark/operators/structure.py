@@ -156,32 +156,119 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     return [(int(idx[s]), int(idx[e])) for s, e in zip(starts, ends)]
 
 
+def _has_long_run(dark: np.ndarray, min_run: int, axis: int) -> np.ndarray:
+    """Per-line (row if axis=1, column if axis=0) test: does the line
+    contain >= min_run CONSECUTIVE dark pixels? Contiguity separates rule
+    segments (solid, >= one cell long) from text lines (glyph strokes a
+    few px wide broken by intra/inter-glyph white) far more robustly than
+    a dark-fraction projection — and keeps working when a merged cell
+    erases part of a rule. Vectorized: a window-sum of the 0/1 mask equals
+    the window length iff every pixel in the window is dark."""
+    d = dark if axis == 1 else dark.T
+    n = d.shape[1]
+    if n < min_run:
+        return np.zeros(d.shape[0], dtype=bool)
+    s = np.cumsum(d, axis=1, dtype=np.int32)
+    win = s[:, min_run - 1 :].copy()
+    win[:, 1:] -= s[:, :-min_run]
+    return (win == min_run).any(axis=1)
+
+
 def detect_grid(
-    gray: np.ndarray, dark_thresh: int = 128, line_frac: float = 0.6
+    gray: np.ndarray, dark_thresh: int = 128, min_run_px: int = 64
 ) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
-    """Projection-profile ruled-line detection: a row (column) whose dark
-    fraction exceeds line_frac is part of a horizontal (vertical) rule —
-    text rows peak well below that. → (h_runs, v_runs) of rule spans."""
+    """Ruled-line detection by contiguous-run evidence: a row (column)
+    belongs to a horizontal (vertical) rule iff it carries a solid dark
+    run of >= min_run_px (shorter than any cell edge, longer than any
+    glyph stroke). Partial rules — interrupted by merged-cell regions —
+    still register from their surviving segments. → (h_runs, v_runs)."""
     dark = gray < dark_thresh
-    h_runs = _runs(dark.mean(axis=1) >= line_frac)
-    v_runs = _runs(dark.mean(axis=0) >= line_frac)
+    h_runs = _runs(_has_long_run(dark, min_run_px, axis=1))
+    v_runs = _runs(_has_long_run(dark, min_run_px, axis=0))
     return h_runs, v_runs
 
 
-def detect_table_cells(gray: np.ndarray) -> list[dict]:
-    """Grid → cells: the inner regions between adjacent rules.
-    Returns [{row, col, x0, y0, x1, y1}] (inclusive coords), row-major —
-    the cell-box output contract of the table-structure model
-    (cpp/src/structure_table.cpp:20-123)."""
-    h_runs, v_runs = detect_grid(gray)
+def _boundary_open(
+    dark: np.ndarray,
+    rule_run: tuple[int, int],
+    span_run: tuple[int, int],
+    vertical: bool,
+    seg_frac: float = 0.5,
+) -> bool:
+    """Is the rule segment between two adjacent grid cells ABSENT?
+    ``rule_run``: the rule's thickness span; ``span_run``: the crossing
+    cell band's inner span. Present = the segment is mostly dark."""
+    r0, r1 = rule_run
+    s0, s1 = span_run
+    seg = (
+        dark[s0 : s1 + 1, r0 : r1 + 1]
+        if vertical
+        else dark[r0 : r1 + 1, s0 : s1 + 1]
+    )
+    return float(seg.mean()) < seg_frac
+
+
+def detect_table_cells(gray: np.ndarray, dark_thresh: int = 128) -> list[dict]:
+    """Grid → cells, with merged-cell (colspan/rowspan) recovery: grid
+    positions whose shared rule segment is erased belong to one spanning
+    cell (the colspan/rowspan the reference's table tag stream expresses,
+    cpp/src/paddlestructure.cpp:222-257). Returns
+    [{row, col, rowspan, colspan, x0, y0, x1, y1}] (inclusive coords,
+    anchor row/col, covered positions omitted), row-major."""
+    dark = gray < dark_thresh
+    h_runs, v_runs = detect_grid(gray, dark_thresh)
+    n_r, n_c = len(h_runs) - 1, len(v_runs) - 1
+    if n_r <= 0 or n_c <= 0:
+        return []
+    inner_y = [
+        (h_runs[r][1] + 1, h_runs[r + 1][0] - 1) for r in range(n_r)
+    ]
+    inner_x = [
+        (v_runs[c][1] + 1, v_runs[c + 1][0] - 1) for c in range(n_c)
+    ]
+
+    # union-find over grid positions joined across absent rule segments
+    parent = {(r, c): (r, c) for r in range(n_r) for c in range(n_c)}
+
+    def find(p):
+        while parent[p] != p:
+            parent[p] = parent[parent[p]]
+            p = parent[p]
+        return p
+
+    def union(p, q):
+        parent[find(q)] = find(p)
+
+    for r in range(n_r):
+        for c in range(n_c - 1):  # right boundary = vertical rule c+1
+            if _boundary_open(dark, v_runs[c + 1], inner_y[r], True):
+                union((r, c), (r, c + 1))
+    for r in range(n_r - 1):  # bottom boundary = horizontal rule r+1
+        for c in range(n_c):
+            if _boundary_open(dark, h_runs[r + 1], inner_x[c], False):
+                union((r, c), (r + 1, c))
+
+    regions: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for p in parent:
+        regions.setdefault(find(p), []).append(p)
     cells = []
-    for r in range(len(h_runs) - 1):
-        y0, y1 = h_runs[r][1] + 1, h_runs[r + 1][0] - 1
-        for c in range(len(v_runs) - 1):
-            x0, x1 = v_runs[c][1] + 1, v_runs[c + 1][0] - 1
-            cells.append(
-                {"row": r, "col": c, "x0": x0, "y0": y0, "x1": x1, "y1": y1}
-            )
+    for members in regions.values():
+        rows = [r for r, _ in members]
+        cols = [c for _, c in members]
+        r0, c0 = min(rows), min(cols)
+        cells.append(
+            {
+                "row": r0,
+                "col": c0,
+                "rowspan": max(rows) - r0 + 1,
+                "colspan": max(cols) - c0 + 1,
+                "x0": inner_x[c0][0],
+                "y0": inner_y[r0][0],
+                "x1": inner_x[max(cols)][1],
+                "y1": inner_y[max(rows)][1],
+            }
+        )
+    cells.sort(key=lambda c: (c["row"], c["col"]))
     return cells
 
 
@@ -237,7 +324,8 @@ def ocr_table_image(gray: np.ndarray, cfg: PPOCRConfig) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 CELLS_SCHEMA = (
-    "media_ref string, row int, col int, x0 int, y0 int, x1 int, y1 int"
+    "media_ref string, row int, col int, rowspan int, colspan int, "
+    "x0 int, y0 int, x1 int, y1 int"
 )
 BLOCKS_SCHEMA = (
     "media_ref string, block_idx int, text string, score float, "
@@ -279,8 +367,9 @@ def detect_cells_df(media: DataFrame) -> DataFrame:
         return [{"media_ref": ref, **c} for c in detect_table_cells(img)]
 
     fields = [("media_ref", pa.string()), ("row", pa.int32()),
-              ("col", pa.int32()), ("x0", pa.int32()), ("y0", pa.int32()),
-              ("x1", pa.int32()), ("y1", pa.int32())]
+              ("col", pa.int32()), ("rowspan", pa.int32()),
+              ("colspan", pa.int32()), ("x0", pa.int32()),
+              ("y0", pa.int32()), ("x1", pa.int32()), ("y1", pa.int32())]
     return media.select("media_ref", "content").mapInArrow(
         _media_udf(per_image, fields), schema=CELLS_SCHEMA
     )
@@ -344,8 +433,21 @@ def match_cells(blocks: DataFrame, cells: DataFrame) -> DataFrame:
         F.col("cy1") - F.col("cy0")
     )
     iou = F.when(inter > 0, inter / (area_b + area_c - inter)).otherwise(0.0)
+    # containment precedence: a spanning (colspan/rowspan) cell's far
+    # corners sit a full cell away from its content, so raw corner
+    # distance would prefer an adjacent normal cell — the cell that
+    # CONTAINS the block center wins first, corner distance only breaks
+    # ties among containers (uniform grids: exactly one container, so
+    # ranking is unchanged there)
+    bcx = (F.col("bx0") + F.col("bx1")) / 2.0
+    bcy = (F.col("by0") + F.col("by1")) / 2.0
+    contains = (
+        (bcx >= F.col("cx0")) & (bcx <= F.col("cx1"))
+        & (bcy >= F.col("cy0")) & (bcy <= F.col("cy1"))
+    ).cast("int")
     w = Window.partitionBy("media_ref", "block_idx").orderBy(
-        dist.asc(), (1.0 - iou).asc(), F.col("row").asc(), F.col("col").asc()
+        contains.desc(), dist.asc(), (1.0 - iou).asc(),
+        F.col("row").asc(), F.col("col").asc()
     )
     return (
         b.join(F.broadcast(c), "media_ref")
@@ -372,8 +474,42 @@ def table_html_df(matched: DataFrame, cells: DataFrame) -> DataFrame:
             " ",
         ).alias("cell_text")
     )
-    grid = cells.select("media_ref", "row", "col").join(
+    span_cols = (
+        ["rowspan", "colspan"]
+        if "rowspan" in cells.columns
+        else []
+    )
+    grid = cells.select("media_ref", "row", "col", *span_cols).join(
         cell_text, ["media_ref", "row", "col"], "left"
+    )
+    if not span_cols:  # legacy uniform grid → all spans 1
+        grid = grid.withColumn("rowspan", F.lit(1)).withColumn(
+            "colspan", F.lit(1)
+        )
+    # <td colspan=".." rowspan="..">: attributes only when > 1, matching
+    # the reference's tag-stream contract for spanning cells
+    # (cpp/src/paddlestructure.cpp:222-257)
+    td = F.concat(
+        F.lit("<td"),
+        F.when(
+            F.col("colspan") > 1,
+            F.concat(
+                F.lit(' colspan="'),
+                F.col("colspan").cast("string"),
+                F.lit('"'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("rowspan") > 1,
+            F.concat(
+                F.lit(' rowspan="'),
+                F.col("rowspan").cast("string"),
+                F.lit('"'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(">"),
+        F.coalesce(F.col("cell_text"), F.lit("")),
+        F.lit("</td>"),
     )
     rows = grid.groupBy("media_ref", "row").agg(
         F.concat(
@@ -381,18 +517,7 @@ def table_html_df(matched: DataFrame, cells: DataFrame) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "col",
-                                F.concat(
-                                    F.lit("<td>"),
-                                    F.coalesce(
-                                        F.col("cell_text"), F.lit("")
-                                    ),
-                                    F.lit("</td>"),
-                                ).alias("td"),
-                            )
-                        )
+                        F.collect_list(F.struct("col", td.alias("td")))
                     ),
                     lambda s: s["td"],
                 ),

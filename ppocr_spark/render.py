@@ -152,10 +152,13 @@ class TruthCell:
     y0: int
     x1: int
     y1: int  # inclusive inner region between rules
+    rowspan: int = 1
+    colspan: int = 1
 
 
 def render_table(
     cell_texts: list[list[str]],
+    merges: list[tuple[int, int, int, int]] | None = None,
 ) -> tuple[np.ndarray, list[TruthCell], list[TruthBlock]]:
     """Render a ruled table → (page, truth cells, truth text blocks).
 
@@ -163,7 +166,14 @@ def render_table(
     sized to their longest text; every cell text is one short line. Truth
     blocks carry the ink bounding quad (same convention as render_page)
     and line_idx = row * C + col, so the cell a block belongs to is
-    recoverable without geometry."""
+    recoverable without geometry.
+
+    ``merges``: [(row, col, rowspan, colspan)] spanning regions (the
+    colspan/rowspan the reference's table tag stream can express,
+    cpp/src/paddlestructure.cpp:222-257). Interior rule segments inside a
+    merged region are erased; the anchor cell covers the whole region and
+    covered cells are omitted from the truth. Covered cells' texts must
+    be ''. Merged regions must not overlap."""
     bank = glyph_bank()
     n_rows = len(cell_texts)
     n_cols = len(cell_texts[0]) if n_rows else 0
@@ -193,13 +203,34 @@ def render_table(
     for y in ys:  # horizontal rules
         page[y : y + RULE_W, xs[0] : xs[-1] + RULE_W] = 0
 
+    merges = merges or []
+    # anchor → (rowspan, colspan); covered (non-anchor) positions
+    span_at = {(r, c): (rs, cs) for r, c, rs, cs in merges}
+    covered = {
+        (r + dr, c + dc)
+        for r, c, rs, cs in merges
+        for dr in range(rs)
+        for dc in range(cs)
+        if (dr, dc) != (0, 0)
+    }
+    # erase interior rule segments inside merged regions (the pixels that
+    # make the region ONE cell to any ruled-grid reader)
+    for r, c, rs, cs in merges:
+        for k in range(c + 1, c + cs):  # interior vertical rules
+            page[ys[r] + RULE_W : ys[r + rs], xs[k] : xs[k] + RULE_W] = 255
+        for k in range(r + 1, r + rs):  # interior horizontal rules
+            page[ys[k] : ys[k] + RULE_W, xs[c] + RULE_W : xs[c + cs]] = 255
+
     cells: list[TruthCell] = []
     blocks: list[TruthBlock] = []
     for r in range(n_rows):
         for c in range(n_cols):
-            cx0, cx1 = xs[c] + RULE_W, xs[c + 1] - 1
-            cy0, cy1 = ys[r] + RULE_W, ys[r + 1] - 1
-            cells.append(TruthCell(r, c, cx0, cy0, cx1, cy1))
+            if (r, c) in covered:
+                continue
+            rs, cs = span_at.get((r, c), (1, 1))
+            cx0, cx1 = xs[c] + RULE_W, xs[c + cs] - 1
+            cy0, cy1 = ys[r] + RULE_W, ys[r + rs] - 1
+            cells.append(TruthCell(r, c, cx0, cy0, cx1, cy1, rs, cs))
             text = cell_texts[r][c]
             if not text:
                 continue

@@ -78,13 +78,52 @@ def test_grid_detection_matches_truth():
     )
     det = detect_table_cells(img)
     want = [
-        {"row": c.row, "col": c.col, "x0": c.x0, "y0": c.y0,
+        {"row": c.row, "col": c.col, "rowspan": c.rowspan,
+         "colspan": c.colspan, "x0": c.x0, "y0": c.y0,
          "x1": c.x1, "y1": c.y1}
         for c in cells
     ]
     assert det == want
     h_runs, v_runs = detect_grid(img)
     assert len(h_runs) == 4 and len(v_runs) == 3
+
+
+def test_merged_cell_detection():
+    """colspan/rowspan recovery: erased interior rule segments merge grid
+    positions into ONE spanning cell with the anchor row/col."""
+    img, cells, _blocks = render_table(
+        [["alpha", "beta", "gam"], ["delta", "", "eps"],
+         ["zeta", "eta", "theta"]],
+        merges=[(1, 0, 1, 2)],  # delta spans cols 0-1 of row 1
+    )
+    det = detect_table_cells(img)
+    want = [
+        {"row": c.row, "col": c.col, "rowspan": c.rowspan,
+         "colspan": c.colspan, "x0": c.x0, "y0": c.y0,
+         "x1": c.x1, "y1": c.y1}
+        for c in cells
+    ]
+    assert det == want
+    assert len(det) == 8  # 9 grid positions, one pair merged
+    merged = [c for c in det if c["colspan"] == 2]
+    assert len(merged) == 1 and merged[0]["row"] == 1
+    assert merged[0]["col"] == 0 and merged[0]["rowspan"] == 1
+
+    img2, cells2, _b2 = render_table(
+        [["alpha", "beta", "gam"], ["delta", "eps", "zeta"],
+         ["", "eta", "theta"]],
+        merges=[(1, 0, 2, 1)],  # delta spans rows 1-2 of col 0
+    )
+    det2 = detect_table_cells(img2)
+    want2 = [
+        {"row": c.row, "col": c.col, "rowspan": c.rowspan,
+         "colspan": c.colspan, "x0": c.x0, "y0": c.y0,
+         "x1": c.x1, "y1": c.y1}
+        for c in cells2
+    ]
+    assert det2 == want2
+    merged2 = [c for c in det2 if c["rowspan"] == 2]
+    assert len(merged2) == 1 and (merged2[0]["row"], merged2[0]["col"]) == (1, 0)
 
 
 def test_erase_grid_removes_rules():
