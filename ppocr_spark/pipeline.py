@@ -283,6 +283,70 @@ def make_ocr_udf(cfg: PPOCRConfig, metrics: dict | None = None):
     return ocr_udf
 
 
+def make_grouped_ocr_udf(cfg: PPOCRConfig, metrics: dict | None = None):
+    """Grouped variant of the OCR UDF for the co-partitioned (non-
+    broadcast) path: each input row carries ONE media payload plus the
+    list of span requests addressing it (reqs: doc_id/offset/media_ref/
+    page structs) — the payload is decoded against many spans without
+    ever being duplicated per span row. Output rows are identical to
+    ``make_ocr_udf``'s."""
+    import pyarrow as pa
+
+    out_type = pa.struct(
+        [
+            ("doc_id", pa.string()),
+            ("offset", pa.int32()),
+            ("media_ref", pa.string()),
+            ("code", pa.int32()),
+            ("text", pa.string()),
+            ("boxes", pa.list_(pa.list_(pa.int32()))),
+            ("texts", pa.list_(pa.string())),
+            ("scores", pa.list_(pa.float32())),
+            ("cls_labels", pa.list_(pa.int32())),
+            ("cls_scores", pa.list_(pa.float32())),
+            ("ends", pa.list_(pa.string())),
+        ]
+    )
+
+    def ocr_udf(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            reqs_col = batch.column("reqs").to_pylist()
+            contents = batch.column("content")
+            totals = dict.fromkeys(STAGE_KEYS, 0.0)
+            rows = []
+            for i in range(batch.num_rows):
+                c = contents[i].as_py() if contents[i].is_valid else None
+                for req in reqs_col[i]:
+                    r = _ocr_one(c, cfg, page=req["page"])
+                    if metrics is not None:
+                        for k, v in r["stage_ms"].items():
+                            totals[k] += v
+                        totals["ocr_spans"] += 1
+                    rows.append(
+                        {
+                            "doc_id": req["doc_id"],
+                            "offset": req["offset"],
+                            "media_ref": req["media_ref"],
+                            "code": r["code"],
+                            "text": r["text"],
+                            "boxes": r["boxes"],
+                            "texts": r["texts"],
+                            "scores": r["scores"],
+                            "cls_labels": r["cls_labels"],
+                            "cls_scores": r["cls_scores"],
+                            "ends": r["ends"],
+                        }
+                    )
+            if metrics is not None:
+                for k, v in totals.items():
+                    if v:
+                        metrics[k].add(v)
+            arr = pa.array(rows, type=out_type)
+            yield pa.RecordBatch.from_struct_array(arr)
+
+    return ocr_udf
+
+
 # ---------------------------------------------------------------------------
 # pipeline stages
 # ---------------------------------------------------------------------------
@@ -361,31 +425,49 @@ def ocr_media_spans(
             F.regexp_extract("media_ref", r"#page=(\d+)$", 1), F.lit("")
         ).cast("int").alias("page"),
     )
-    # EXPLICIT repartition before the heavy UDF: a small parquet scan yields
-    # 1-2 input partitions and would serialize all OCR work onto 1-2 cores.
-    # Round-robin also spreads a media-heavy document's spans across the
-    # cluster (per-span work is doc-agnostic) — the intra-stage skew control.
-    # 5 waves per core: per-span cost varies ~3x with page size, and coarse
-    # 2-wave partitioning leaves the final wave a straggler tail (measured
-    # 22% wall-time cost at 32 cores on the 12800-doc corpus).
     par = spans.sparkSession.sparkContext.defaultParallelism
-    ids = ids.repartition(max(par * 5, cfg.shuffle_partitions))
     if broadcast_media:
+        # EXPLICIT repartition before the heavy UDF: a small parquet scan
+        # yields 1-2 input partitions and would serialize all OCR work onto
+        # 1-2 cores. Round-robin also spreads a media-heavy document's
+        # spans across the cluster (per-span work is doc-agnostic) — the
+        # intra-stage skew control. 5 waves per core: per-span cost varies
+        # ~3x with page size, and coarse 2-wave partitioning leaves the
+        # final wave a straggler tail (measured 22% wall-time cost at 32
+        # cores on the 12800-doc corpus).
+        ids = ids.repartition(max(par * 5, cfg.shuffle_partitions))
         # broadcast join AFTER the shuffle: only the slim (doc_id, offset,
         # media_ref) rows move; the image payload attaches in place
-        req = ids.join(F.broadcast(m), "base_ref", "left")
-    else:
-        # media too big to broadcast (the 100 TB path): co-locate by
-        # base_ref instead — shuffle both sides on the join key and let
-        # AQE split skewed buckets; payload moves once, never twice
-        req = ids.repartition(
-            max(par * 5, cfg.shuffle_partitions), "base_ref"
-        ).join(m, "base_ref", "left")
-    req = req.drop("base_ref")
-    result = req.mapInArrow(
-        make_ocr_udf(cfg, metrics), schema=OCR_RESULT_SCHEMA
+        req = ids.join(F.broadcast(m), "base_ref", "left").drop("base_ref")
+        return req.mapInArrow(
+            make_ocr_udf(cfg, metrics), schema=OCR_RESULT_SCHEMA
+        )
+    # media too big to broadcast (the 100 TB path): GROUP the slim span
+    # rows per base_ref BEFORE the payload join, so ONE payload row serves
+    # every page/span addressing that media — a PDF with 50 page spans
+    # ships its blob once instead of 50 times (the per-partition
+    # payload-cache design, SCALE.md §3b). Both sides are EXPLICITLY
+    # hash-partitioned on base_ref with the same count, so (a) the join
+    # needs no further exchange — the payload moves exactly once — and
+    # (b) AQE cannot coalesce the slim grouped side down to a handful of
+    # partitions and serialize the OCR stage (user repartitions pin the
+    # count). Caveat: all spans of one media run in one task; media
+    # referenced by very many spans should take the broadcast path.
+    n_part = max(par * 4, cfg.shuffle_partitions)
+    grouped = (
+        ids.groupBy("base_ref")
+        .agg(
+            F.collect_list(
+                F.struct("doc_id", "offset", "media_ref", "page")
+            ).alias("reqs")
+        )
+        .repartition(n_part, "base_ref")
+        .join(m.repartition(n_part, "base_ref"), "base_ref", "left")
+        .drop("base_ref")
     )
-    return result
+    return grouped.mapInArrow(
+        make_grouped_ocr_udf(cfg, metrics), schema=OCR_RESULT_SCHEMA
+    )
 
 
 def ocr_requests(
