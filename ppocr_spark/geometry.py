@@ -328,13 +328,29 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     p = sub.astype(np.float32)
     flat = p.ravel()
     base = (y0 - by0) * sw + (x0 - bx0)
-    out = (
-        flat[base] * (1 - fx) * (1 - fy)
-        + flat[base + 1] * fx * (1 - fy)
-        + flat[base + sw] * (1 - fx) * fy
-        + flat[base + sw + 1] * fx * fy
-    )
-    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    # in-place accumulation of the SAME left-associated per-element
+    # products/sums as the naive 4-term blend — bit-identical, ~half the
+    # temporaries (this is the hottest per-box kernel on skewed pages)
+    gx = 1 - fx
+    gy = 1 - fy
+    out = flat[base]
+    out *= gx
+    out *= gy
+    t = flat[base + 1]
+    t *= fx
+    t *= gy
+    out += t
+    t = flat[base + sw]
+    t *= gx
+    t *= fy
+    out += t
+    t = flat[base + sw + 1]
+    t *= fx
+    t *= fy
+    out += t
+    np.round(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    out = out.astype(np.uint8)
     if crop_h >= crop_w * 1.5:
         # transpose + vertical flip — the reference's vertical-text rule
         out = np.ascontiguousarray(out.T[::-1])

@@ -85,15 +85,36 @@ def _bilinear_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     fy = np.clip(ys - y0, 0, 1)[:, None].astype(np.float32)
     fx = np.clip(xs - x0, 0, 1)[None, :].astype(np.float32)
     # separable two-pass float32 blend; collapse along the axis that shrinks
-    # the intermediate most (memory traffic dominates this kernel)
+    # the intermediate most (memory traffic dominates this kernel).
+    # In-place ops below perform the SAME per-element expressions in the
+    # same order as the naive a*(1-f) + b*f form — bit-identical, fewer
+    # temporaries (this kernel runs ~10x per span)
     p = img.astype(np.float32)
     if nh * w <= h * nw:
-        v = p[y0] * (1 - fy) + p[y0 + 1] * fy          # (nh, w)
-        out = v[:, x0] * (1 - fx) + v[:, x0 + 1] * fx  # (nh, nw)
+        v = p[y0]
+        v *= 1 - fy
+        t = p[y0 + 1]
+        t *= fy
+        v += t                                         # (nh, w)
+        out = v[:, x0]
+        out *= 1 - fx
+        t2 = v[:, x0 + 1]
+        t2 *= fx
+        out += t2                                      # (nh, nw)
     else:
-        hh = p[:, x0] * (1 - fx) + p[:, x0 + 1] * fx   # (h, nw)
-        out = hh[y0] * (1 - fy) + hh[y0 + 1] * fy      # (nh, nw)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+        hh = p[:, x0]
+        hh *= 1 - fx
+        t = p[:, x0 + 1]
+        t *= fx
+        hh += t                                        # (h, nw)
+        out = hh[y0]
+        out *= 1 - fy
+        t2 = hh[y0 + 1]
+        t2 *= fy
+        out += t2                                      # (nh, nw)
+    np.round(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)
 
 
 def _box_filter(a: np.ndarray, wh: int, ww: int) -> np.ndarray:

@@ -27,7 +27,7 @@ import numpy as np
 
 from ppocr_spark.font import GLYPH_H, GLYPH_W, char_dict, template_stack
 from ppocr_spark.operators.detect import _bilinear_resize
-from ppocr_spark.resample import area_resize
+from ppocr_spark.resample import batched_area_resize
 
 SOFTMAX_TEMP = 24.0
 #: a horizontal gap wider than this fraction of the median segment width
@@ -62,10 +62,13 @@ def forward_probs(crop: np.ndarray) -> np.ndarray:
         return np.stack([blank, blank])
     widths = [e - s for s, e in segs]
     med_w = float(np.median(widths))
-    # pass 1: extract segment tiles (Python loop — tile shapes differ
-    # before the resize); normalization + template correlation are then
-    # batched over ALL segments at once
-    tiles: list[np.ndarray | None] = []
+    # pass 1: extract segment source tiles (Python loop — tile shapes
+    # differ before the resize); the area resizes are then batched PER
+    # SOURCE SHAPE (glyph segments cluster heavily on a few shapes), and
+    # normalization + template correlation batch over ALL segments at
+    # once. Per-slice matmuls inside the batched resize are the same
+    # gemms as the per-tile calls — bit-identical, pinned by goldens.
+    srcs: list[np.ndarray | None] = []
     space_before: list[bool] = []
     prev_end: int | None = None
     for (s, e) in segs:
@@ -76,11 +79,10 @@ def forward_probs(crop: np.ndarray) -> np.ndarray:
         seg = ink[:, s:e]
         rnz = np.flatnonzero(seg.any(axis=1))
         if rnz.size == 0:
-            tiles.append(None)
+            srcs.append(None)
             continue
-        tiles.append(
-            area_resize(crop[rnz[0] : rnz[-1] + 1, s:e], GLYPH_H, GLYPH_W)
-        )
+        srcs.append(crop[rnz[0] : rnz[-1] + 1, s:e])
+    tiles = batched_area_resize(srcs, GLYPH_H, GLYPH_W)
 
     vstack = [t for t in tiles if t is not None]
     feats: list[np.ndarray | None]
