@@ -119,15 +119,95 @@ def draw_boxes(img, boxes, thickness: int = 1):
     return out
 
 
-def visualize_results(ocr: DataFrame, media: DataFrame) -> DataFrame:
+def _paint_text(canvas, text: str, x: int, y: int) -> None:
+    """Paint a string onto a grayscale canvas with the procedural glyph
+    bank (ink 0), clipped at the borders; chars without a glyph skipped."""
+    import numpy as np
+
+    from ppocr_spark.font import GLYPH_H, GLYPH_W, glyph_bank
+
+    bank = glyph_bank()
+    h, w = canvas.shape[:2]
+    cx = x
+    for ch in text:
+        if ch == " " or ch not in bank:
+            cx += GLYPH_W + 2
+            continue
+        gy0, gx0 = max(y, 0), max(cx, 0)
+        gy1, gx1 = min(y + GLYPH_H, h), min(cx + GLYPH_W, w)
+        if gy1 > gy0 and gx1 > gx0:
+            g = bank[ch][gy0 - y : gy1 - y, gx0 - cx : gx1 - cx]
+            region = canvas[gy0:gy1, gx0:gx1]
+            region[np.asarray(g, dtype=bool)] = 0
+        cx += GLYPH_W + 2
+
+
+def draw_order(img, boxes):
+    """K4 order layer (PPOCR_visualize.createOrder,
+    api/python/PPOCR_visualize.py:61-77): paint each block's 0-based
+    reading-order index at its top-left corner."""
+    import numpy as np
+
+    out = np.asarray(img).copy()
+    for i, quad in enumerate(boxes):
+        q = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+        _paint_text(out, str(i), int(q[:, 0].min()) + 1, int(q[:, 1].min()) + 1)
+    return out
+
+
+def draw_text_layer(shape, boxes, texts):
+    """K4 text layer (PPOCR_visualize.createText,
+    api/python/PPOCR_visualize.py:40-59): a white page with each block's
+    recognized text painted at its box position."""
+    import numpy as np
+
+    out = np.full(shape, 255, dtype=np.uint8)
+    for quad, text in zip(boxes, texts):
+        q = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+        _paint_text(out, text or "", int(q[:, 0].min()), int(q[:, 1].min()))
+    return out
+
+
+def draw_contrast(img, boxes, texts):
+    """K4 contrast layer (PPOCR_visualize.createContrast,
+    api/python/PPOCR_visualize.py:79-109): source page with box outlines
+    on the left, recognized text layer on the right, side by side."""
+    import numpy as np
+
+    left = draw_boxes(img, boxes)
+    right = draw_text_layer(np.asarray(img).shape[:2], boxes, texts)
+    return np.concatenate([left, right], axis=1)
+
+
+def render_viz_layer(img, boxes, texts, layer: str):
+    """Dispatch one K4 layer by name: 'box' | 'order' | 'text' |
+    'contrast' — the four layers of api/python/PPOCR_visualize.py."""
+    import numpy as np
+
+    if layer == "box":
+        return draw_boxes(img, boxes)
+    if layer == "order":
+        return draw_order(img, boxes)
+    if layer == "text":
+        return draw_text_layer(np.asarray(img).shape[:2], boxes, texts)
+    if layer == "contrast":
+        return draw_contrast(img, boxes, texts)
+    raise ValueError(f"unknown viz layer: {layer}")
+
+
+def visualize_results(
+    ocr: DataFrame, media: DataFrame, layer: str = "box"
+) -> DataFrame:
     """K4 sink: join OCR box results back to their source images and emit
-    an annotated PNG per media span (media_ref, viz_png). Arrow-batched;
-    debug/inspection path, not on the hot extraction route."""
+    an annotated PNG per media span (media_ref, viz_png). ``layer``
+    selects box / order / text / contrast (PPOCR_visualize's four
+    layers). Arrow-batched; debug/inspection path, not on the hot
+    extraction route."""
     import pandas as pd
 
     joined = (
         ocr.filter(F.size("boxes") > 0)
-        .select("doc_id", "offset", "media_ref", "boxes")
+        .select("doc_id", "offset", "media_ref", "boxes", "texts")
         .join(
             F.broadcast(
                 media.select(
@@ -152,8 +232,9 @@ def visualize_results(ocr: DataFrame, media: DataFrame) -> DataFrame:
 
         for pdf in batches:
             refs, pngs = [], []
-            for ref, content, boxes in zip(
-                pdf["media_ref"], pdf["content"], pdf["boxes"]
+            for ref, content, boxes, texts in zip(
+                pdf["media_ref"], pdf["content"], pdf["boxes"],
+                pdf["texts"],
             ):
                 try:
                     data = bytes(content)
@@ -169,7 +250,9 @@ def visualize_results(ocr: DataFrame, media: DataFrame) -> DataFrame:
                     for b in boxes
                 ]
                 refs.append(ref)
-                pngs.append(encode_gray(draw_boxes(img, quads)))
+                pngs.append(
+                    encode_gray(render_viz_layer(img, quads, texts, layer))
+                )
             yield pd.DataFrame(
                 {
                     "media_ref": pd.Series(refs, dtype="object"),

@@ -280,3 +280,41 @@ class TestBase64Taxonomy:
         assert bytes(by_payload["aGk="]["content"]) == b"hi"
         assert by_payload["@@@"]["content"] is None
         assert all(r["src_b64"] for r in rows)
+
+
+class TestVizLayers:
+    """K4's four layers (api/python/PPOCR_visualize.py:13-109): box
+    outlines, order indices, text layer, side-by-side contrast."""
+
+    def _page(self):
+        import numpy as np
+
+        img = np.full((60, 80), 255, dtype=np.uint8)
+        boxes = [[(10, 10), (40, 10), (40, 28), (10, 28)],
+                 [(10, 35), (60, 35), (60, 53), (10, 53)]]
+        texts = ["ab", "cd"]
+        return img, boxes, texts
+
+    def test_box_and_order_layers(self):
+        from ppocr_spark.sources.sinks import render_viz_layer
+
+        img, boxes, texts = self._page()
+        box = render_viz_layer(img, boxes, texts, "box")
+        assert (box[10, 10:41] == 0).all()  # top edge drawn
+        order = render_viz_layer(img, boxes, texts, "order")
+        assert (order < 128).sum() > (box < 128).sum() * 0  # ink present
+        assert (order[11:27, 11:23] < 128).any()  # '0' painted at box 0
+
+    def test_text_and_contrast_layers(self):
+        import numpy as np
+
+        from ppocr_spark.sources.sinks import render_viz_layer
+
+        img, boxes, texts = self._page()
+        txt = render_viz_layer(img, boxes, texts, "text")
+        assert txt.shape == img.shape
+        assert (txt[10:26, 10:40] < 128).any()  # 'ab' painted at box 0
+        con = render_viz_layer(img, boxes, texts, "contrast")
+        assert con.shape == (60, 160)  # original | text side by side
+        with np.testing.assert_raises(ValueError):
+            render_viz_layer(img, boxes, texts, "nope")
