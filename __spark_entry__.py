@@ -858,6 +858,94 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: literal init centroids → one distributed Lloyd step
+    (decimal-exact means) → inverted lists → n_probe probing → exact
+    re-rank. The oracle recomputes the ENTIRE refinement in SQL — the
+    centroids must agree bit-for-bit across engines."""
+    from ppocr_spark.functions.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(
+        e, q, k=5, n_centroids=8, n_probe=3, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _ann_ivf_sql() -> str:
+    from ppocr_spark.functions.similarity import _ivf_init
+
+    init = _ivf_init(64, 8, seed=7, scale=0.125)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(init)
+    )
+    d_of = (
+        "list_sum(list_transform(range(1, 65), j -> "
+        "(e.embedding[j]::DOUBLE - {c}[j]) * "
+        "(e.embedding[j]::DOUBLE - {c}[j])))"
+    )
+    return f"""
+WITH init(cl, cent) AS (VALUES {vals}),
+a1 AS (
+  SELECT vec_id, embedding, cl FROM (
+    SELECT e.vec_id, e.embedding, i.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d_of.format(c='i.cent')}, i.cl) AS rn
+    FROM embeddings e CROSS JOIN init i
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT cl, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM a1
+),
+ref AS (
+  SELECT cl, list(c ORDER BY pos) AS cent FROM (
+    SELECT cl, pos,
+           (sum(CAST(val AS DECIMAL(27,7)))::DOUBLE / count(*)) AS c
+    FROM comp GROUP BY cl, pos
+  ) GROUP BY cl
+),
+full_c AS (
+  SELECT i.cl, coalesce(r.cent, i.cent) AS cent
+  FROM init i LEFT JOIN ref r ON i.cl = r.cl
+),
+a2 AS (
+  SELECT vec_id, embedding, cl FROM (
+    SELECT e.vec_id, e.embedding, f.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d_of.format(c='f.cent')}, f.cl) AS rn
+    FROM embeddings e CROSS JOIN full_c f
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, embedding AS qv, cl FROM (
+    SELECT e.vec_id, e.embedding, f.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d_of.format(c='f.cent')}, f.cl) AS rn
+    FROM embeddings e CROSS JOIN full_c f
+    WHERE e.vec_id < 8
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT DISTINCT p.qid AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.qv::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw
+  FROM probes p JOIN a2 c ON p.cl = c.cl AND c.vec_id <> p.qid
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-scale embedding near-dup path: hyperplane-LSH bucket
     join + exact cosine verify on candidates only (the all-pairs
@@ -1331,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _emb_cosine_pairs,
         "ann_topk_bruteforce": _ann_brute,
         "ann_topk_lsh": _ann_lsh,
+        "ann_topk_ivf": _ann_ivf,
         "dedup_embedding_lsh": _emb_lsh_pairs,
         "ocr_extract_spans": _ocr_extract,
         "ocr_blocks": _ocr_blocks,
@@ -1376,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMB_COSINE_SQL,
         "ann_topk_bruteforce": _ANN_BRUTE_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_topk_ivf": _ann_ivf_sql(),
         "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
         "ocr_extract_spans": _ocr_extract_sql(sf_dir),
         "ocr_blocks": _ocr_blocks_sql(sf_dir),

@@ -45,6 +45,10 @@ class PPOCRConfig:
     # warp → resize chain, so the engine default is 64
     rec_img_h: int = 64
     rec_img_w: int = 320
+    # per-language recognition dict ('en'|'zh'|'full') — the analog of the
+    # reference's per-language config files rewriting rec_char_dict_path
+    # (cpp/src/args.cpp:109-163)
+    rec_lang: str = "full"
 
     # --- output (cpp/src/args.cpp:40, task.cpp:22-37)
     ensure_ascii: bool = True
@@ -67,6 +71,21 @@ class PPOCRConfig:
 
     def replace(self, **kw) -> "PPOCRConfig":
         return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def for_language(cls, lang: str, **overrides) -> "PPOCRConfig":
+        """Per-language preset — the analog of the reference's shipped
+        ``models/config_<lang>.txt`` files (each selects model dirs + a
+        rec dict, cpp/src/args.cpp:109-163). 'zh' also enables the angle
+        classifier, matching the shipped chinese config's cls usage."""
+        presets = {
+            "en": {"rec_lang": "en"},
+            "zh": {"rec_lang": "zh", "cls": True, "use_angle_cls": True},
+            "full": {"rec_lang": "full"},
+        }
+        if lang not in presets:
+            raise ValueError(f"unknown language preset: {lang}")
+        return cls(**{**presets[lang], **overrides})
 
     @classmethod
     def from_file(cls, path: str, **cli_overrides) -> "PPOCRConfig":

@@ -113,10 +113,23 @@ def glyph_bank() -> dict[str, np.ndarray]:
     return bank
 
 
-@functools.lru_cache(maxsize=1)
-def template_stack() -> tuple[np.ndarray, str]:
+def charset_for(lang: str = "full") -> str:
+    """Per-language charset — the analog of the reference's per-language
+    ``rec_char_dict_path`` configs (cpp/src/args.cpp:109-163 rewrites the
+    models/dict paths per shipped language config). 'en' = ASCII
+    printable; 'zh'/'full' = ASCII + CJK sample + CJK punctuation."""
+    if lang == "en":
+        return "".join(chr(c) for c in range(33, 127))
+    if lang in ("zh", "full"):
+        return CHARSET
+    raise ValueError(f"unknown rec language: {lang}")
+
+
+@functools.lru_cache(maxsize=8)
+def template_stack(lang: str = "full") -> tuple[np.ndarray, str]:
     """(float32 stack [n, GLYPH_H*GLYPH_W] of zero-mean unit-norm templates,
-    labels) — the recognition 'model weights' (R3 analog).
+    labels) — the recognition 'model weights' (R3 analog), restricted to
+    the language's charset (the per-language dict surface).
 
     Templates are the glyphs tight-cropped to their ink bbox and resampled
     to (GLYPH_H, GLYPH_W) exactly as recognition tiles are, so the match is
@@ -124,7 +137,8 @@ def template_stack() -> tuple[np.ndarray, str]:
     from ppocr_spark.resample import area_resize
 
     bank = glyph_bank()
-    labels = "".join(bank.keys())
+    allowed = set(charset_for(lang))
+    labels = "".join(ch for ch in bank.keys() if ch in allowed)
     mats = []
     for c in labels:
         g = bank[c]
@@ -141,8 +155,8 @@ def template_stack() -> tuple[np.ndarray, str]:
     return stack, labels
 
 
-def char_dict() -> list[str]:
+def char_dict(lang: str = "full") -> list[str]:
     """CTC label list: blank '#' prepended, ' ' appended — exactly the
     reference's dict assembly (cpp/include/ocr_rec.h:51-54,
-    cpp/src/utility.cpp:37-56)."""
-    return ["#"] + list(CHARSET) + [" "]
+    cpp/src/utility.cpp:37-56); per-language via ``charset_for``."""
+    return ["#"] + list(charset_for(lang)) + [" "]

@@ -175,6 +175,146 @@ def lsh_near_dup_pairs(
     )
 
 
+def _ivf_init(dim: int, n_centroids: int, seed: int, scale: float) -> list:
+    rng = np.random.default_rng(seed)
+    return (scale * rng.standard_normal((n_centroids, dim))).round(6).tolist()
+
+
+def _sq_dist(vec: Column, cent: list) -> Column:
+    """Squared L2 distance to a literal centroid, as a left-fold over the
+    vector — the same evaluation order the DuckDB oracle states."""
+    arr = F.array(*[F.lit(float(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(
+            vec, arr,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda a, z: a + z,
+    )
+
+
+def _nearest_centroid(vec: Column, cents: list[Column]) -> Column:
+    """argmin over per-centroid distances; ties → lowest index (struct
+    comparison on (dist, idx))."""
+    arr = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("i"))
+            for i, d in enumerate(cents)
+        ]
+    )
+    return F.array_min(arr)["i"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    init_scale: float = 0.125,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: seeded literal init
+    centroids → ONE distributed Lloyd refinement (assign + per-cluster
+    decimal-exact mean — order-independent across partials, so the
+    DuckDB oracle reproduces the centroids bit-for-bit) → corpus rows
+    inverted-listed by nearest refined centroid → queries probe their
+    ``n_probe`` nearest lists → exact cosine re-rank on candidates only.
+
+    At scale: the refinement is one slim groupBy over (cluster, dim
+    position); assignment broadcasts ≤ n_centroids rows; the candidate
+    join touches ~n_probe/n_centroids of the corpus per query."""
+    init = _ivf_init(dim, n_centroids, seed, init_scale)
+    c0 = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    )
+    assigned = c0.select(
+        "nid", "nv",
+        _nearest_centroid(
+            F.col("nv"), [_sq_dist(F.col("nv"), c) for c in init]
+        ).alias("cl"),
+    )
+    comp = assigned.select(
+        "cl", F.posexplode("nv").alias("pos", "val")
+    )
+    sums = comp.groupBy("cl", "pos").agg(
+        # decimal sum: exact & order-independent across partials (float
+        # sums would diverge from the sequential oracle)
+        F.sum(F.col("val").cast("decimal(27,7)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    refined = (
+        sums.select(
+            "cl", "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("c"),
+        )
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+    )
+    cents = {r["cl"]: r["cent"] for r in refined.collect()}
+    # empty clusters keep their init centroid (mirrored in the oracle)
+    full = [cents.get(i, init[i]) for i in range(n_centroids)]
+
+    inv = c0.select(
+        "nid", "nv",
+        _norm(F.col("nv")).alias("nn"),
+        _nearest_centroid(
+            F.col("nv"), [_sq_dist(F.col("nv"), c) for c in full]
+        ).alias("cl"),
+    )
+    qd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col(vec_col), c).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(full)
+            ]
+        ).alias("cd"),
+    ).select(
+        "qid", "qv", "qn",
+        F.explode(
+            F.slice(F.array_sort("cd"), 1, n_probe)
+        ).alias("probe"),
+    ).select("qid", "qv", "qn", F.col("probe.i").alias("cl"))
+
+    scored = (
+        inv.join(F.broadcast(qd), "cl")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid", "nid",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("cosine"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -46,11 +46,13 @@ def _segments(ink: np.ndarray) -> list[tuple[int, int]]:
     return [(int(s), int(e)) for s, e in zip(starts, ends)]
 
 
-def forward_probs(crop: np.ndarray) -> np.ndarray:
+def forward_probs(crop: np.ndarray, lang: str = "full") -> np.ndarray:
     """R3: one crop (uint8 gray) → (T, C) probability grid.
 
-    C = len(char_dict()) = 1 blank + charset + space."""
-    templates, labels = template_stack()
+    C = len(char_dict(lang)) = 1 blank + charset + space; ``lang``
+    selects the per-language dict (the reference's per-language
+    rec_char_dict_path analog)."""
+    templates, labels = template_stack(lang)
     dict_size = len(labels) + 2  # blank + labels + space
     space_cls = dict_size - 1
     ink = crop < 128
@@ -128,11 +130,11 @@ def forward_probs(crop: np.ndarray) -> np.ndarray:
     return np.stack(rows)
 
 
-def ctc_greedy_decode(probs: np.ndarray) -> tuple[str, float]:
+def ctc_greedy_decode(probs: np.ndarray, lang: str = "full") -> tuple[str, float]:
     """R4: greedy CTC over a (T, C) grid with the reference's exact
     semantics — argmax per step, skip blank(0), skip repeats, score =
     mean(max prob) over kept steps; empty/NaN → ('', -1.0)."""
-    dictionary = char_dict()
+    dictionary = char_dict(lang)
     idx = probs.argmax(axis=1)
     mx = probs.max(axis=1)
     chars: list[str] = []
@@ -169,11 +171,14 @@ def resize_norm(crop: np.ndarray, img_h: int, max_wh_ratio: float) -> np.ndarray
 
 
 def recognize_batch(
-    crops: list[np.ndarray], img_h: int = 48, batch_num: int = 6
+    crops: list[np.ndarray],
+    img_h: int = 48,
+    batch_num: int = 6,
+    lang: str = "full",
 ) -> list[tuple[str, float]]:
     """R1-R4 over a list of crops: aspect-ratio argsort, sub-batches of
     `batch_num` sharing a max_wh_ratio, per-crop forward+decode, results
-    restored to input order."""
+    restored to input order. ``lang`` selects the recognition dict."""
     n = len(crops)
     if n == 0:
         return []
@@ -185,6 +190,6 @@ def recognize_batch(
         max_ratio = max(img_h / float(img_h), *(ratios[i] for i in idxs))
         for i in idxs:
             norm = resize_norm(crops[i], img_h, max_ratio)
-            probs = forward_probs(norm)
-            results[i] = ctc_greedy_decode(probs)
+            probs = forward_probs(norm, lang)
+            results[i] = ctc_greedy_decode(probs, lang)
     return results

@@ -160,7 +160,10 @@ def _ocr_one(
         crops = rotated
         stage_ms["cls_ms"] = (perf_counter() - t0) * 1e3
     t0 = perf_counter()
-    rec = recognize_batch(crops, img_h=cfg.rec_img_h, batch_num=cfg.rec_batch_num)
+    rec = recognize_batch(
+        crops, img_h=cfg.rec_img_h, batch_num=cfg.rec_batch_num,
+        lang=cfg.rec_lang,
+    )
     stage_ms["rec_ms"] = (perf_counter() - t0) * 1e3
 
     # K1 filters: drop empty-text / score<=0 records when rec is on

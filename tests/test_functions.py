@@ -280,3 +280,37 @@ class TestLangIdTieBreak:
             ).collect()
         }
         assert out == {1: "en", 2: "de", 3: "und"}
+
+
+class TestIvfTopk:
+    def test_recall_vs_brute(self, spark):
+        import numpy as np
+
+        from ppocr_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.default_rng(5)
+        rows = [
+            (i, [float(x) for x in 0.125 * rng.standard_normal(16)])
+            for i in range(120)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        q = emb.filter("vec_id < 6")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, q, k=3).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, q, k=3, n_centroids=6, n_probe=4, dim=16
+            ).collect()
+        }
+        assert len(got & exact) / len(exact) >= 0.6  # probe recall
+        # every returned neighbor really is in a probed list → subset of
+        # corpus, ranks 1..3 per query
+        assert all(r[0] < 6 for r in got)

@@ -530,3 +530,46 @@ class TestFusedDetFrontEnd:
             assert len(boxes_fused) == len(boxes_legacy)
             for x, y in zip(boxes_legacy, boxes_fused):
                 assert np.abs(x - y).max() <= 1
+
+
+class TestLanguageDicts:
+    """Per-language rec dict surface (the reference's per-language config
+    files, cpp/src/args.cpp:109-163): 'en' restricts the CTC dict to
+    ASCII; 'full' is byte-identical to the default path."""
+
+    def test_en_dict_excludes_cjk(self):
+        from ppocr_spark.font import char_dict, charset_for, template_stack
+
+        en = charset_for("en")
+        assert "的" not in en and "a" in en and "Z" in en
+        _, labels = template_stack("en")
+        assert set(labels) <= set(en)
+        d = char_dict("en")
+        assert d[0] == "#" and d[-1] == " "
+
+    def test_full_matches_default(self):
+        import numpy as np
+
+        from ppocr_spark.operators.recognize import recognize_batch
+        from ppocr_spark.render import render_page
+
+        img, truth = render_page(["alpha beta"])
+        # whole line as one crop
+        crops = [img]
+        full = recognize_batch(crops, lang="full")
+        en = recognize_batch(crops, lang="en")
+        assert full[0][0] == en[0][0]  # latin text identical under both
+        assert full[0][0]  # non-empty
+
+    def test_for_language_presets(self):
+        from ppocr_spark.config import PPOCRConfig
+
+        zh = PPOCRConfig.for_language("zh")
+        assert zh.rec_lang == "zh" and zh.cls and zh.use_angle_cls
+        en = PPOCRConfig.for_language("en", parser="single_line")
+        assert en.rec_lang == "en" and en.parser == "single_line"
+        try:
+            PPOCRConfig.for_language("xx")
+            assert False
+        except ValueError:
+            pass
