@@ -116,3 +116,105 @@ def stream_span_metrics(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_assemble_documents(
+    spark: SparkSession,
+    spans_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_ms: int = 60_000,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """CUSTOM STATEFUL streaming operator (``applyInPandasWithState``):
+    reassemble documents from span rows that arrive out of order across
+    micro-batches.
+
+    Input files carry one row per span: (doc_id, kind, text, media_ref,
+    "order", code, n_spans) where n_spans is the document's total span
+    count (authored with the document, like a manifest header). Per
+    doc_id, arriving spans accumulate in group state; when all n_spans
+    are present the assembled document (spans sorted by order) is
+    emitted and the state cleared. A processing-time timeout flushes
+    stragglers as partial documents (complete=false) so state is always
+    bounded — the arbitrary-stateful-operator pattern the batch
+    ``reassemble`` cannot express."""
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    span_fields = (
+        "doc_id string, kind string, text string, media_ref string, "
+        "`order` int, code int, n_spans int"
+    )
+    out_schema = T.StructType.fromDDL(
+        "doc_id string, spans_json string, n_spans int, complete boolean"
+    )
+    state_schema = T.StructType.fromDDL("acc string, want int")
+
+    def assemble(key, pdfs, state: GroupState):
+        (doc_id,) = key
+        spans = json.loads(state.get[0]) if state.exists else []
+        want = state.get[1] if state.exists else -1
+        if state.hasTimedOut:
+            # flush partial: late/lost spans — bounded state guarantee
+            state.remove()
+            spans.sort(key=lambda s: s["order"])
+            yield pd.DataFrame(
+                [{"doc_id": doc_id, "spans_json": json.dumps(spans),
+                  "n_spans": len(spans), "complete": False}]
+            )
+            return
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                spans.append(
+                    {"kind": r.kind, "text": r.text,
+                     "media_ref": r.media_ref, "order": int(r.order),
+                     "code": int(r.code)}
+                )
+                want = int(r.n_spans)
+        if want >= 0 and len(spans) >= want:
+            state.remove()
+            spans.sort(key=lambda s: s["order"])
+            yield pd.DataFrame(
+                [{"doc_id": doc_id, "spans_json": json.dumps(spans),
+                  "n_spans": len(spans), "complete": True}]
+            )
+        else:
+            state.update((json.dumps(spans), want))
+            state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="object"),
+                 "spans_json": pd.Series([], dtype="object"),
+                 "n_spans": pd.Series([], dtype="int64"),
+                 "complete": pd.Series([], dtype="bool")}
+            )
+
+    stream = (
+        spark.readStream.schema(T.StructType.fromDDL(span_fields))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(spans_dir)
+    )
+    assembled = stream.groupBy("doc_id").applyInPandasWithState(
+        assemble,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    writer = (
+        assembled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -318,3 +318,66 @@ class TestVizLayers:
         assert con.shape == (60, 160)  # original | text side by side
         with np.testing.assert_raises(ValueError):
             render_viz_layer(img, boxes, texts, "nope")
+
+
+class TestStatefulAssembly:
+    def test_spans_assemble_across_microbatches(self, spark, tmp_path):
+        """applyInPandasWithState: doc A's spans split across two files
+        (two micro-batches at maxFilesPerTrigger=1) must accumulate in
+        group state and emit ONCE, complete, in order; doc B completes in
+        batch 1."""
+        import json
+        import os
+
+        from ppocr_spark.streaming.stream import stream_assemble_documents
+
+        spans_dir = str(tmp_path / "spans")
+        os.makedirs(spans_dir)
+        schema = ("doc_id string, kind string, text string, "
+                  "media_ref string, `order` int, code int, n_spans int")
+        f1 = [
+            ("A", "text", "a0", None, 0, 100, 3),
+            ("A", "text", "a2", None, 2, 100, 3),
+            ("B", "text", "b0", None, 0, 100, 1),
+        ]
+        f2 = [("A", "media", "", "img_1", 1, 100, 3)]
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+            f"{spans_dir}/p1"
+        )
+        spark.createDataFrame(f2, schema).coalesce(1).write.parquet(
+            f"{spans_dir}/p2"
+        )
+        # file source lists files recursively? use the flat layout instead
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        import glob
+        import shutil
+
+        for i, p in enumerate(
+            sorted(glob.glob(f"{spans_dir}/p*/part-*.parquet"))
+        ):
+            shutil.copy(p, f"{flat}/{i:04d}.parquet")
+
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        # 2 state-store partitions: 32 would spin up 32 providers per
+        # micro-batch for a 2-doc test (state partitioning is fixed at
+        # query start from shuffle.partitions)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = stream_assemble_documents(
+                spark, flat, out, ck, max_files_per_trigger=1
+            )
+            q.awaitTermination(120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert set(res) == {"A", "B"}
+        assert res["A"]["complete"] and res["A"]["n_spans"] == 3
+        a_spans = json.loads(res["A"]["spans_json"])
+        assert [s["order"] for s in a_spans] == [0, 1, 2]
+        assert [s["text"] for s in a_spans] == ["a0", "", "a2"]
+        assert a_spans[1]["media_ref"] == "img_1"
+        assert res["B"]["complete"] and res["B"]["n_spans"] == 1
