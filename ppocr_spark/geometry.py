@@ -310,13 +310,23 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     mx = hmat[0, 0] * xs[None, :] + hmat[0, 1] * ys[:, None] + hmat[0, 2]
     my = hmat[1, 0] * xs[None, :] + hmat[1, 1] * ys[:, None] + hmat[1, 2]
     mw = hmat[2, 0] * xs[None, :] + hmat[2, 1] * ys[:, None] + hmat[2, 2]
-    sx = mx / mw - 0.5
-    sy = my / mw - 0.5
+    # in-place: sx = mx/mw - 0.5 with identical per-element ops (divide
+    # then subtract) — drops two crop-sized float64 temporaries
+    np.divide(mx, mw, out=mx)
+    mx -= 0.5
+    sx = mx
+    np.divide(my, mw, out=my)
+    my -= 0.5
+    sy = my
     h, w = img.shape[:2]
     x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
     y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
-    fx = np.clip(sx - x0, 0.0, 1.0).astype(np.float32)
-    fy = np.clip(sy - y0, 0.0, 1.0).astype(np.float32)
+    sx -= x0
+    np.clip(sx, 0.0, 1.0, out=sx)
+    fx = sx.astype(np.float32)
+    sy -= y0
+    np.clip(sy, 0.0, 1.0, out=sy)
+    fy = sy.astype(np.float32)
     # bounding-rect pre-crop (the reference's own first step,
     # cpp/src/utility.cpp:170-180): convert/gather only the sub-image the
     # clamped sample indices actually touch, not the whole page — bounds

@@ -162,11 +162,19 @@ def _pool2(gray: np.ndarray) -> np.ndarray:
     """2x2 mean pool (stride-2 feature map), uint8 → float32 ink in [0,1]."""
     h, w = gray.shape
     h2, w2 = h - (h % 2), w - (w % 2)
-    g = gray[:h2, :w2].astype(np.float32)
-    pooled = (
-        g[0::2, 0::2] + g[0::2, 1::2] + g[1::2, 0::2] + g[1::2, 1::2]
-    ) * 0.25
-    return (255.0 - pooled) / 255.0
+    # sum the four uint8 taps directly into float32 (integer sums ≤ 1020
+    # are exact in float32, so this equals the old full-page float32
+    # conversion bit-for-bit) — skips the page-sized float copy, the
+    # largest het-stage temporary at 32 residents
+    s = np.add(
+        gray[0:h2:2, 0:w2:2], gray[0:h2:2, 1:w2:2], dtype=np.float32
+    )
+    s += gray[1:h2:2, 0:w2:2]
+    s += gray[1:h2:2, 1:w2:2]
+    s *= 0.25
+    np.subtract(255.0, s, out=s)
+    s /= 255.0
+    return s
 
 
 def _pooled_axis_taps(src: int, dst: int):
@@ -196,16 +204,35 @@ def pooled_ink(img: np.ndarray, resize_h: int, resize_w: int) -> np.ndarray:
     h, w = img.shape[:2]
     p = img.astype(np.float32)
     a0, a1, g0, f0, g1, f1 = _pooled_axis_taps(h, resize_h)
-    v = (
-        p[a0] * g0[:, None] + p[a0 + 1] * f0[:, None]
-        + p[a1] * g1[:, None] + p[a1 + 1] * f1[:, None]
-    )
+    # in-place accumulation, same left-associated per-element expression
+    # as the naive 4-term sums (bit-identical; halves the page-sized
+    # temporaries — LLC pressure at 32 residents is the scaling limiter)
+    v = p[a0]
+    v *= g0[:, None]
+    t = p[a0 + 1]
+    t *= f0[:, None]
+    v += t
+    t = p[a1]
+    t *= g1[:, None]
+    v += t
+    t = p[a1 + 1]
+    t *= f1[:, None]
+    v += t
     b0, b1, h0, e0, h1, e1 = _pooled_axis_taps(w, resize_w)
-    pooled = (
-        v[:, b0] * h0[None, :] + v[:, b0 + 1] * e0[None, :]
-        + v[:, b1] * h1[None, :] + v[:, b1 + 1] * e1[None, :]
-    )
-    return (255.0 - pooled) / 255.0
+    pooled = v[:, b0]
+    pooled *= h0[None, :]
+    t = v[:, b0 + 1]
+    t *= e0[None, :]
+    pooled += t
+    t = v[:, b1]
+    t *= h1[None, :]
+    pooled += t
+    t = v[:, b1 + 1]
+    t *= e1[None, :]
+    pooled += t
+    np.subtract(255.0, pooled, out=pooled)
+    pooled /= 255.0
+    return pooled
 
 
 def probability_map(gray: np.ndarray) -> np.ndarray:
