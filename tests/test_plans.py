@@ -128,3 +128,43 @@ class TestNewPathPlans:
             "MapInArrow"
         ) + plan.count("PythonMapInArrow") >= 1
         assert "BatchEvalPython" not in plan
+
+
+class TestCopartitionPlan:
+    def test_grouped_join_no_extra_exchange(self, spark, small_corpus):
+        """Co-partitioned path plan pins: both join sides explicitly
+        hash-partitioned on base_ref with a pinned count, so (a) the join
+        itself adds NO further exchange (the payload moves exactly once)
+        and (b) the slim grouped side cannot be AQE-coalesced under the
+        OCR stage. The payload must never cross a second exchange."""
+        from pyspark.sql import functions as F
+
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.pipeline import explode_spans, ocr_media_spans
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        spans = explode_spans(docs)
+        # model the >threshold regime (the only one where this path runs):
+        # at the test's media size Catalyst would broadcast regardless
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ocr = ocr_media_spans(
+                spans, media, PPOCRConfig(), broadcast_media=False
+            )
+            plan = _plan(ocr)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # exactly three hash exchanges: the groupBy's partial->final for
+        # the slim side, then one explicit repartition per join side;
+        # no exchange sits between the join and the Arrow UDF (the
+        # payload crosses the wire exactly once)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 3, plan[:2000]
+        udf_after_join = plan.index("MapInArrow") < max(
+            plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin")
+        )
+        assert udf_after_join  # formatted plan prints consumers first
+        assert "ArrowEvalPython" not in plan  # mapInArrow ≠ eval node
