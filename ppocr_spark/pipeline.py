@@ -69,6 +69,7 @@ def _ocr_one(
     cfg: PPOCRConfig,
     page: int | None = None,
     from_base64: bool = False,
+    decode_cache: dict | None = None,
 ) -> dict:
     """OCR one media payload → result dict. Total function: every failure
     maps to a status code (cpp/include/task.h:13-61 taxonomy).
@@ -109,7 +110,13 @@ def _ocr_one(
         return {**empty, "code": int(no_content)}
     data = bytes(content)
     t0 = perf_counter()
-    if is_pdf(data):
+    # decode_cache (grouped co-partitioned path): all requests of one UDF
+    # row share one payload, so each page decodes once per group — the
+    # decoded page is read-only downstream (det/crop/cls never mutate it)
+    cached = decode_cache.get(page) if decode_cache is not None else None
+    if cached is not None:
+        img = cached
+    elif is_pdf(data):
         try:
             img = decode_pdf_page(data, page if page is not None else 1)
         except PdfError:
@@ -122,6 +129,8 @@ def _ocr_one(
             img = to_gray(decode(data))
         except PngError:
             return {**empty, "code": int(bad_image)}
+    if decode_cache is not None and cached is None:
+        decode_cache[page] = img
     stage_ms["decode_ms"] = (perf_counter() - t0) * 1e3
     if img.size == 0:
         return {
@@ -319,8 +328,10 @@ def make_grouped_ocr_udf(cfg: PPOCRConfig, metrics: dict | None = None):
             rows = []
             for i in range(batch.num_rows):
                 c = contents[i].as_py() if contents[i].is_valid else None
+                page_cache: dict = {}
                 for req in reqs_col[i]:
-                    r = _ocr_one(c, cfg, page=req["page"])
+                    r = _ocr_one(c, cfg, page=req["page"],
+                                 decode_cache=page_cache)
                     if metrics is not None:
                         for k, v in r["stage_ms"].items():
                             totals[k] += v
