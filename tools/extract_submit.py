@@ -66,11 +66,19 @@ def main() -> None:
         )
         print(f"resumable run: {stats}")
     else:
+        from ppocr_spark.pipeline import (
+            make_stage_metrics,
+            snapshot_stage_metrics,
+        )
+
+        metrics = make_stage_metrics(spark)
         out = extract_documents(
             docs, media, cfg,
             broadcast_media=not args.no_broadcast_media,
+            metrics=metrics,
         )
         out.write.mode("overwrite").parquet(args.output)
+        print(f"stage_ms: {snapshot_stage_metrics(metrics)}")
     spark.stop()
 
 
