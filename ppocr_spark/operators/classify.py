@@ -20,7 +20,7 @@ import numpy as np
 from ppocr_spark.font import GLYPH_H, GLYPH_W, template_stack
 from ppocr_spark.operators.detect import _bilinear_resize
 from ppocr_spark.operators.recognize import _segments
-from ppocr_spark.resample import area_resize
+from ppocr_spark.resample import batched_area_resize
 
 CLS_H = 48
 CLS_W = 192
@@ -48,13 +48,17 @@ def _orientation_evidence(img: np.ndarray) -> float:
     segs = _segments(ink)
     if not segs:
         return 0.0
-    feats: list[np.ndarray] = []
+    srcs: list[np.ndarray | None] = []
     for s, e in segs[:4]:  # cap work; 4 segments is plenty of evidence
         seg = ink[:, s:e]
         rnz = np.flatnonzero(seg.any(axis=1))
-        if rnz.size == 0:
+        srcs.append(
+            img[rnz[0] : rnz[-1] + 1, s:e] if rnz.size else None
+        )
+    feats: list[np.ndarray] = []
+    for tile in batched_area_resize(srcs, GLYPH_H, GLYPH_W):
+        if tile is None:
             continue
-        tile = area_resize(img[rnz[0] : rnz[-1] + 1, s:e], GLYPH_H, GLYPH_W)
         feat = (255.0 - tile).reshape(-1) / 255.0
         feat -= feat.mean()
         nrm = np.linalg.norm(feat)
