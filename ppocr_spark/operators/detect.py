@@ -245,7 +245,7 @@ def probability_map(gray: np.ndarray) -> np.ndarray:
     trained to produce (cpp/src/ocr_det.cpp:103-121)."""
     ink = _pool2(gray)
     ink = _hmax_filter(ink, DILATE_W)
-    return _box_filter(ink, WIN_H, WIN_W).astype(np.float32)
+    return _box_filter(ink, WIN_H, WIN_W).astype(np.float32, copy=False)
 
 
 def _dilate2x2(bitmap: np.ndarray) -> np.ndarray:
@@ -347,7 +347,7 @@ def detect(gray: np.ndarray, cfg: PPOCRConfig) -> list[np.ndarray]:
     ratio_w = resize_w / float(src_w)
     ink = pooled_ink(gray, resize_h, resize_w)
     ink = _hmax_filter(ink, DILATE_W)
-    prob = _box_filter(ink, WIN_H, WIN_W).astype(np.float32)
+    prob = _box_filter(ink, WIN_H, WIN_W).astype(np.float32, copy=False)
     bitmap = prob > cfg.det_db_thresh
     if cfg.use_dilation:
         bitmap = _dilate2x2(bitmap)
