@@ -227,7 +227,14 @@ def ivf_topk(
 
     At scale: the refinement is one slim groupBy over (cluster, dim
     position); assignment broadcasts ≤ n_centroids rows; the candidate
-    join touches ~n_probe/n_centroids of the corpus per query."""
+    join touches ~n_probe/n_centroids of the corpus per query.
+
+    Scale envelope: centroids are inlined as plan literals, which is the
+    right shape for a COARSE quantizer (tens to a few hundred
+    centroids — expression size grows with n_centroids × dim). A
+    fine-grained quantizer (10^4+ cells) should instead keep the
+    centroid table as a broadcast DataFrame and rank via a join — same
+    relational skeleton, no plan blow-up."""
     init = _ivf_init(dim, n_centroids, seed, init_scale)
     c0 = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
