@@ -214,6 +214,28 @@ def _ocr_one(
     }
 
 
+def _arrow_out_type():
+    """Arrow struct of one OCR result row — shared by the per-span and
+    grouped UDFs (must stay in sync with OCR_RESULT_SCHEMA)."""
+    import pyarrow as pa
+
+    return pa.struct(
+        [
+            ("doc_id", pa.string()),
+            ("offset", pa.int32()),
+            ("media_ref", pa.string()),
+            ("code", pa.int32()),
+            ("text", pa.string()),
+            ("boxes", pa.list_(pa.list_(pa.int32()))),
+            ("texts", pa.list_(pa.string())),
+            ("scores", pa.list_(pa.float32())),
+            ("cls_labels", pa.list_(pa.int32())),
+            ("cls_scores", pa.list_(pa.float32())),
+            ("ends", pa.list_(pa.string())),
+        ]
+    )
+
+
 def make_ocr_udf(cfg: PPOCRConfig, metrics: dict | None = None):
     """Arrow-batch generator for ``mapInArrow``; cfg travels by closure
     (the broadcast analog of the reference's one-time engine init,
@@ -229,21 +251,7 @@ def make_ocr_udf(cfg: PPOCRConfig, metrics: dict | None = None):
     object arrays twice per batch."""
     import pyarrow as pa
 
-    out_type = pa.struct(
-        [
-            ("doc_id", pa.string()),
-            ("offset", pa.int32()),
-            ("media_ref", pa.string()),
-            ("code", pa.int32()),
-            ("text", pa.string()),
-            ("boxes", pa.list_(pa.list_(pa.int32()))),
-            ("texts", pa.list_(pa.string())),
-            ("scores", pa.list_(pa.float32())),
-            ("cls_labels", pa.list_(pa.int32())),
-            ("cls_scores", pa.list_(pa.float32())),
-            ("ends", pa.list_(pa.string())),
-        ]
-    )
+    out_type = _arrow_out_type()
 
     def ocr_udf(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
@@ -304,21 +312,7 @@ def make_grouped_ocr_udf(cfg: PPOCRConfig, metrics: dict | None = None):
     ``make_ocr_udf``'s."""
     import pyarrow as pa
 
-    out_type = pa.struct(
-        [
-            ("doc_id", pa.string()),
-            ("offset", pa.int32()),
-            ("media_ref", pa.string()),
-            ("code", pa.int32()),
-            ("text", pa.string()),
-            ("boxes", pa.list_(pa.list_(pa.int32()))),
-            ("texts", pa.list_(pa.string())),
-            ("scores", pa.list_(pa.float32())),
-            ("cls_labels", pa.list_(pa.int32())),
-            ("cls_scores", pa.list_(pa.float32())),
-            ("ends", pa.list_(pa.string())),
-        ]
-    )
+    out_type = _arrow_out_type()
 
     def ocr_udf(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
