@@ -495,6 +495,27 @@ def _base64_taxonomy_sql(sf_dir: str) -> str:
     )
 
 
+def _request_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-request (code, text) equality through the REAL dispatch + OCR
+    plan — S3/S5/S7 end-to-end including recognized text, not just the
+    code census."""
+    from ppocr_spark.pipeline import ocr_requests
+
+    rdir = _request_corpus(sf_dir)
+    reqs = spark.read.parquet(f"{rdir}/requests.parquet")
+    media = spark.read.parquet(f"{rdir}/request_media.parquet")
+    out = ocr_requests(reqs, media, PPOCRConfig(cls=True, use_angle_cls=True))
+    return out.select("req_id", "code", "text").orderBy("req_id")
+
+
+def _request_results_sql(sf_dir: str) -> str:
+    rdir = _request_corpus(sf_dir)
+    return (
+        "SELECT req_id, expected_code AS code, expected_text AS text "
+        f"FROM read_parquet('{rdir}/request_truth.parquet') ORDER BY req_id"
+    )
+
+
 def _k1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1's drop-empty/score<=0 output filter, applied relationally."""
     e = _load(spark, sf_dir, "events")
@@ -1405,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_explode_reassemble": _span_explode,
         "status_code_taxonomy": _status_taxonomy,
         "base64_status_taxonomy": _base64_taxonomy,
+        "request_results": _request_results,
         "k1_output_filter": _k1_filter,
         "text_features": _text_features,
         "text_langid": _langid,
@@ -1451,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         "span_explode_reassemble": _SPAN_EXPLODE_SQL,
         "status_code_taxonomy": _STATUS_TAXONOMY_SQL,
         "base64_status_taxonomy": _base64_taxonomy_sql(sf_dir),
+        "request_results": _request_results_sql(sf_dir),
         "k1_output_filter": _K1_FILTER_SQL,
         "text_features": _TEXT_FEATURES_SQL,
         "text_langid": _LANGID_SQL,

@@ -901,10 +901,12 @@ def generate_request_corpus(n_requests: int, cfg: PPOCRConfig | None = None):
         rng = _rng("req", i)
         rid = f"req_{i:08d}"
         r = rng.random()
+        text = ""
         if r < 0.28:  # path to an existing media row
             spec = pool[int(rng.integers(0, len(pool)))]
             req = json.dumps({"image_path": spec.media_ref})
             code = spec.expected_code
+            text = spec.expected_text
         elif r < 0.38:  # path to a missing media row
             req = json.dumps({"image_path": f"img_missing_{i}"})
             code = int(StatusCode.PATH_NOT_EXIST)
@@ -914,6 +916,7 @@ def generate_request_corpus(n_requests: int, cfg: PPOCRConfig | None = None):
                 {"image_base64": b64mod.b64encode(spec.content).decode()}
             )
             code = spec.expected_code
+            text = spec.expected_text
         elif r < 0.76:  # base64 with characters outside the alphabet
             req = json.dumps({"image_base64": f"@@not-base64!!{i}"})
             code = int(StatusCode.BASE64_DECODE_FAIL)
@@ -932,7 +935,8 @@ def generate_request_corpus(n_requests: int, cfg: PPOCRConfig | None = None):
             req = json.dumps({"image_path": "x", "image_base64": "eA=="})
             code = int(StatusCode.JSON_KEY_INVALID)
         requests.append({"req_id": rid, "request": req})
-        truth.append({"req_id": rid, "expected_code": int(code)})
+        truth.append({"req_id": rid, "expected_code": int(code),
+                      "expected_text": text})
 
     media_rows = [
         {"media_ref": s.media_ref, "content": s.content} for s in pool
@@ -951,7 +955,7 @@ def ensure_request_corpus(n_requests: int, base_dir: str | None = None) -> str:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
     # bump on any generate_request_corpus change (stale-cache invariant)
-    out = os.path.join(base_dir, f"requests_{n_requests}_v1")
+    out = os.path.join(base_dir, f"requests_{n_requests}_v2")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -984,6 +988,7 @@ def ensure_request_corpus(n_requests: int, base_dir: str | None = None) -> str:
                 "expected_code": pa.array(
                     [t["expected_code"] for t in truth], pa.int32()
                 ),
+                "expected_text": [t["expected_text"] for t in truth],
             }
         ),
         os.path.join(out, "request_truth.parquet"),
