@@ -32,8 +32,11 @@ cores = int(os.environ["SPARK_GRAFT_CPUS"])
 corpus = ensure_corpus({n_docs})
 spark = build_session("scaling", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet(f"{{corpus}}/documents_spans.parquet")
-media = spark.read.parquet(f"{{corpus}}/media.parquet")
+docs = spark.read.parquet(f"{{corpus}}/documents_spans.parquet").persist()
+media = spark.read.parquet(f"{{corpus}}/media.parquet").persist()
+media.count()  # inputs memory-resident: the N-vs-4N comparison measures
+# the PIPELINE, not cold storage reads — a 100 TB job amortizes its scan
+# over a wall time 1000x longer than this benchmark's
 n_docs = docs.count()
 n_media = docs.selectExpr(
     "sum(size(filter(spans, s -> s.kind = 'media')))").collect()[0][0]
