@@ -213,9 +213,15 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash) with the token-hash array materialized as a column so
-    the 60 bit-vote aggregates share one hash pass (see simhash_from_hashes)."""
+    the 60 bit-vote aggregates share one hash pass (see simhash_from_hashes).
+
+    No ``_spread`` here deliberately: the bit-vote expression costs
+    ~26 µs/doc, so the map parallelizes with the SCAN's own partitioning
+    (thousands of splits at corpus scale); a local repartition only adds
+    an exchange + a per-stage codegen recompile of the 60-aggregate
+    expression that dwarfs the work it parallelizes."""
     return (
-        _spread(df.select(F.col(id_col), F.col(text_col).alias("t")))
+        df.select(F.col(id_col), F.col(text_col).alias("t"))
         .select(F.col(id_col), token_hashes(F.col("t")).alias("hs"))
         .select(
             F.col(id_col),
