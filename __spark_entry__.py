@@ -1122,6 +1122,68 @@ def _image_features_sql(sf_dir: str) -> str:
     )
 
 
+def _audio_corpus(sf_dir: str) -> str:
+    from ppocr_spark.corpus import ensure_audio_corpus
+
+    return ensure_audio_corpus(max(40, _corpus_docs_for(sf_dir) // 2))
+
+
+def _audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode-probe (from-scratch WAV/PCM codec) vs generation
+    truth — the multimodal audio leg, real end to end."""
+    from ppocr_spark.functions.multimodal import audio_metadata
+
+    adir = _audio_corpus(sf_dir)
+    media = spark.read.parquet(f"{adir}/audio_media.parquet")
+    return audio_metadata(media).select(
+        "media_ref", "sample_rate", "channels", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"), "decode_ok",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("media_ref")
+
+
+def _audio_metadata_sql(sf_dir: str) -> str:
+    adir = _audio_corpus(sf_dir)
+    return (
+        "SELECT media_ref, sample_rate, channels, n_samples, "
+        "round(duration_s, 6) AS duration_s, decode_ok, "
+        "round(rms, 6) AS rms "
+        f"FROM read_parquet('{adir}/audio_truth.parquet') ORDER BY media_ref"
+    )
+
+
+def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed-RMS audio embedding vs generation truth (identical
+    window/RMS arithmetic both sides)."""
+    from ppocr_spark.functions.multimodal import audio_features
+
+    adir = _audio_corpus(sf_dir)
+    media = spark.read.parquet(f"{adir}/audio_media.parquet")
+    feats = audio_features(media, n_frames=16)
+    return feats.select(
+        "media_ref",
+        F.round(
+            F.aggregate("features", F.lit(0.0),
+                        lambda a, x: a + x.cast("double")),
+            6,
+        ).alias("feat_sum"),
+        F.size("features").alias("n_frames"),
+    ).orderBy("media_ref")
+
+
+def _audio_features_sql(sf_dir: str) -> str:
+    adir = _audio_corpus(sf_dir)
+    return f"""
+SELECT media_ref,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(features, x -> x::DOUBLE)), (a, b) -> a + b), 6)
+           AS feat_sum,
+       len(features) AS n_frames
+FROM read_parquet('{adir}/audio_truth.parquet')
+WHERE features IS NOT NULL ORDER BY media_ref
+"""
+
+
 def _semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins: customers with vs without orders,
     summarized per market segment."""
@@ -1447,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_blocks": _ocr_blocks,
         "image_metadata": _image_metadata,
         "image_features": _image_features,
+        "audio_metadata": _audio_metadata,
+        "audio_features": _audio_features,
         "html_strip_tags": _html_strip,
         "html_main_content": _html_main,
         "table_cell_match": _table_cell_match,
@@ -1494,6 +1558,8 @@ def oracle_sql() -> dict[str, str]:
         "ocr_blocks": _ocr_blocks_sql(sf_dir),
         "image_metadata": _image_metadata_sql(sf_dir),
         "image_features": _image_features_sql(sf_dir),
+        "audio_metadata": _audio_metadata_sql(sf_dir),
+        "audio_features": _audio_features_sql(sf_dir),
         "html_strip_tags": _html_strip_sql(sf_dir),
         "html_main_content": _html_main_sql(sf_dir),
         "table_cell_match": _table_cell_match_sql(sf_dir),

@@ -874,6 +874,133 @@ def ensure_html_corpus(n_pages: int, base_dir: str | None = None) -> str:
 
 
 # ---------------------------------------------------------------------------
+# audio corpus (multimodal audio leg: WAV payloads + generation truth)
+# ---------------------------------------------------------------------------
+
+
+def generate_audio_corpus(n_clips: int, n_frames: int = 16):
+    """→ (media_rows, truth_rows). Deterministic synthetic WAV clips
+    (tone mixes + noise bursts + silence + a few corrupt payloads);
+    truth = metadata + framed-RMS features computed AT GENERATION with
+    the same arithmetic the UDFs use."""
+    from ppocr_spark.audio import encode_wav, frame_rms
+
+    media_rows, truth_rows = [], []
+    for i in range(n_clips):
+        ref = f"aud_{i:06d}"
+        rng = _rng("audio", i)
+        kind = rng.random()
+        if kind < 0.08:  # corrupt container
+            content = bytes(
+                _rng("audjunk", i).integers(0, 256, size=48, dtype=np.uint8)
+            )
+            media_rows.append({"media_ref": ref, "content": content})
+            truth_rows.append(
+                {"media_ref": ref, "sample_rate": 0, "channels": 0,
+                 "n_samples": 0, "duration_s": 0.0, "decode_ok": False,
+                 "rms": 0.0, "features": None}
+            )
+            continue
+        rate = int(rng.choice([8000, 16000, 22050]))
+        ch = 2 if rng.random() < 0.3 else 1
+        n = int(rng.integers(rate // 4, rate))  # 0.25-1.0 s
+        t = np.arange(n) / rate
+        sig = np.zeros((n, ch))
+        for _ in range(int(rng.integers(1, 4))):  # tone mix
+            f = float(rng.uniform(80, 2000))
+            amp = float(rng.uniform(0.1, 0.5))
+            tone = amp * np.sin(2 * np.pi * f * t)
+            for c in range(ch):
+                sig[:, c] += tone * float(rng.uniform(0.5, 1.0))
+        if rng.random() < 0.3:  # noise burst in one window
+            b0 = int(rng.integers(0, max(n - n // 8, 1)))
+            sig[b0 : b0 + n // 8] += rng.normal(
+                0, 0.2, size=(min(n // 8, n - b0), ch)
+            )
+        if rng.random() < 0.15:  # leading silence
+            sig[: n // 4] = 0.0
+        np.clip(sig, -1.0, 1.0, out=sig)
+        content = encode_wav(sig, rate)
+        # truth via the SAME decode path the UDF runs (PCM quantization
+        # happens in encode; decode returns the quantized signal)
+        from ppocr_spark.audio import decode_wav
+
+        a, r2 = decode_wav(content)
+        truth_rows.append(
+            {
+                "media_ref": ref, "sample_rate": r2,
+                "channels": int(a.shape[1]), "n_samples": int(a.shape[0]),
+                "duration_s": a.shape[0] / float(r2), "decode_ok": True,
+                "rms": float(np.sqrt(np.mean(
+                    a.mean(axis=1).astype(np.float64) ** 2
+                ))),
+                "features": [float(x) for x in frame_rms(a, n_frames)],
+            }
+        )
+        media_rows.append({"media_ref": ref, "content": content})
+    return media_rows, truth_rows
+
+
+def ensure_audio_corpus(n_clips: int, base_dir: str | None = None) -> str:
+    """Idempotent cached audio corpus: audio_media.parquet(media_ref,
+    content) + audio_truth.parquet(metadata + features)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                ".cache")
+    # bump on any generate_audio_corpus change (stale-cache invariant)
+    out = os.path.join(base_dir, f"audio_{n_clips}_v1")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    media, truth = generate_audio_corpus(n_clips)
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [m["media_ref"] for m in media],
+                "content": pa.array(
+                    [m["content"] for m in media], pa.binary()
+                ),
+            }
+        ),
+        os.path.join(out, "audio_media.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [t["media_ref"] for t in truth],
+                "sample_rate": pa.array(
+                    [t["sample_rate"] for t in truth], pa.int32()
+                ),
+                "channels": pa.array(
+                    [t["channels"] for t in truth], pa.int32()
+                ),
+                "n_samples": pa.array(
+                    [t["n_samples"] for t in truth], pa.int32()
+                ),
+                "duration_s": pa.array(
+                    [t["duration_s"] for t in truth], pa.float64()
+                ),
+                "decode_ok": pa.array(
+                    [t["decode_ok"] for t in truth], pa.bool_()
+                ),
+                "rms": pa.array([t["rms"] for t in truth], pa.float64()),
+                "features": pa.array(
+                    [t["features"] for t in truth], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(out, "audio_truth.parquet"),
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # request corpus (S7 dispatch + S5 base64 taxonomy, incl. codes 300/301)
 # ---------------------------------------------------------------------------
 

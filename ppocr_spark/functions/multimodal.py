@@ -1,11 +1,13 @@
 """Multimodal column operators: opaque ``binary`` payloads + typed metadata.
 
-Images are REAL here (the repo ships its own PNG codec + resampler): decode,
-metadata extraction, resize, and feature extraction run as Arrow-batched
-``mapInPandas`` — the exact plumbing (schema, batch shape, partitioning) a
-production pipeline needs. Audio/video decode is STUBBED (the container has
-no codecs): ``NotImplementedError`` behind the same batch-UDF signature, so
-swapping in a real decoder touches one function body, not the plan.
+Images are REAL here (the repo ships its own PNG codec + resampler), and so
+is audio (from-scratch WAV/PCM codec, ppocr_spark/audio.py): decode,
+metadata extraction, resize/windowing, and feature extraction run as
+Arrow-batched ``mapInPandas`` — the exact plumbing (schema, batch shape,
+partitioning) a production pipeline needs. Video decode is STUBBED (the
+container has no video codec): ``NotImplementedError`` behind the same
+batch-UDF signature, so swapping in a real decoder touches one function
+body, not the plan.
 """
 
 from __future__ import annotations
@@ -100,6 +102,89 @@ def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
 
     return media.select("media_ref", "content").mapInPandas(
         udf, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "media_ref string, sample_rate int, channels int, n_samples int, "
+    "duration_s double, decode_ok boolean, rms double"
+)
+
+AUDIO_FEATURE_SCHEMA = "media_ref string, features array<float>"
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Decode-probe every audio payload (from-scratch WAV/PCM codec):
+    sample rate, channels, length, overall RMS. Total function —
+    undecodable rows yield decode_ok=false, never throw."""
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ppocr_spark.audio import AudioError, decode_wav
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_ref", "sample_rate", "channels", "n_samples",
+                     "duration_s", "decode_ok", "rms")}
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                rows["media_ref"].append(ref)
+                try:
+                    if content is None:
+                        raise AudioError("null")
+                    a, rate = decode_wav(bytes(content))
+                    rows["sample_rate"].append(rate)
+                    rows["channels"].append(int(a.shape[1]))
+                    rows["n_samples"].append(int(a.shape[0]))
+                    rows["duration_s"].append(a.shape[0] / float(rate))
+                    rows["decode_ok"].append(True)
+                    rows["rms"].append(
+                        float(np.sqrt(np.mean(
+                            a.mean(axis=1).astype(np.float64) ** 2
+                        )))
+                    )
+                except AudioError:
+                    rows["sample_rate"].append(0)
+                    rows["channels"].append(0)
+                    rows["n_samples"].append(0)
+                    rows["duration_s"].append(0.0)
+                    rows["decode_ok"].append(False)
+                    rows["rms"].append(0.0)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_ref", "content").mapInPandas(
+        udf, schema=AUDIO_META_SCHEMA
+    )
+
+
+def audio_features(media: DataFrame, n_frames: int = 16) -> DataFrame:
+    """Framed RMS-energy vector per payload (decode → mono mix → equal
+    windows → RMS): the decode→window→reduce pattern of an audio feature
+    extractor, fully real on WAV/PCM. Undecodable rows are dropped."""
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ppocr_spark.audio import AudioError, decode_wav, frame_rms
+
+        for pdf in batches:
+            refs, feats = [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    if content is None:
+                        raise AudioError("null")
+                    a, _rate = decode_wav(bytes(content))
+                    refs.append(ref)
+                    feats.append(
+                        [float(x) for x in frame_rms(a, n_frames)]
+                    )
+                except AudioError:
+                    continue
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return media.select("media_ref", "content").mapInPandas(
+        udf, schema=AUDIO_FEATURE_SCHEMA
     )
 
 

@@ -314,3 +314,71 @@ class TestIvfTopk:
         # every returned neighbor really is in a probed list → subset of
         # corpus, ranks 1..3 per query
         assert all(r[0] < 6 for r in got)
+
+
+class TestAudioCodec:
+    def test_wav_roundtrip_16bit(self):
+        import numpy as np
+
+        from ppocr_spark.audio import decode_wav, encode_wav
+
+        t = np.arange(8000) / 8000.0
+        sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+        a, rate = decode_wav(encode_wav(sig, 8000))
+        assert rate == 8000 and a.shape == (8000, 1)
+        # 16-bit quantization error bound
+        assert float(np.abs(a[:, 0] - sig).max()) < 1.0 / 32000
+
+    def test_stereo_and_extra_chunks(self):
+        import struct
+
+        import numpy as np
+
+        from ppocr_spark.audio import decode_wav, encode_wav
+
+        sig = np.stack(
+            [np.linspace(-0.5, 0.5, 100), np.linspace(0.5, -0.5, 100)],
+            axis=1,
+        )
+        wav = encode_wav(sig, 16000)
+        # inject a LIST chunk between fmt and data: chunk walk must skip it
+        fmt_end = 12 + 8 + 16
+        extra = struct.pack("<4sI", b"LIST", 6) + b"junk00"
+        wav2 = wav[:fmt_end] + extra + wav[fmt_end:]
+        a, rate = decode_wav(wav2)
+        assert rate == 16000 and a.shape == (100, 2)
+
+    def test_corrupt_inputs_raise(self):
+        import pytest as _pytest
+
+        from ppocr_spark.audio import AudioError, decode_wav
+
+        for bad in (b"", b"RIFFxxxxWAVE", b"not audio at all", b"\x00" * 64):
+            with _pytest.raises(AudioError):
+                decode_wav(bad)
+
+    def test_frame_rms_silence_and_energy(self):
+        import numpy as np
+
+        from ppocr_spark.audio import frame_rms
+
+        sig = np.zeros((1000, 1))
+        sig[500:, 0] = 0.5
+        f = frame_rms(sig, 4)
+        assert f[0] == 0.0 and f[1] == 0.0
+        assert abs(float(f[2]) - 0.5) < 1e-6 and abs(float(f[3]) - 0.5) < 1e-6
+
+    def test_spark_metadata_total_function(self, spark):
+        from ppocr_spark.audio import encode_wav
+        from ppocr_spark.functions.multimodal import audio_metadata
+
+        import numpy as np
+
+        good = encode_wav(0.3 * np.ones(100), 8000)
+        rows = spark.createDataFrame(
+            [("a", bytearray(good)), ("b", bytearray(b"junk")), ("c", None)],
+            "media_ref string, content binary",
+        )
+        out = {r["media_ref"]: r for r in audio_metadata(rows).collect()}
+        assert out["a"]["decode_ok"] and out["a"]["sample_rate"] == 8000
+        assert not out["b"]["decode_ok"] and not out["c"]["decode_ok"]
