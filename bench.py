@@ -57,9 +57,8 @@ def main():
     ]
     # steady-state protocol (BENCH/BASELINE.md): run the flagship pipeline
     # once untimed first — JVM JIT + Arrow/shuffle machinery warmup that a
-    # long job amortizes to zero; the timed pass is the sustained rate.
-    # The warmup pass doubles as the K5 stage-breakdown probe (AutoLogger
-    # analog): per-stage wall-ms accumulated inside the OCR UDF.
+    # long job amortizes to zero; the timed passes are the sustained rate.
+    from ppocr_spark import cache
     from ppocr_spark.config import PPOCRConfig
     from ppocr_spark.pipeline import (
         extract_documents,
@@ -68,6 +67,40 @@ def main():
     )
 
     media_df = spark.read.parquet(f"{corpus}/media.parquet")
+    extract_documents(
+        docs_df, media_df, PPOCRConfig(cls=True, use_angle_cls=True),
+        broadcast_media=True,
+    ).count()
+
+    # Measurement discipline (CLAUDE.md): a single shot lies on a shared
+    # host — every query is timed best-of-k with the raw samples reported.
+    # cache.release_all() between samples keeps each sample cold w.r.t.
+    # library persists (no cache-hit inflation of samples 2..k).
+    K = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
+    extras = ["dedup_embedding_lsh", "ann_topk_lsh"]
+
+    def time_query(name: str) -> tuple[float, list[float]]:
+        samples = []
+        for _ in range(K):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()  # full materialization
+            samples.append(round(time.time() - t0, 3))
+            cache.release_all()
+        return min(samples), samples
+
+    timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    ocr_sec = None
+    for name in headline + extras:
+        best, samples = time_query(name)
+        timings[name] = best
+        raw[name] = samples
+        if name == "ocr_extract_spans":
+            ocr_sec = best
+
+    # K5 stage attribution (AutoLogger analog) from a WARM instrumented
+    # pass run after the timed loop, so per-stage shares reflect the same
+    # steady-state regime as the headline rate (not the cold warmup).
     stage_metrics = make_stage_metrics(spark)
     extract_documents(
         docs_df, media_df, PPOCRConfig(cls=True, use_angle_cls=True),
@@ -75,25 +108,16 @@ def main():
     ).count()
     stage_ms = snapshot_stage_metrics(stage_metrics)
 
-    timings: dict[str, float] = {}
-    ocr_sec = None
-    for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # full materialization
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        if name == "ocr_extract_spans":
-            ocr_sec = dt
-            _ = n
-
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in headline), 3)
     out = {
         "metric": "headline suite wall time (docs/sec for extraction in "
         "docs_per_sec)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: timings[n] for n in headline},
+        "extra_queries": {n: timings[n] for n in extras},
+        "samples": raw,
+        "best_of_k": K,
         "sf": sf,
         "cores": cores,
         "corpus_docs": n_docs,

@@ -1,0 +1,49 @@
+"""Scoped persistence for library-internal DataFrames.
+
+Some operators persist a slim intermediate because it is consumed by
+several non-identical subtrees in one returned plan (e.g. the MinHash
+signature table feeds the band join AND both sides of the verify join;
+the parsed-request table feeds three union branches). A bare
+``df.persist()`` registers in Spark's CacheManager and is never dropped,
+so a long-lived driver running many gate queries accumulates dead cached
+partitions in executor storage memory.
+
+``track(df)`` persists AND records the DataFrame in a module registry;
+``release_all()`` unpersists everything recorded — callers invoke it
+after the consuming action (check_oracles / bench do this between
+queries, and a try/finally around any long session works the same way).
+Releasing before the returned plan executes is safe: the plan falls back
+to recomputation, values are unchanged.
+
+Self-joins whose two sides are the IDENTICAL subtree do not need this at
+all — Spark deduplicates the shuffle via ReusedExchange (one compute, no
+cache) — so only multi-shape reuse sites use ``track``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for a later ``release_all()``."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_all(blocking: bool = False) -> int:
+    """Unpersist every tracked DataFrame; returns how many were released.
+    Safe to call repeatedly and while returned plans are still live (they
+    recompute instead of reading cache)."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

@@ -38,7 +38,11 @@ MANIFEST_COLS = [
     # K5 stage timings (decode/det/crop/cls/rec/layout wall-ms + spans),
     # run-scoped: every bucket written by one run carries that run's
     # accumulator totals (the reference's AutoLogger is process-scoped
-    # the same way, cpp/src/paddleocr.cpp:209-237)
+    # the same way, cpp/src/paddleocr.cpp:209-237).
+    # AT-LEAST-ONCE: transformation-side accumulators double-count under
+    # task retry/speculation (see make_stage_metrics) — run_*_ms is
+    # attribution, not an audited total; span_count/ok_span_count above
+    # ARE exact (derived from the written results, not accumulators).
     "run_decode_ms",
     "run_det_ms",
     "run_crop_ms",

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ppocr_spark import cache
 from ppocr_spark.functions.text import (
     minhash_from_grams,
     ngrams_from_tokens,
@@ -105,7 +106,9 @@ def _gram_sig_table(
     Two deliberate scale choices: (1) grams are projected to a column
     BEFORE the k minhash lambdas so the n-gram pipeline runs once per row,
     not k times (Catalyst does not CSE across lambda bodies); (2) the table
-    is persisted, because LSH self-joins its derivation — without a
+    is persisted via ``cache.track`` (released by ``cache.release_all``
+    after the consuming action, so long sessions don't accumulate dead
+    cache), because LSH self-joins its derivation — without a
     materialization Spark recomputes text→grams→sig on BOTH sides of the
     band join and again in the verify join. The persisted footprint is the
     signature projection only (~100 bytes + grams per doc), not the corpus.
@@ -113,7 +116,7 @@ def _gram_sig_table(
     slim = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     )
-    return (
+    tbl = (
         slim.select("id", tokens(F.col("t")).alias("toks"))
         .filter(F.size("toks") >= n)
         .select(
@@ -125,8 +128,8 @@ def _gram_sig_table(
         .select(
             "id", "grams", minhash_from_grams(F.col("grams"), k).alias("sig")
         )
-        .persist()
     )
+    return cache.track(tbl)
 
 
 def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
@@ -215,13 +218,13 @@ def simhash_fingerprints(
     """(id, simhash) with the token-hash array materialized as a column so
     the 60 bit-vote aggregates share one hash pass (see simhash_from_hashes).
 
-    No ``_spread`` here deliberately: the bit-vote expression costs
-    ~26 µs/doc, so the map parallelizes with the SCAN's own partitioning
-    (thousands of splits at corpus scale); a local repartition only adds
-    an exchange + a per-stage codegen recompile of the 60-aggregate
-    expression that dwarfs the work it parallelizes."""
+    Guarded ``_spread``: at corpus scale the scan has thousands of splits
+    and the guard is a no-op (no exchange added); a small single-file
+    local scan would otherwise run the 60-aggregate bit-vote on ONE core
+    (measured 4.7× wall regression at sf0.1, BENCH_r02), so the guard
+    repartitions only when the scan under-partitions."""
     return (
-        df.select(F.col(id_col), F.col(text_col).alias("t"))
+        _spread(df.select(F.col(id_col), F.col(text_col).alias("t")))
         .select(F.col(id_col), token_hashes(F.col("t")).alias("hs"))
         .select(
             F.col(id_col),
@@ -249,12 +252,17 @@ def simhash_near_pairs(
     computes) while staying sub-quadratic. Multi-block also spreads
     near-dup-heavy corpora across r+1 independent keyspaces instead of
     piling them into one prefix bucket (the skew failure of top-k-bit
-    bucketing)."""
+    bucketing).
+
+    No persist on the fingerprint table: the block self-join's two sides
+    are the identical subtree, so Spark deduplicates the shuffle via
+    ReusedExchange — one fingerprint pass, no cache left behind in a
+    long-lived session."""
     n_blocks = max_hamming + 1
     total_bits = 60
     base = total_bits // n_blocks
     extra = total_bits % n_blocks  # first `extra` blocks get one more bit
-    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    fp = simhash_fingerprints(df, text_col, id_col)
     # block k covers bits [off_k, off_k + width_k): value via shift+mask
     offs, widths = [], []
     off = 0

@@ -128,6 +128,36 @@ def hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list:
     return _hyperplanes(dim, bits, tables, seed)
 
 
+def _exploded_keys(
+    df: DataFrame, planes: list, vec_col: str, extra: list[Column]
+) -> DataFrame:
+    """One row per (source row, table): columns ``tbl`` (table index) and
+    ``bucket`` (that table's signature) plus ``extra`` carried through.
+    The point of the explode: (tbl, bucket) are plain equality keys, so
+    downstream joins are hash/sort-merge equi-joins Catalyst can plan —
+    an OR-of-per-table-equalities condition has no extractable equi-keys
+    and degrades to BroadcastNestedLoopJoin/CartesianProduct (every O(n²)
+    pair evaluated), which is what this shape replaces."""
+    tables = len(planes)
+    extra_names = df.select(*extra).columns
+    return df.select(
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _signature(F.col(vec_col), planes[t]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(*extra_names, "tb.tbl", "tb.bucket")
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -144,33 +174,52 @@ def lsh_near_dup_pairs(
     sharing a bucket in ANY table (cost ~ n²/2^bits per table instead of
     n²); exact cosine verify on candidates only. Recall grows with
     ``tables`` (union of independent tables); the all-pairs form remains
-    the test-only recall baseline."""
+    the test-only recall baseline.
+
+    Physical plan: each row explodes to ``tables`` (tbl, bucket) key rows
+    and the candidate join is an EQUI-join on (tbl, bucket) — a shuffled
+    hash/sort-merge join that only pairs rows inside a bucket (the
+    ``dedup._band_join`` shape). Vectors+norms ride through the explode so
+    there is no back-join and no persist: the two self-join sides are the
+    identical subtree, which Spark deduplicates via ReusedExchange (one
+    signature pass, not two). Cosine is computed AFTER
+    ``dropDuplicates(a, b)`` so multi-table collisions don't repeat the
+    dot product."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        *[
-            _signature(F.col(vec_col), planes[t]).alias(f"b{t}")
-            for t in range(tables)
+    keys = _exploded_keys(
+        emb,
+        planes,
+        vec_col,
+        [
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
         ],
-    ).persist()  # self-joined: one signature pass, not two
-    match_any = None
-    for t in range(tables):
-        cond = F.col(f"x.b{t}") == F.col(f"y.b{t}")
-        match_any = cond if match_any is None else (match_any | cond)
+    )
     return (
-        e.alias("x")
-        .join(e.alias("y"), match_any & (F.col("x.id") < F.col("y.id")))
+        keys.alias("x")
+        .join(
+            keys.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
         .select(
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),
-            (
-                _dot(F.col("x.v"), F.col("y.v"))
-                / (F.col("x.nrm") * F.col("y.nrm"))
-            ).alias("cosine"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+            F.col("x.nrm").alias("na"),
+            F.col("y.nrm").alias("nb"),
         )
         .dropDuplicates(["a", "b"])
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -334,41 +383,51 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: union of same-bucket candidates over
-    `tables` hash tables, exact re-rank. Recall grows with tables."""
+    `tables` hash tables, exact re-rank. Recall grows with tables.
+
+    Physical plan: both sides explode to (tbl, bucket) key rows and the
+    candidate join is a Broadcast HASH join on those two equality keys —
+    the query side (queries ≪ corpus, × `tables` key rows) broadcasts,
+    and each corpus key row probes a hash table instead of evaluating an
+    OR-of-bucket-equalities against every query (the
+    BroadcastNestedLoopJoin shape this replaces). Bucket pruning is real:
+    a corpus row only meets the queries sharing its bucket. Cosine runs
+    AFTER ``dropDuplicates`` so multi-table collisions cost one dot
+    product."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    c = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        _norm(F.col(vec_col)).alias("nn"),
-        *[
-            _signature(F.col(vec_col), planes[t]).alias(f"b{t}")
-            for t in range(tables)
+    c = _exploded_keys(
+        corpus,
+        planes,
+        vec_col,
+        [
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            _norm(F.col(vec_col)).alias("nn"),
         ],
     )
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("qn"),
-            *[
-                _signature(F.col(vec_col), planes[t]).alias(f"qb{t}")
-                for t in range(tables)
+        _exploded_keys(
+            queries,
+            planes,
+            vec_col,
+            [
+                F.col(id_col).alias("qid"),
+                F.col(vec_col).alias("qv"),
+                _norm(F.col(vec_col)).alias("qn"),
             ],
         )
     )
-    match_any = None
-    for t in range(tables):
-        cond = F.col(f"b{t}") == F.col(f"qb{t}")
-        match_any = cond if match_any is None else (match_any | cond)
     scored = (
-        c.join(q, match_any & (F.col("nid") != F.col("qid")))
+        c.join(q, ["tbl", "bucket"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", "qv", "nv", "qn", "nn")
+        .dropDuplicates(["qid", "nid"])
         .select(
             "qid",
             "nid",
             (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
             .alias("cosine"),
         )
-        .dropDuplicates(["qid", "nid"])
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("nid").asc()

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ppocr_spark import cache
 from ppocr_spark.config import PPOCRConfig
 from ppocr_spark.status import StatusCode
 
@@ -53,7 +54,16 @@ def make_stage_metrics(spark: SparkSession) -> dict:
     stage wall-ms, the driver reads totals after any action via
     ``snapshot_stage_metrics``. Accumulators are the Spark-native analog
     of the reference's process-global AutoLogger — run-scoped, crossing
-    executor boundaries for free."""
+    executor boundaries for free.
+
+    Semantics: AT-LEAST-ONCE, not exact. Spark guarantees exactly-once
+    accumulator application only for updates inside actions; these are
+    updated inside a transformation (the OCR UDF), so task retries, stage
+    re-attempts, and speculative execution double-count. Treat the values
+    as stage-share attribution (ratios are robust — a retried task
+    inflates all stages alike), not as audited totals; exact span counts
+    come from the written results (``span_count`` in the manifests), never
+    from ``ocr_spans``."""
     sc = spark.sparkContext
     return {k: sc.accumulator(0.0) for k in STAGE_KEYS}
 
@@ -501,7 +511,10 @@ def ocr_requests(
     )
 
     cfg = cfg or PPOCRConfig()
-    parsed = parse_request_json(requests).persist()
+    # track: three union branches reuse `parsed` (non-identical subtrees,
+    # so ReusedExchange can't help); cache.release_all() frees it after
+    # the consuming action instead of leaking into CacheManager
+    parsed = cache.track(parse_request_json(requests))
     # envelope errors + exit: answered without touching media or the UDF
     envelope = parsed.filter(
         (F.col("code") != int(StatusCode.OK))

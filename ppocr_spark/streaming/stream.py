@@ -23,6 +23,34 @@ from ppocr_spark.config import PPOCRConfig
 from ppocr_spark.schemas import DOCUMENTS
 
 
+def process_extract_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    media: DataFrame,
+    out_dir: str,
+    cfg: PPOCRConfig,
+    broadcast_media: bool | None = True,
+) -> None:
+    """One idempotent micro-batch: run the batch pipeline and atomically
+    REPLACE this batch's ``batch_id=N`` partition (dynamic partition
+    overwrite) — a retried batch converges to exactly one copy instead of
+    appending a second (the same idempotence device as the bucket-resume
+    path, checkpoint.py). Module-level so the retry semantics are
+    directly testable outside a StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from ppocr_spark.pipeline import extract_documents
+
+    if batch_df.isEmpty():
+        return
+    result = extract_documents(
+        batch_df, media, cfg, broadcast_media
+    ).withColumn("batch_id", F.lit(batch_id))
+    result.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(out_dir)
+
+
 def stream_extract(
     spark: SparkSession,
     documents_dir: str,
@@ -36,10 +64,16 @@ def stream_extract(
     """Start (or drain, with available_now) a streaming extraction.
 
     Returns the StreamingQuery. Each micro-batch runs the batch pipeline
-    and appends to ``out_dir`` (parquet); offsets live in
-    ``checkpoint_dir`` so a restarted query resumes at the next batch."""
-    from ppocr_spark.pipeline import extract_documents
+    and writes to ``out_dir`` (parquet) partitioned by ``batch_id`` with
+    dynamic partition overwrite; offsets live in ``checkpoint_dir`` so a
+    restarted query resumes at the next batch.
 
+    Exactly-once: foreachBatch alone is only at-least-once — a failure
+    after a partial append followed by the micro-batch retry would append
+    a second copy. Here a retried batch atomically REPLACES its own
+    ``batch_id=N`` partition directory instead of appending (the same
+    dynamic-partition-overwrite idempotence the batch checkpoint path
+    uses, checkpoint.py), so retries converge to one copy per batch."""
     cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
 
     stream = (
@@ -49,10 +83,9 @@ def stream_extract(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        result = extract_documents(batch_df, media, cfg, broadcast_media)
-        result.write.mode("append").parquet(out_dir)
+        process_extract_batch(
+            batch_df, batch_id, media, out_dir, cfg, broadcast_media
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -168,3 +168,55 @@ class TestCopartitionPlan:
         )
         assert udf_after_join  # formatted plan prints consumers first
         assert "ArrowEvalPython" not in plan  # mapInArrow ≠ eval node
+
+
+class TestLshEquiJoinPlans:
+    """Round-3 pins: the embedding-LSH candidate joins must be EQUI-joins
+    on exploded (tbl, bucket) keys — an OR-of-bucket-equalities condition
+    has no extractable equi-keys and planned as BroadcastNestedLoopJoin
+    (CartesianProduct beyond broadcast size), i.e. O(n²) pair evaluations
+    hiding under the '100 TB dedup path' label (VERDICT r2 #1)."""
+
+    def test_lsh_near_dup_pairs_no_nested_loop(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["dedup_embedding_lsh"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+
+    def test_lsh_topk_no_nested_loop(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["ann_topk_lsh"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+
+    def test_lsh_near_dup_pairs_scale_regime_no_nested_loop(self, spark,
+                                                            sf_dir):
+        # force the >broadcast regime: the candidate join must fall back
+        # to a SHUFFLED equi-join, never to CartesianProduct
+        import __spark_entry__ as entry
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = entry.queries()["dedup_embedding_lsh"](spark, sf_dir)
+            df.collect()  # AQE finalizes exchange reuse at runtime
+            plan = _plan(df)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # identical self-join sides → one signature pass via ReusedExchange
+        assert "ReusedExchange" in plan

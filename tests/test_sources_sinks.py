@@ -121,6 +121,32 @@ class TestStreaming:
         q2.awaitTermination(120)
         assert spark.read.parquet(str(tmp_path / "out")).count() == expected
 
+    def test_batch_retry_is_idempotent(self, spark, small_corpus, tmp_path):
+        """foreachBatch retry semantics: re-running the SAME batch_id (the
+        failure-then-retry path Structured Streaming takes after a partial
+        write) must replace the batch's partition, not append a second
+        copy — this is what makes the sink exactly-once rather than
+        at-least-once."""
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.streaming.stream import process_extract_batch
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+        out = str(tmp_path / "out")
+        process_extract_batch(docs, 7, media, out, cfg)
+        first = spark.read.parquet(out).orderBy("doc_id").collect()
+        # retry of batch 7 (e.g. after a crash mid-commit): overwrite, not
+        # append
+        process_extract_batch(docs, 7, media, out, cfg)
+        again = spark.read.parquet(out).orderBy("doc_id").collect()
+        assert len(again) == len(first) == docs.count()
+        # a DIFFERENT batch id appends alongside without touching batch 7
+        process_extract_batch(docs.limit(2), 8, media, out, cfg)
+        both = spark.read.parquet(out)
+        assert both.filter("batch_id = 7").count() == len(first)
+        assert both.filter("batch_id = 8").count() == 2
+
 
 class TestDirectorySource:
     def test_media_from_directory(self, spark, tmp_path):

@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
+from ppocr_spark import cache  # noqa: E402
 from ppocr_spark.pipeline import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
@@ -50,6 +51,7 @@ def main():
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            cache.release_all()  # free library persists between queries
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:200]}")
