@@ -488,6 +488,10 @@ def generate_table_corpus(n_tables: int):
         rng = _rng("table", i)
         n_r = int(rng.integers(2, 5))
         n_c = int(rng.integers(2, 4))
+        # ~30% of tables are BORDERLESS (no ruled lines): exercises the
+        # whitespace-gutter fallback of detect_table_cells. Uniform grid
+        # only (span inference needs appearance cues projections lack).
+        borderless = rng.random() < 0.3
         texts = []
         for r in range(n_r):
             row = []
@@ -502,11 +506,19 @@ def generate_table_corpus(n_tables: int):
             texts.append(row)
         if all(t == "" for row in texts for t in row):
             texts[0][0] = "table"
+        if borderless:
+            # gutter inference needs ink in every row and column band
+            for r in range(n_r):
+                if all(t == "" for t in texts[r]):
+                    texts[r][int(rng.integers(0, n_c))] = _short_words(rng, 1)
+            for c in range(n_c):
+                if all(texts[r][c] == "" for r in range(n_r)):
+                    texts[int(rng.integers(0, n_r))][c] = _short_words(rng, 1)
 
         # ~40% of 3x3+ tables get ONE spanning cell (rowspan or colspan 2);
         # covered cells blanked; never a full row/column of coverage
         merges: list[tuple[int, int, int, int]] = []
-        if n_r >= 3 and n_c >= 3 and rng.random() < 0.4:
+        if not borderless and n_r >= 3 and n_c >= 3 and rng.random() < 0.4:
             if rng.random() < 0.5:  # colspan=2
                 mr = int(rng.integers(0, n_r))
                 mc = int(rng.integers(0, n_c - 1))
@@ -519,7 +531,35 @@ def generate_table_corpus(n_tables: int):
                 texts[mr + 1][mc] = ""
             if not texts[merges[0][0]][merges[0][1]]:
                 texts[merges[0][0]][merges[0][1]] = _short_words(rng, 1)
-        img, cells, truth_blocks = render_table(texts, merges)
+        img, cells, truth_blocks = render_table(
+            texts, merges, ruled=not borderless
+        )
+
+        if borderless:
+            # gutter truth from the RENDERER's ink quads (independent of
+            # the detector): row band r / col band c = union of ink
+            # extents of the blocks in that table row / column
+            row_band: dict[int, list[int]] = {}
+            col_band: dict[int, list[int]] = {}
+            for b in truth_blocks:
+                r0, c0 = b.line_idx // n_c, b.line_idx % n_c
+                xs = [p[0] for p in b.quad]
+                ys = [p[1] for p in b.quad]
+                rb = row_band.setdefault(r0, [min(ys), max(ys)])
+                rb[0], rb[1] = min(rb[0], min(ys)), max(rb[1], max(ys))
+                cb = col_band.setdefault(c0, [min(xs), max(xs)])
+                cb[0], cb[1] = min(cb[0], min(xs)), max(cb[1], max(xs))
+            from ppocr_spark.render import TruthCell
+
+            cells = [
+                TruthCell(
+                    r, c,
+                    col_band[c][0], row_band[r][0],
+                    col_band[c][1], row_band[r][1],
+                )
+                for r in range(n_r)
+                for c in range(n_c)
+            ]
 
         det_cells = detect_table_cells(img)
         want_cells = [
@@ -604,7 +644,8 @@ def ensure_table_corpus(n_tables: int, base_dir: str | None = None) -> str:
         base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                                 ".cache")
     # v2: spanning cells (colspan/rowspan) — bump on any generation change
-    out = os.path.join(base_dir, f"tables_{n_tables}_v2")
+    # _v3: borderless tables added (expected cells/blocks/html change)
+    out = os.path.join(base_dir, f"tables_{n_tables}_v3")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out

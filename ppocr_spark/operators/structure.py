@@ -208,17 +208,89 @@ def _boundary_open(
     return float(seg.mean()) < seg_frac
 
 
+def _ink_bands(
+    dark: np.ndarray, axis: int, min_gap: int
+) -> list[tuple[int, int]]:
+    """Ink bands along one axis: maximal runs of lines (rows if axis=1,
+    columns if axis=0) containing ANY dark pixel, with runs separated by
+    a white gutter NARROWER than ``min_gap`` merged (intra-glyph gaps —
+    an 'i' dot, aligned word spaces — must not split a band; only a
+    deliberate table gutter may)."""
+    proj = dark.any(axis=axis)
+    runs = _runs(proj)
+    merged: list[tuple[int, int]] = []
+    for s, e in runs:
+        if merged and s - merged[-1][1] - 1 < min_gap:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    return merged
+
+
+def detect_table_cells_gutter(
+    gray: np.ndarray,
+    dark_thresh: int = 128,
+    min_row_gap: int = 16,
+    min_col_gap: int = 64,
+) -> list[dict]:
+    """Borderless-table cell inference by WHITESPACE GUTTERS: when a table
+    has no ruled lines, its structure is still visible as white bands —
+    row bands = ink runs of the horizontal projection, column bands = ink
+    runs of the vertical projection (columns align across rows, so the
+    global projection keeps each column solid while the inter-column
+    gutter stays white in every row). Cells = row band × column band,
+    uniform grid (no colspan/rowspan — span inference needs appearance
+    cues a projection cannot see; the reference's learned table model
+    emits these from attention decode, cpp/src/structure_table.cpp:20-123,
+    cpp/src/postprocess_op.cpp:354-440 — its *cell box* contract is what
+    this reproduces for borderless input). Bounds are exact ink extents.
+
+    ``min_col_gap`` sits between the widest in-cell word space (~40 px at
+    the corpus glyph scale) and the narrowest column gutter (2×HPAD+rule
+    ≥ 115 px); ``min_row_gap`` above intra-glyph vertical gaps (an 'i'
+    dot, ≤ 8 px) and below the inter-row gutter (≥ 64 px)."""
+    dark = gray < dark_thresh
+    row_bands = _ink_bands(dark, axis=1, min_gap=min_row_gap)
+    col_bands = _ink_bands(dark, axis=0, min_gap=min_col_gap)
+    cells = []
+    for r, (y0, y1) in enumerate(row_bands):
+        for c, (x0, x1) in enumerate(col_bands):
+            cells.append(
+                {
+                    "row": r,
+                    "col": c,
+                    "rowspan": 1,
+                    "colspan": 1,
+                    "x0": x0,
+                    "y0": y0,
+                    "x1": x1,
+                    "y1": y1,
+                }
+            )
+    return cells
+
+
 def detect_table_cells(gray: np.ndarray, dark_thresh: int = 128) -> list[dict]:
     """Grid → cells, with merged-cell (colspan/rowspan) recovery: grid
     positions whose shared rule segment is erased belong to one spanning
     cell (the colspan/rowspan the reference's table tag stream expresses,
     cpp/src/paddlestructure.cpp:222-257). Returns
     [{row, col, rowspan, colspan, x0, y0, x1, y1}] (inclusive coords,
-    anchor row/col, covered positions omitted), row-major."""
+    anchor row/col, covered positions omitted), row-major.
+
+    BORDERLESS FALLBACK: when no ruled grid exists at all (fewer than two
+    rules in either direction), cells are inferred from whitespace
+    gutters instead (``detect_table_cells_gutter``) — the unruled-table
+    case the reference's learned model handles by appearance."""
     dark = gray < dark_thresh
     h_runs, v_runs = detect_grid(gray, dark_thresh)
     n_r, n_c = len(h_runs) - 1, len(v_runs) - 1
     if n_r <= 0 or n_c <= 0:
+        # partially ruled (rules in one direction only): erase them so
+        # they can't weld the projection into one band, then gutter-infer
+        work = erase_grid(gray) if (h_runs or v_runs) else gray
+        if (work < dark_thresh).any():
+            return detect_table_cells_gutter(work, dark_thresh)
         return []
     inner_y = [
         (h_runs[r][1] + 1, h_runs[r + 1][0] - 1) for r in range(n_r)

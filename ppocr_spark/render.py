@@ -159,8 +159,16 @@ class TruthCell:
 def render_table(
     cell_texts: list[list[str]],
     merges: list[tuple[int, int, int, int]] | None = None,
+    ruled: bool = True,
 ) -> tuple[np.ndarray, list[TruthCell], list[TruthBlock]]:
     """Render a ruled table → (page, truth cells, truth text blocks).
+
+    ``ruled=False`` renders the SAME layout without painting any rule
+    lines (a borderless table): text geometry, truth blocks and the
+    frame-based TruthCells are unchanged — only the ink differs. The
+    whitespace-gutter truth a borderless detector must reproduce is
+    derived from the truth blocks by the caller (corpus generation), not
+    here, so detector and truth stay independent.
 
     cell_texts: R rows × C cols of strings ('' = empty cell). Columns are
     sized to their longest text; every cell text is one short line. Truth
@@ -198,10 +206,11 @@ def render_table(
     height = ys[-1] + RULE_W + MARGIN
     page = np.full((height, width), 255, dtype=np.uint8)
 
-    for x in xs:  # vertical rules
-        page[ys[0] : ys[-1] + RULE_W, x : x + RULE_W] = 0
-    for y in ys:  # horizontal rules
-        page[y : y + RULE_W, xs[0] : xs[-1] + RULE_W] = 0
+    if ruled:
+        for x in xs:  # vertical rules
+            page[ys[0] : ys[-1] + RULE_W, x : x + RULE_W] = 0
+        for y in ys:  # horizontal rules
+            page[y : y + RULE_W, xs[0] : xs[-1] + RULE_W] = 0
 
     merges = merges or []
     # anchor → (rowspan, colspan); covered (non-anchor) positions

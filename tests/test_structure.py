@@ -177,3 +177,70 @@ def test_spark_match_and_html_equal_truth(spark, tmp_path):
         for r in spark.read.parquet(f"{tdir}/table_html.parquet").collect()
     }
     assert html == truth
+
+
+def test_borderless_gutter_detection():
+    """No ruled lines at all → cells inferred from whitespace gutters:
+    a full row×col grid with exact ink-extent bounds (spans all 1)."""
+    import numpy as np
+
+    img, _cells, blocks = render_table(
+        [["alpha", "beta"], ["gamma", "delta"], ["eps", "zeta fi"]],
+        ruled=False,
+    )
+    det = detect_table_cells(img)
+    assert len(det) == 6
+    assert all(c["rowspan"] == 1 and c["colspan"] == 1 for c in det)
+    assert [(c["row"], c["col"]) for c in det] == [
+        (r, c) for r in range(3) for c in range(2)
+    ]
+    # truth bands from the renderer's ink quads (independent derivation)
+    row_band, col_band = {}, {}
+    for b in blocks:
+        r, c = b.line_idx // 2, b.line_idx % 2
+        xs = [p[0] for p in b.quad]
+        ys = [p[1] for p in b.quad]
+        rb = row_band.setdefault(r, [min(ys), max(ys)])
+        rb[0], rb[1] = min(rb[0], min(ys)), max(rb[1], max(ys))
+        cb = col_band.setdefault(c, [min(xs), max(xs)])
+        cb[0], cb[1] = min(cb[0], min(xs)), max(cb[1], max(xs))
+    for cell in det:
+        assert [cell["y0"], cell["y1"]] == row_band[cell["row"]]
+        assert [cell["x0"], cell["x1"]] == col_band[cell["col"]]
+    # word spaces must NOT split a column: 'zeta fi' is one cell
+    assert len({c["col"] for c in det}) == 2
+    # empty image → no cells, no fallback
+    assert detect_table_cells(np.full((64, 64), 255, dtype=np.uint8)) == []
+
+
+def test_borderless_with_empty_cells():
+    """Empty cells are kept as grid positions as long as their row and
+    column carry ink elsewhere (the gutter contract)."""
+    img, _c, _b = render_table(
+        [["alpha", ""], ["", "delta"]], ruled=False
+    )
+    det = detect_table_cells(img)
+    assert [(c["row"], c["col"]) for c in det] == [
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    ]
+
+
+def test_partially_ruled_falls_back_to_gutters():
+    """Horizontal rules only (no vertical): rules are erased before the
+    gutter pass so they cannot weld the column projection together."""
+    import numpy as np
+
+    img, _cells, _blocks = render_table(
+        [["alpha", "beta"], ["gamma", "delta"]], ruled=False
+    )
+    # paint horizontal rules only (full width → would poison the
+    # column projection if not erased)
+    from ppocr_spark.operators.structure import detect_grid
+
+    img = img.copy()
+    img[2:5, :] = 0
+    img[-5:-2, :] = 0
+    h_runs, v_runs = detect_grid(img)
+    assert len(h_runs) >= 2 and len(v_runs) == 0
+    det = detect_table_cells(img)
+    assert len({c["col"] for c in det}) == 2  # columns still separate
