@@ -216,11 +216,13 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash) with the token-hash array materialized as a column so
-    the 60 bit-vote aggregates share one hash pass (see simhash_from_hashes).
+    the bit-vote stage shares one hash pass (see simhash_from_hashes —
+    Arrow-vectorized votes; the interpreted 60-aggregate expression form
+    is kept as simhash_from_hashes_expr and measured ~18× slower).
 
     Guarded ``_spread``: at corpus scale the scan has thousands of splits
     and the guard is a no-op (no exchange added); a small single-file
-    local scan would otherwise run the 60-aggregate bit-vote on ONE core
+    local scan would otherwise run hashing + bit votes on ONE core
     (measured 4.7× wall regression at sf0.1, BENCH_r02), so the guard
     repartitions only when the scan under-partitions."""
     return (

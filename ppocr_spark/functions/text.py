@@ -9,6 +9,7 @@ math exactly)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -163,11 +164,13 @@ def token_hashes(col: Column) -> Column:
     )
 
 
-def simhash_from_hashes(hs: Column) -> Column:
-    """60-bit SimHash from a *materialized* token-hash column (bit votes
-    via sign of sum). `hs` must be a real column: each of the 60 bit votes
-    aggregates over it, so an inline hash transform would be re-evaluated
-    60 times per row."""
+def simhash_from_hashes_expr(hs: Column) -> Column:
+    """Pure-expression 60-bit SimHash (bit votes via sign of sum) — the
+    readable reference form mirrored verbatim by the DuckDB oracle. NOT
+    the hot path: Catalyst evaluates higher-order-function lambdas
+    interpreted per array element, so 60 ``aggregate`` passes over the
+    hash array cost ~1.8 s on 5,000 sf0.1 docs vs ~0.1 s for the Arrow
+    kernel in ``simhash_from_hashes`` (same integers, measured round 3)."""
     bits = []
     for b in range(60):  # 60 bits from 15 hex chars
         vote = F.aggregate(
@@ -181,6 +184,55 @@ def simhash_from_hashes(hs: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash_from_hashes(hs: Column) -> Column:
+    """60-bit SimHash from a *materialized* token-hash column: per-bit
+    votes (+1 if bit set, −1 if clear) summed over the tokens, bit b of
+    the fingerprint = 1 iff vote_b > 0.
+
+    Arrow-vectorized kernel (integer-exact — same fingerprints as
+    ``simhash_from_hashes_expr`` and the DuckDB oracle, pinned by the
+    ``dedup_simhash`` gate): one ``(n_tokens, 60)`` bit matrix per batch,
+    per-document segment sums via ``np.add.reduceat``. The expression
+    form is interpreted per element by Catalyst (HOF lambdas don't
+    codegen) and measured ~18× slower on the bit-vote stage."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        arrs = [
+            np.asarray(a, dtype=np.int64)
+            if a is not None
+            else np.empty(0, np.int64)
+            for a in hashes
+        ]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+        if int(lens.sum()) == 0:
+            return pd.Series(out)
+        flat = np.concatenate([a for a in arrs if a.size])
+        # ±1 votes per (token, bit)
+        bits = (
+            ((flat[:, None] >> np.arange(60)) & 1) * 2 - 1
+        ).astype(np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nz = lens > 0
+        # reduceat over the starts of NON-EMPTY segments only: those are
+        # strictly increasing, so each output row is exactly one segment
+        # sum (equal adjacent indices would yield a single element, not a
+        # zero-length sum)
+        votes = np.add.reduceat(bits, starts[nz], axis=0)
+        sims = ((votes > 0).astype(np.int64) << np.arange(60)).sum(axis=1)
+        out[nz] = sims
+        return pd.Series(out)
+
+    return _simhash(hs)
 
 
 def simhash64(col: Column) -> Column:

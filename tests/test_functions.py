@@ -59,6 +59,37 @@ class TestDedup:
         ham14 = bin(fp[1] ^ fp[4]).count("1")
         assert ham13 < ham14  # near-dup closer than unrelated
 
+    def test_simhash_arrow_equals_expression_form(self, spark):
+        """The Arrow bit-vote kernel must be integer-identical to the
+        pure-expression reference (simhash_from_hashes_expr), including
+        empty and null token arrays (fingerprint 0)."""
+        from pyspark.sql import functions as F
+
+        from ppocr_spark.functions.text import (
+            simhash_from_hashes,
+            simhash_from_hashes_expr,
+        )
+
+        rows = [
+            (1, [0, 1, 2**59, 2**59 - 1]),
+            (2, [7, 7, 7]),  # duplicate hashes vote multiple times
+            (3, []),
+            (4, None),
+            (5, [(1 << 60) - 1]),
+            (6, [123456789123456789 % (1 << 60), 42, 0, 0, 1]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, hs array<long>")
+        got = df.select(
+            "doc_id",
+            simhash_from_hashes(F.col("hs")).alias("a"),
+            simhash_from_hashes_expr(F.col("hs")).alias("e"),
+        ).collect()
+        for r in got:
+            if r["doc_id"] in (3, 4):
+                assert r["a"] == 0
+            else:
+                assert r["a"] == r["e"], r
+
     def test_embedding_near_dup(self, spark):
         from ppocr_spark.functions.dedup import embedding_near_dup_pairs
 
