@@ -1184,6 +1184,89 @@ WHERE features IS NOT NULL ORDER BY media_ref
 """
 
 
+def _video_corpus(sf_dir: str) -> str:
+    from ppocr_spark.corpus import ensure_video_corpus
+
+    return ensure_video_corpus(max(32, _corpus_docs_for(sf_dir) // 2))
+
+
+def _video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode-probe (from-scratch RIFF/AVI codec) vs generation
+    truth — the multimodal video leg, real end to end."""
+    from ppocr_spark.functions.multimodal import video_metadata
+
+    vdir = _video_corpus(sf_dir)
+    media = spark.read.parquet(f"{vdir}/video_media.parquet")
+    return video_metadata(media).select(
+        "media_ref", "width", "height", "n_frames",
+        F.round("fps", 6).alias("fps"),
+        F.round("duration_s", 6).alias("duration_s"), "decode_ok",
+    ).orderBy("media_ref")
+
+
+def _video_metadata_sql(sf_dir: str) -> str:
+    vdir = _video_corpus(sf_dir)
+    return (
+        "SELECT media_ref, width, height, n_frames, round(fps, 6) AS fps, "
+        "round(duration_s, 6) AS duration_s, decode_ok "
+        f"FROM read_parquet('{vdir}/video_truth.parquet') ORDER BY media_ref"
+    )
+
+
+def _video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame mean-luma 'video embedding' vs generation truth
+    (identical decode + BT.601 arithmetic both sides)."""
+    from ppocr_spark.functions.multimodal import video_features
+
+    vdir = _video_corpus(sf_dir)
+    media = spark.read.parquet(f"{vdir}/video_media.parquet")
+    feats = video_features(media)
+    return feats.select(
+        "media_ref",
+        F.round(
+            F.aggregate("features", F.lit(0.0),
+                        lambda a, x: a + x.cast("double")),
+            6,
+        ).alias("feat_sum"),
+        F.size("features").alias("n_frames_vec"),
+    ).orderBy("media_ref")
+
+
+def _video_features_sql(sf_dir: str) -> str:
+    vdir = _video_corpus(sf_dir)
+    return f"""
+SELECT media_ref,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(features, x -> x::DOUBLE)), (a, b) -> a + b), 6)
+           AS feat_sum,
+       len(features) AS n_frames_vec
+FROM read_parquet('{vdir}/video_truth.parquet')
+WHERE features IS NOT NULL ORDER BY media_ref
+"""
+
+
+def _video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 2nd frame re-encoded as a PNG-gray thumbnail
+    (AVI decode → BT.601 luma → the repo's PNG encoder), verified by md5
+    against thumbnails computed independently at generation."""
+    from ppocr_spark.functions.multimodal import sample_video_frames
+
+    vdir = _video_corpus(sf_dir)
+    media = spark.read.parquet(f"{vdir}/video_media.parquet")
+    return sample_video_frames(media, every_n=2).select(
+        "media_ref", "frame_idx", F.md5("frame").alias("frame_md5")
+    ).orderBy("media_ref", "frame_idx")
+
+
+def _video_frame_sample_sql(sf_dir: str) -> str:
+    vdir = _video_corpus(sf_dir)
+    return (
+        "SELECT media_ref, frame_idx, frame_md5 "
+        f"FROM read_parquet('{vdir}/video_frames.parquet') "
+        "ORDER BY media_ref, frame_idx"
+    )
+
+
 def _semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins: customers with vs without orders,
     summarized per market segment."""
@@ -1511,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _image_features,
         "audio_metadata": _audio_metadata,
         "audio_features": _audio_features,
+        "video_metadata": _video_metadata,
+        "video_features": _video_features,
+        "video_frame_sample": _video_frame_sample,
         "html_strip_tags": _html_strip,
         "html_main_content": _html_main,
         "table_cell_match": _table_cell_match,
@@ -1560,6 +1646,9 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _image_features_sql(sf_dir),
         "audio_metadata": _audio_metadata_sql(sf_dir),
         "audio_features": _audio_features_sql(sf_dir),
+        "video_metadata": _video_metadata_sql(sf_dir),
+        "video_features": _video_features_sql(sf_dir),
+        "video_frame_sample": _video_frame_sample_sql(sf_dir),
         "html_strip_tags": _html_strip_sql(sf_dir),
         "html_main_content": _html_main_sql(sf_dir),
         "table_cell_match": _table_cell_match_sql(sf_dir),

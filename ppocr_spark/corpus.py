@@ -1042,6 +1042,153 @@ def ensure_audio_corpus(n_clips: int, base_dir: str | None = None) -> str:
 
 
 # ---------------------------------------------------------------------------
+# video corpus (multimodal video leg: AVI payloads + generation truth)
+# ---------------------------------------------------------------------------
+
+
+def generate_video_corpus(n_clips: int, every_n: int = 2):
+    """→ (media_rows, truth_rows, frame_rows). Deterministic synthetic AVI
+    clips (moving gradients + drifting blocks + a few grayscale-source and
+    corrupt payloads); truth = container metadata + per-frame luma profile
+    + md5 of every sampled PNG thumbnail, all computed AT GENERATION with
+    the same arithmetic the UDFs use."""
+    import hashlib
+
+    from ppocr_spark.png import encode_gray
+    from ppocr_spark.video import (decode_avi, encode_avi,
+                                   frame_luma_profile, luma8)
+
+    media_rows, truth_rows, frame_rows = [], [], []
+    for i in range(n_clips):
+        ref = f"vid_{i:06d}"
+        rng = _rng("video", i)
+        kind = rng.random()
+        if kind < 0.08:  # corrupt container
+            content = bytes(
+                _rng("vidjunk", i).integers(0, 256, size=64, dtype=np.uint8)
+            )
+            media_rows.append({"media_ref": ref, "content": content})
+            truth_rows.append(
+                {"media_ref": ref, "width": 0, "height": 0, "n_frames": 0,
+                 "fps": 0.0, "duration_s": 0.0, "decode_ok": False,
+                 "features": None}
+            )
+            continue
+        w = int(rng.integers(6, 25))
+        h = int(rng.integers(6, 21))
+        n = int(rng.integers(3, 13))
+        fps = int(rng.choice([5, 10, 12, 24]))
+        # moving diagonal gradient + one drifting bright block per frame
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.empty((n, h, w, 3), dtype=np.uint8)
+        phase = int(rng.integers(0, 256))
+        step = int(rng.integers(3, 17))
+        bw = max(2, w // 4)
+        bh = max(2, h // 4)
+        for k in range(n):
+            base = ((xx * 7 + yy * 13 + phase + k * step) % 256).astype(
+                np.uint8
+            )
+            frm = np.stack([base, (base + 85) % 256, (base + 170) % 256],
+                           axis=2).astype(np.uint8)
+            bx = (k * step) % max(w - bw, 1)
+            by = (k * (step // 2 + 1)) % max(h - bh, 1)
+            frm[by : by + bh, bx : bx + bw] = 255
+            frames[k] = frm
+        if rng.random() < 0.2:  # grayscale-source clip (encoder replicates)
+            frames = np.stack([luma8(frames[k]) for k in range(n)])
+        content = encode_avi(frames, fps)
+        # truth via the SAME decode path the UDFs run
+        dec, fps2 = decode_avi(content)
+        truth_rows.append(
+            {
+                "media_ref": ref, "width": int(dec.shape[2]),
+                "height": int(dec.shape[1]), "n_frames": int(dec.shape[0]),
+                "fps": float(fps2),
+                "duration_s": dec.shape[0] / float(fps2),
+                "decode_ok": True,
+                "features": [float(x) for x in frame_luma_profile(dec)],
+            }
+        )
+        for k in range(0, dec.shape[0], every_n):
+            png = encode_gray(luma8(dec[k]))
+            frame_rows.append(
+                {"media_ref": ref, "frame_idx": k,
+                 "frame_md5": hashlib.md5(png).hexdigest()}
+            )
+        media_rows.append({"media_ref": ref, "content": content})
+    return media_rows, truth_rows, frame_rows
+
+
+def ensure_video_corpus(n_clips: int, base_dir: str | None = None) -> str:
+    """Idempotent cached video corpus: video_media.parquet(media_ref,
+    content) + video_truth.parquet(metadata + luma profile) +
+    video_frames.parquet(sampled-thumbnail md5s)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                ".cache")
+    # bump on any generate_video_corpus change (stale-cache invariant)
+    out = os.path.join(base_dir, f"video_{n_clips}_v1")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    media, truth, frames = generate_video_corpus(n_clips)
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [m["media_ref"] for m in media],
+                "content": pa.array(
+                    [m["content"] for m in media], pa.binary()
+                ),
+            }
+        ),
+        os.path.join(out, "video_media.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [t["media_ref"] for t in truth],
+                "width": pa.array([t["width"] for t in truth], pa.int32()),
+                "height": pa.array([t["height"] for t in truth], pa.int32()),
+                "n_frames": pa.array(
+                    [t["n_frames"] for t in truth], pa.int32()
+                ),
+                "fps": pa.array([t["fps"] for t in truth], pa.float64()),
+                "duration_s": pa.array(
+                    [t["duration_s"] for t in truth], pa.float64()
+                ),
+                "decode_ok": pa.array(
+                    [t["decode_ok"] for t in truth], pa.bool_()
+                ),
+                "features": pa.array(
+                    [t["features"] for t in truth], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(out, "video_truth.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [r["media_ref"] for r in frames],
+                "frame_idx": pa.array(
+                    [r["frame_idx"] for r in frames], pa.int32()
+                ),
+                "frame_md5": [r["frame_md5"] for r in frames],
+            }
+        ),
+        os.path.join(out, "video_frames.parquet"),
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # request corpus (S7 dispatch + S5 base64 taxonomy, incl. codes 300/301)
 # ---------------------------------------------------------------------------
 

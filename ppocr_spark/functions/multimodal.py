@@ -1,13 +1,13 @@
 """Multimodal column operators: opaque ``binary`` payloads + typed metadata.
 
 Images are REAL here (the repo ships its own PNG codec + resampler), and so
-is audio (from-scratch WAV/PCM codec, ppocr_spark/audio.py): decode,
-metadata extraction, resize/windowing, and feature extraction run as
-Arrow-batched ``mapInPandas`` — the exact plumbing (schema, batch shape,
-partitioning) a production pipeline needs. Video decode is STUBBED (the
-container has no video codec): ``NotImplementedError`` behind the same
-batch-UDF signature, so swapping in a real decoder touches one function
-body, not the plan.
+are audio (from-scratch WAV/PCM codec, ppocr_spark/audio.py) and video
+(from-scratch RIFF/AVI container with uncompressed DIB frames,
+ppocr_spark/video.py): decode, metadata extraction, frame sampling, and
+feature extraction run as Arrow-batched ``mapInPandas`` — the exact
+plumbing (schema, batch shape, partitioning) a production pipeline needs.
+Compressed video codecs (H.264/VP9) would slot in behind the same
+decode_avi contract without touching the plans.
 """
 
 from __future__ import annotations
@@ -188,20 +188,122 @@ def audio_features(media: DataFrame, n_frames: int = 16) -> DataFrame:
     )
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: frame sampling for video payloads. The Spark plumbing (batch
-    UDF signature, output schema, per-frame explode shape) is the real
-    contract; the codec call raises until a decoder is available."""
+VIDEO_META_SCHEMA = (
+    "media_ref string, width int, height int, n_frames int, "
+    "fps double, duration_s double, decode_ok boolean"
+)
+
+VIDEO_FEATURE_SCHEMA = "media_ref string, features array<float>"
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Decode-probe every video payload (from-scratch RIFF/AVI codec):
+    dimensions, frame count, frame rate, duration. Total function —
+    undecodable rows yield decode_ok=false, never throw.
+
+    Reference contract: videos enter the reference engine one extracted
+    frame at a time (cpp/src/task.cpp run loop); here the container itself
+    is a first-class column."""
 
     def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decoding requires a codec library not present in "
-                "this environment; plug a decoder into sample_video_frames"
+        from ppocr_spark.video import VideoError, decode_avi
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_ref", "width", "height", "n_frames", "fps",
+                     "duration_s", "decode_ok")}
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                rows["media_ref"].append(ref)
+                try:
+                    if content is None:
+                        raise VideoError("null")
+                    frames, fps = decode_avi(bytes(content))
+                    n, h, w, _ = frames.shape
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(n)
+                    rows["fps"].append(float(fps))
+                    rows["duration_s"].append(n / float(fps))
+                    rows["decode_ok"].append(True)
+                except VideoError:
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_frames"].append(0)
+                    rows["fps"].append(0.0)
+                    rows["duration_s"].append(0.0)
+                    rows["decode_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_ref", "content").mapInPandas(
+        udf, schema=VIDEO_META_SCHEMA
+    )
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Per-frame mean-luma profile (decode → BT.601 luma → frame mean):
+    the deterministic 'video embedding' — same decode→reduce shape an
+    embedding extractor would use. Undecodable rows are dropped."""
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ppocr_spark.video import (VideoError, decode_avi,
+                                       frame_luma_profile)
+
+        for pdf in batches:
+            refs, feats = [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    if content is None:
+                        raise VideoError("null")
+                    frames, _fps = decode_avi(bytes(content))
+                    refs.append(ref)
+                    feats.append(
+                        [float(x) for x in frame_luma_profile(frames)]
+                    )
+                except VideoError:
+                    continue
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
             )
-        yield pd.DataFrame(
-            {"media_ref": [], "frame_idx": [], "frame": []}
-        )  # pragma: no cover
+
+    return media.select("media_ref", "content").mapInPandas(
+        udf, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample every ``every_n``-th frame from each video payload and emit
+    it as a PNG-gray thumbnail (AVI decode → BT.601 luma → the repo's own
+    PNG encoder). One output row per sampled frame — the explode shape a
+    frame-level training pipeline consumes. Undecodable rows are dropped
+    (use video_metadata for the decode_ok taxonomy)."""
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ppocr_spark.png import encode_gray
+        from ppocr_spark.video import VideoError, decode_avi, luma8
+
+        for pdf in batches:
+            refs, idxs, blobs = [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    if content is None:
+                        raise VideoError("null")
+                    frames, _fps = decode_avi(bytes(content))
+                except VideoError:
+                    continue
+                for k in range(0, frames.shape[0], every_n):
+                    refs.append(ref)
+                    idxs.append(k)
+                    blobs.append(encode_gray(luma8(frames[k])))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(blobs, dtype="object"),
+                }
+            )
 
     return media.select("media_ref", "content").mapInPandas(
         udf, schema=FRAME_SAMPLE_SCHEMA

@@ -197,14 +197,14 @@ class TestMultimodal:
         assert len(feats) == 16
         assert feats[0] > 0.9 and feats[-1] < 0.1
 
-    def test_video_stub_raises(self, spark):
+    def test_video_frame_sample_drops_undecodable(self, spark):
         from ppocr_spark.functions.multimodal import sample_video_frames
 
         media = spark.createDataFrame(
-            [("v", bytearray(b"fake"))], "media_ref string, content binary"
+            [("v", bytearray(b"fake")), ("w", None)],
+            "media_ref string, content binary",
         )
-        with pytest.raises(Exception, match="NotImplementedError|codec"):
-            sample_video_frames(media).collect()
+        assert sample_video_frames(media).count() == 0
 
 
 class TestSimhashPigeonhole:
@@ -413,3 +413,106 @@ class TestAudioCodec:
         out = {r["media_ref"]: r for r in audio_metadata(rows).collect()}
         assert out["a"]["decode_ok"] and out["a"]["sample_rate"] == 8000
         assert not out["b"]["decode_ok"] and not out["c"]["decode_ok"]
+
+
+class TestVideoCodec:
+    def test_avi_roundtrip_rgb_and_gray(self):
+        import numpy as np
+
+        from ppocr_spark.video import decode_avi, encode_avi
+
+        rng = np.random.default_rng(11)
+        # widths 5 and 7 exercise the 4-byte DIB row padding; gray input
+        # must come back as replicated RGB
+        for shape in [(3, 8, 5, 3), (4, 6, 7, 3), (2, 9, 9)]:
+            f = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out, fps = decode_avi(encode_avi(f, fps=12))
+            exp = f if f.ndim == 4 else np.repeat(f[..., None], 3, axis=3)
+            assert fps == 12.0
+            assert np.array_equal(out, exp)
+
+    def test_riff_walk_skips_unknown_chunks(self):
+        import struct
+
+        import numpy as np
+
+        from ppocr_spark.video import decode_avi, encode_avi
+
+        f = np.full((2, 4, 4, 3), 50, dtype=np.uint8)
+        avi = encode_avi(f, fps=10)
+        # inject an unknown chunk right after the RIFF type tag and patch
+        # the RIFF size
+        extra = struct.pack("<4sI", b"JUNK", 6) + b"abcdef"
+        avi2 = avi[:12] + extra + avi[12:]
+        avi2 = avi2[:4] + struct.pack("<I", len(avi2) - 8) + avi2[8:]
+        out, fps = decode_avi(avi2)
+        assert fps == 10.0 and np.array_equal(
+            out, np.full((2, 4, 4, 3), 50, dtype=np.uint8)
+        )
+
+    def test_corrupt_inputs_raise(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from ppocr_spark.video import VideoError, decode_avi, encode_avi
+
+        good = encode_avi(
+            np.zeros((1, 4, 4, 3), dtype=np.uint8), fps=5
+        )
+        for bad in (b"", b"RIFFxxxxWAVE", b"\x00" * 64, good[:40],
+                    good[:-10]):
+            with _pytest.raises(VideoError):
+                decode_avi(bad)
+
+    def test_luma_profile_and_luma8(self):
+        import numpy as np
+
+        from ppocr_spark.video import frame_luma_profile, luma8
+
+        f = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+        f[1] = 255
+        prof = frame_luma_profile(f)
+        assert abs(float(prof[0])) < 1e-7
+        assert abs(float(prof[1]) - 1.0) < 1e-6
+        assert luma8(f[1]).tolist() == [[255] * 4] * 4
+
+    def test_spark_metadata_total_function(self, spark):
+        import numpy as np
+
+        from ppocr_spark.functions.multimodal import video_metadata
+        from ppocr_spark.video import encode_avi
+
+        good = encode_avi(
+            np.full((3, 6, 8, 3), 99, dtype=np.uint8), fps=10
+        )
+        rows = spark.createDataFrame(
+            [("a", bytearray(good)), ("b", bytearray(b"junk")), ("c", None)],
+            "media_ref string, content binary",
+        )
+        out = {r["media_ref"]: r for r in video_metadata(rows).collect()}
+        assert out["a"]["decode_ok"] and out["a"]["n_frames"] == 3
+        assert out["a"]["width"] == 8 and out["a"]["fps"] == 10.0
+        assert not out["b"]["decode_ok"] and not out["c"]["decode_ok"]
+
+    def test_spark_frame_sample_matches_generation(self, spark):
+        """The UDF's PNG thumbnails must be bit-identical to thumbnails
+        computed with the same arithmetic outside Spark."""
+        import numpy as np
+
+        from ppocr_spark.functions.multimodal import sample_video_frames
+        from ppocr_spark.png import encode_gray
+        from ppocr_spark.video import decode_avi, encode_avi, luma8
+
+        rng = np.random.default_rng(3)
+        f = rng.integers(0, 256, size=(5, 7, 9, 3), dtype=np.uint8)
+        avi = encode_avi(f, fps=10)
+        rows = spark.createDataFrame(
+            [("v", bytearray(avi))], "media_ref string, content binary"
+        )
+        got = {
+            r["frame_idx"]: bytes(r["frame"])
+            for r in sample_video_frames(rows, every_n=2).collect()
+        }
+        dec, _ = decode_avi(avi)
+        exp = {k: encode_gray(luma8(dec[k])) for k in range(0, 5, 2)}
+        assert got == exp
