@@ -447,13 +447,29 @@ def ocr_media_spans(
     if broadcast_media:
         # EXPLICIT repartition before the heavy UDF: a small parquet scan
         # yields 1-2 input partitions and would serialize all OCR work onto
-        # 1-2 cores. Round-robin also spreads a media-heavy document's
-        # spans across the cluster (per-span work is doc-agnostic) — the
-        # intra-stage skew control. 5 waves per core: per-span cost varies
-        # ~3x with page size, and coarse 2-wave partitioning leaves the
-        # final wave a straggler tail (measured 22% wall-time cost at 32
-        # cores on the 12800-doc corpus).
-        ids = ids.repartition(max(par * 5, cfg.shuffle_partitions))
+        # 1-2 cores. COST-ORDERED waves: range-partition the slim span rows
+        # by payload byte size DESC (size broadcast-joined from a slim
+        # (base_ref, length) projection — per-span kernel cost tracks page
+        # pixels, which tracks blob bytes), so the heaviest tasks schedule
+        # first and the in-stage straggler tail is made of the cheapest
+        # tasks. 5 waves per core: per-span cost varies ~3x with page size,
+        # and coarse 2-wave partitioning leaves the final wave a straggler
+        # tail (22% wall at 32 cores). Cost-ordering the waves beat plain
+        # round-robin by ~6% wall in every interleaved A/B pair (12800
+        # docs, local[32], quiet window, round 3). Missing refs sort last
+        # (NULL size) — they are the cheapest rows of all.
+        sizes = media.select(
+            F.col("media_ref").alias("base_ref"),
+            F.length("content").alias("__blob_len"),
+        )
+        ids = (
+            ids.join(F.broadcast(sizes), "base_ref", "left")
+            .repartitionByRange(
+                max(par * 5, cfg.shuffle_partitions),
+                F.desc("__blob_len"), "base_ref", "doc_id", "offset",
+            )
+            .drop("__blob_len")
+        )
         # broadcast join AFTER the shuffle: only the slim (doc_id, offset,
         # media_ref) rows move; the image payload attaches in place
         req = ids.join(F.broadcast(m), "base_ref", "left").drop("base_ref")

@@ -64,7 +64,9 @@ class TestPlans:
             )
         )
         assert "MapInArrow" in plan or "MapInPandas" in plan
-        assert "RoundRobinPartitioning" in plan
+        # cost-ordered waves: explicit range exchange on payload size desc
+        assert "rangepartitioning" in plan.lower()
+        assert "__blob_len" in plan
         assert "BroadcastHashJoin" in plan  # media side broadcast
 
     def test_dedup_exact_partial_aggregation(self, spark, sf_dir):
