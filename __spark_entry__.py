@@ -737,6 +737,55 @@ ORDER BY a, b
 """
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster formation over the MinHash near-dup pairs: distributed
+    connected components (min-label propagation + pointer jumping) →
+    per-document (cluster_id, keep) verdict, the keep-one-per-cluster
+    policy of a dedup stage. Oracle: DuckDB recursive CTE reachability
+    over the identical pair list."""
+    from ppocr_spark.functions.dedup import (dedup_representatives,
+                                             minhash_dedup_pairs)
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    return dedup_representatives(pairs, d).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, {_DUCK_GRAMS} AS grams
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+), sigs AS (
+  SELECT id, grams, {_minhash_sig('duck')} AS sig FROM base WHERE len(grams) > 0
+), banded AS (
+  SELECT id, b AS band, array_to_string(sig[b*2+1:b*2+2], '|') AS key
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+), cands AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.id < y.id
+), pairs AS (
+  SELECT a, b
+  FROM cands JOIN base ga ON ga.id = a JOIN base gb ON gb.id = b
+  WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+        len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.12
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS node, u AS lab FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+), cc AS (
+  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library simhash (dedup.simhash_fingerprints) vs the generated
     DuckDB dialect of the same bit-vote definition."""
@@ -1581,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _emb_cosine_pairs,
@@ -1633,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash": _dedup_simhash_sql(),
         "dedup_simhash_pairs": _dedup_simhash_pairs_sql(),
         "dedup_embedding_cosine": _EMB_COSINE_SQL,

@@ -356,3 +356,107 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTER FORMATION: connected components over an undirected
+    pair list → (node, cluster_id) with cluster_id = min node id in the
+    component. The step a real dedup pipeline runs after pair finding
+    (pairs → clusters → keep one representative per cluster).
+
+    Distributed min-label propagation with POINTER JUMPING: each round
+    every node adopts the minimum label among itself and its neighbors,
+    then re-labels through its label's label (label(x) ≤ x always, so the
+    jump is monotone). Propagation alone needs O(diameter) rounds; the
+    jump compresses chains so convergence is O(log d) — and near-dup
+    clusters are near-cliques, so 2-3 rounds in practice. Per round: two
+    hash-shuffles on node id (neighbor-min aggregate + jump join), no
+    driver-side data beyond a changed-row count; lineage is cut every
+    round with localCheckpoint so the plan does not double per iteration.
+    At 100 TB the edge list persists across rounds and every join is a
+    plain equi-join — no broadcast of anything unbounded.
+    """
+    edges = cache.track(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"),
+                            F.col(a_col).alias("v")))
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("v"),
+                              F.col("label").alias("vlab")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("node").alias("jn"), F.col("label").alias("jlab")
+                ),
+                F.col("s.label") == F.col("jn"),
+                "left",
+            )
+            .select(
+                F.col("s.node").alias("node"),
+                F.coalesce("jlab", F.col("s.label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_representatives(
+    pairs: DataFrame,
+    docs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document dedup verdict: (doc_id, cluster_id, keep). Documents in
+    no near-dup pair are their own singleton cluster (keep=true); in each
+    multi-document cluster exactly the min-id document survives — the
+    deterministic keep-one-per-cluster policy of a training-data dedup
+    stage."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -516,3 +516,52 @@ class TestVideoCodec:
         dec, _ = decode_avi(avi)
         exp = {k: encode_gray(luma8(dec[k])) for k in range(0, 5, 2)}
         assert got == exp
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edge_list, **kw):
+        from ppocr_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(edge_list, "a string, b string")
+        return {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs, **kw).collect()
+        }
+
+    def test_chain_cycle_and_separate_clusters(self, spark):
+        got = self._cc(
+            spark,
+            [("b", "c"), ("a", "b"),            # chain a-b-c
+             ("x", "y"), ("y", "z"), ("z", "x"),  # cycle
+             ("p", "q")],                        # pair
+        )
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "z": "x",
+                       "p": "p", "q": "p"}
+
+    def test_long_path_converges_via_pointer_jumping(self, spark):
+        # a 40-node path: plain min-propagation needs 39 rounds; pointer
+        # jumping must converge well inside max_iter=25
+        edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(39)]
+        got = self._cc(spark, edges, max_iter=25)
+        assert set(got.values()) == {"n00"}
+        assert len(got) == 40
+
+    def test_representatives_cover_all_docs(self, spark):
+        from ppocr_spark.functions.dedup import dedup_representatives
+
+        pairs = spark.createDataFrame(
+            [("d2", "d4"), ("d4", "d1")], "a string, b string"
+        )
+        docs = spark.createDataFrame(
+            [(f"d{i}",) for i in range(5)], "doc_id string"
+        )
+        rows = {r["doc_id"]: r for r in
+                dedup_representatives(pairs, docs).collect()}
+        assert len(rows) == 5
+        assert rows["d1"]["cluster_id"] == "d1" and rows["d1"]["keep"]
+        assert rows["d2"]["cluster_id"] == "d1" and not rows["d2"]["keep"]
+        assert rows["d4"]["cluster_id"] == "d1" and not rows["d4"]["keep"]
+        # untouched docs are their own singleton clusters
+        assert rows["d0"]["keep"] and rows["d0"]["cluster_id"] == "d0"
+        assert rows["d3"]["keep"]
