@@ -327,34 +327,30 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     sy -= y0
     np.clip(sy, 0.0, 1.0, out=sy)
     fy = sy.astype(np.float32)
-    # bounding-rect pre-crop (the reference's own first step,
-    # cpp/src/utility.cpp:170-180): convert/gather only the sub-image the
-    # clamped sample indices actually touch, not the whole page — bounds
-    # come from the indices themselves, so this is exact for any quad
-    bx0 = int(x0.min())
-    by0 = int(y0.min())
-    sub = img[by0 : int(y0.max()) + 2, bx0 : int(x0.max()) + 2]
-    sw = sub.shape[1]
-    p = sub.astype(np.float32)
-    flat = p.ravel()
-    base = (y0 - by0) * sw + (x0 - bx0)
+    # flat gathers straight from the uint8 page (gather-then-astype ==
+    # astype-then-gather bit-for-bit): no float32 sub-image is ever
+    # materialized — the gathers touch only the cache lines the clamped
+    # sample indices hit, the warp's whole read traffic
+    src = img if img.flags.c_contiguous else np.ascontiguousarray(img)
+    flat = src.reshape(-1)
+    base = y0 * w + x0
     # in-place accumulation of the SAME left-associated per-element
     # products/sums as the naive 4-term blend — bit-identical, ~half the
     # temporaries (this is the hottest per-box kernel on skewed pages)
     gx = 1 - fx
     gy = 1 - fy
-    out = flat[base]
+    out = flat[base].astype(np.float32)
     out *= gx
     out *= gy
-    t = flat[base + 1]
+    t = flat[base + 1].astype(np.float32)
     t *= fx
     t *= gy
     out += t
-    t = flat[base + sw]
+    t = flat[base + w].astype(np.float32)
     t *= gx
     t *= fy
     out += t
-    t = flat[base + sw + 1]
+    t = flat[base + w + 1].astype(np.float32)
     t *= fx
     t *= fy
     out += t

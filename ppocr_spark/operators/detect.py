@@ -88,12 +88,13 @@ def _bilinear_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     # the intermediate most (memory traffic dominates this kernel).
     # In-place ops below perform the SAME per-element expressions in the
     # same order as the naive a*(1-f) + b*f form — bit-identical, fewer
-    # temporaries (this kernel runs ~10x per span)
-    p = img.astype(np.float32)
+    # temporaries (this kernel runs ~10x per span). First-pass gathers read
+    # the uint8 source directly (gather-then-astype == astype-then-gather),
+    # skipping the full-input float32 copy
     if nh * w <= h * nw:
-        v = p[y0]
+        v = img[y0].astype(np.float32)
         v *= 1 - fy
-        t = p[y0 + 1]
+        t = img[y0 + 1].astype(np.float32)
         t *= fy
         v += t                                         # (nh, w)
         out = v[:, x0]
@@ -102,9 +103,9 @@ def _bilinear_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
         t2 *= fx
         out += t2                                      # (nh, nw)
     else:
-        hh = p[:, x0]
+        hh = img[:, x0].astype(np.float32)
         hh *= 1 - fx
-        t = p[:, x0 + 1]
+        t = img[:, x0 + 1].astype(np.float32)
         t *= fx
         hh += t                                        # (h, nw)
         out = hh[y0]
@@ -202,20 +203,21 @@ def pooled_ink(img: np.ndarray, resize_h: int, resize_w: int) -> np.ndarray:
     pooling it — the det stage's largest memory pass removed. Float32
     end-to-end (no intermediate uint8 quantization)."""
     h, w = img.shape[:2]
-    p = img.astype(np.float32)
     a0, a1, g0, f0, g1, f1 = _pooled_axis_taps(h, resize_h)
     # in-place accumulation, same left-associated per-element expression
-    # as the naive 4-term sums (bit-identical; halves the page-sized
-    # temporaries — LLC pressure at 32 residents is the scaling limiter)
-    v = p[a0]
+    # as the naive 4-term sums; row-gather straight from the uint8 page
+    # (float32(img)[rows] == img[rows].astype(float32) bit-for-bit), so the
+    # full-page float32 copy — the largest det-stage temporary and the
+    # main LLC/DRAM load at 32 residents — is never materialized
+    v = img[a0].astype(np.float32)
     v *= g0[:, None]
-    t = p[a0 + 1]
+    t = img[a0 + 1].astype(np.float32)
     t *= f0[:, None]
     v += t
-    t = p[a1]
+    t = img[a1].astype(np.float32)
     t *= g1[:, None]
     v += t
-    t = p[a1 + 1]
+    t = img[a1 + 1].astype(np.float32)
     t *= f1[:, None]
     v += t
     b0, b1, h0, e0, h1, e1 = _pooled_axis_taps(w, resize_w)
