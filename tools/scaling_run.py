@@ -90,6 +90,37 @@ def main():
 
     ensure_corpus(n_docs)
 
+    if "--one" in sys.argv:
+        # quiet-window probe: ONE level at SPARK_GRAFT_CPUS (default 32).
+        # CLAUDE.md discipline: believe pair numbers only in a window where
+        # this probe clears ~550 docs/s at 32 cores on the 12800-doc corpus.
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_level(cores, n_docs)))
+        return
+
+    if "--pair" in sys.argv:
+        # the 8<->32 protocol used for the headline efficiency number:
+        # alternating same-window subprocess pairs (co-tenant drift hits
+        # both levels), per-pair efficiency + best-of-each across cycles
+        pairs = []
+        for _ in range(repeats):
+            r8 = run_level(8, n_docs)
+            r32 = run_level(32, n_docs)
+            pairs.append({
+                "local8": r8, "local32": r32,
+                "pair_eff_8_to_32": round(
+                    (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3),
+            })
+        b8 = max(p["local8"]["docs_per_sec"] for p in pairs)
+        b32 = max(p["local32"]["docs_per_sec"] for p in pairs)
+        print(json.dumps({
+            "pairs": pairs,
+            "best_docs_per_sec_8": b8,
+            "best_docs_per_sec_32": b32,
+            "eff_8_to_32_best_of_each": round((b32 / b8) / 4.0, 3),
+        }, indent=2))
+        return
+
     def best(cores: int) -> dict:
         # best-of-k: the sandbox VM shares its host; the minimum wall time
         # is the least-interfered measurement of the same deterministic job
