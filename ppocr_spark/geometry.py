@@ -30,11 +30,14 @@ import numpy as np
 # connected components (row-run union-find; fast for sparse text masks)
 # ---------------------------------------------------------------------------
 
-def connected_components(mask: np.ndarray, max_components: int = 100000):
-    """8-connected components of a bool mask.
+def connected_component_runs(mask: np.ndarray, max_components: int = 100000):
+    """8-connected components of a bool mask as row-run lists.
 
-    Returns a list of (ys, xs) integer index arrays, one per component,
-    ordered by first-encountered row-run (deterministic scan order).
+    Returns a list of (rows, xs, xe) int64 arrays, one per component
+    (scan order: rows non-decreasing, runs of one row adjacent), ordered
+    by first-encountered row-run. The run form is the cheap one: callers
+    that only need per-row extremes or row slices (detection's rect +
+    score path) never pay the per-pixel index materialization.
     """
     h, w = mask.shape
     parent: list[int] = []
@@ -70,10 +73,9 @@ def connected_components(mask: np.ndarray, max_components: int = 100000):
     cur: list[tuple[int, int, int]] = []        # runs of the current row
     all_runs: list[tuple[int, int, int, int]] = []  # (row, xs, xe, label)
     prev_row = -2
-    for i in range(len(starts_f)):
-        r = int(rows_of[i])
-        xs = int(xs_all[i])
-        xe = int(xe_all[i])
+    # .tolist() once: iterating Python ints beats per-element numpy
+    # scalar extraction in this (run-count-bounded) loop
+    for r, xs, xe in zip(rows_of.tolist(), xs_all.tolist(), xe_all.tolist()):
         if r != prev_row:
             prev_runs = cur if r == prev_row + 1 else []
             cur = []
@@ -98,10 +100,45 @@ def connected_components(mask: np.ndarray, max_components: int = 100000):
     comps = []
     for root in order[:max_components]:
         runs = groups[root]
-        ys = np.concatenate([np.full(xe - xs, r, dtype=np.int64) for r, xs, xe in runs])
-        xs_ = np.concatenate([np.arange(xs, xe, dtype=np.int64) for _, xs, xe in runs])
-        comps.append((ys, xs_))
+        n = len(runs)
+        rows = np.fromiter((r[0] for r in runs), np.int64, n)
+        rxs = np.fromiter((r[1] for r in runs), np.int64, n)
+        rxe = np.fromiter((r[2] for r in runs), np.int64, n)
+        comps.append((rows, rxs, rxe))
     return comps
+
+
+def connected_components(mask: np.ndarray, max_components: int = 100000):
+    """8-connected components of a bool mask.
+
+    Returns a list of (ys, xs) integer index arrays, one per component,
+    ordered by first-encountered row-run (deterministic scan order) —
+    the materialized form of ``connected_component_runs`` (same values,
+    same order, per pixel)."""
+    comps = []
+    for rows, rxs, rxe in connected_component_runs(mask, max_components):
+        ys = np.repeat(rows, rxe - rxs)
+        xs = np.concatenate(
+            [np.arange(s, e, dtype=np.int64)
+             for s, e in zip(rxs.tolist(), rxe.tolist())]
+        )
+        comps.append((ys, xs))
+    return comps
+
+
+def run_row_extremes(rows: np.ndarray, rxs: np.ndarray, rxe: np.ndarray) -> np.ndarray:
+    """Per-row min/max x points straight from a component's run list —
+    the same point SET as ``row_extremes`` over the materialized pixels
+    (``convex_hull`` dedups points through a set, so only the set matters
+    to every downstream consumer). Runs arrive row-sorted (scan order)."""
+    first = np.concatenate([[True], rows[1:] != rows[:-1]])
+    idx = np.flatnonzero(first)
+    minx = np.minimum.reduceat(rxs, idx)
+    maxx = np.maximum.reduceat(rxe, idx) - 1
+    ur = rows[idx]
+    return np.concatenate(
+        [np.stack([minx, ur], axis=1), np.stack([maxx, ur], axis=1)]
+    )
 
 
 # ---------------------------------------------------------------------------

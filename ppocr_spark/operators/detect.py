@@ -31,11 +31,11 @@ import numpy as np
 
 from ppocr_spark.config import PPOCRConfig
 from ppocr_spark.geometry import (
-    connected_components,
+    connected_component_runs,
     expand_rect,
     min_area_rect,
     order_points_clockwise,
-    row_extremes,
+    run_row_extremes,
     unclip_distance,
 )
 
@@ -269,19 +269,27 @@ def boxes_from_bitmap(
     Gate order mirrors BoxesFromBitmap (cpp/src/postprocess_op.cpp:246-321):
     candidate cap, sside < min_box_size, score < det_db_box_thresh, unclip,
     sside < min_box_size + 2 post-unclip."""
-    comps = connected_components(bitmap, max_components=cfg.max_candidates)
+    comps = connected_component_runs(bitmap, max_components=cfg.max_candidates)
     boxes: list[np.ndarray] = []
     scores: list[float] = []
-    for ys, xs in comps:
-        pts = row_extremes(ys, xs)
+    for rows, rxs, rxe in comps:
+        pts = run_row_extremes(rows, rxs, rxe)
         rect, sside = min_area_rect(pts)
         if sside < cfg.min_box_size:
             continue
         if cfg.det_db_score_mode == "slow":
-            score = float(prob[ys, xs].mean())  # polygon-mask mean
+            # polygon-mask mean: concatenating the row slices in run
+            # (scan) order yields the exact 1-D array the old
+            # ``prob[ys, xs]`` gather produced — same mean bits — without
+            # ever building the per-pixel int64 index arrays
+            vals = np.concatenate(
+                [prob[r, s:e] for r, s, e
+                 in zip(rows.tolist(), rxs.tolist(), rxe.tolist())]
+            )
+            score = float(vals.mean())
         else:  # 'fast': axis-aligned bbox mean
-            x0, x1 = int(xs.min()), int(xs.max()) + 1
-            y0, y1 = int(ys.min()), int(ys.max()) + 1
+            x0, x1 = int(rxs.min()), int(rxe.max())
+            y0, y1 = int(rows[0]), int(rows[-1]) + 1
             score = float(prob[y0:y1, x0:x1].mean())
         if score < cfg.det_db_box_thresh:
             continue
