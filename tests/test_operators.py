@@ -178,6 +178,44 @@ class TestGeometry:
         sizes = sorted(len(c[0]) for c in comps)
         assert sizes == [7, 9]
 
+    def test_run_form_bit_identity(self):
+        # the det box path consumes components as row-run lists; every
+        # quantity it derives from runs must match the materialized-pixel
+        # formulation bit for bit (hull point SET, slow-score gather order,
+        # fast-mode bbox) — random masks cover multi-run rows, single-pixel
+        # components, and full/empty extremes
+        from ppocr_spark.geometry import (
+            connected_component_runs,
+            connected_components,
+            min_area_rect,
+            row_extremes,
+            run_row_extremes,
+        )
+
+        rng = np.random.RandomState(7)
+        for _ in range(60):
+            h, w = rng.randint(1, 40), rng.randint(1, 60)
+            mask = rng.rand(h, w) < rng.choice([0.0, 0.15, 0.5, 1.0])
+            prob = rng.rand(h, w).astype(np.float32)
+            px = connected_components(mask)
+            rn = connected_component_runs(mask)
+            assert len(px) == len(rn)
+            for (ys, xs), (rows, rxs, rxe) in zip(px, rn):
+                assert np.array_equal(ys, np.repeat(rows, rxe - rxs))
+                p1 = {tuple(p) for p in row_extremes(ys, xs)}
+                p2 = {tuple(p) for p in run_row_extremes(rows, rxs, rxe)}
+                assert p1 == p2
+                r1, s1 = min_area_rect(row_extremes(ys, xs))
+                r2, s2 = min_area_rect(run_row_extremes(rows, rxs, rxe))
+                assert np.array_equal(r1, r2) and s1 == s2
+                v1 = prob[ys, xs]
+                v2 = np.concatenate(
+                    [prob[r, s:e] for r, s, e
+                     in zip(rows.tolist(), rxs.tolist(), rxe.tolist())]
+                )
+                assert np.array_equal(v1, v2)
+                assert float(v1.mean()) == float(v2.mean())
+
 
 # ---------------------------------------------------------------------------
 # det stage pieces
