@@ -702,6 +702,49 @@ ORDER BY a, b
 """
 
 
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. style at word granularity):
+    maximal token ranges covered by a 12-token window occurring >1 time in
+    the corpus. Spark side keys the shuffle on xxhash64 of the gram; the
+    oracle joins on the gram string (values agree absent 64-bit
+    collisions)."""
+    from ppocr_spark.functions.dedup import substring_dup_spans
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        substring_dup_spans(d, k=12)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_DEDUP_SUBSTRING_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+11], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS pos
+        FROM toks WHERE len(t) >= 12)
+),
+freq AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+dup AS (SELECT doc_id, pos - 1 AS pos FROM grams JOIN freq USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 12
+              THEN 1 ELSE 0 END AS brk
+  FROM dup),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end
+FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ppocr_spark.functions.dedup import minhash_dedup_pairs
 
@@ -1629,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": _winnowing,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_substring_spans": _dedup_substring,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
@@ -1682,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnowing": _WINNOWING_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_substring_spans": _DEDUP_SUBSTRING_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash": _dedup_simhash_sql(),

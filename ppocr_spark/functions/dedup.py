@@ -55,6 +55,66 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+) -> DataFrame:
+    """Repeated-substring spans: maximal token ranges of each document
+    covered by some k-token window that occurs more than once anywhere in
+    the corpus (the exact-substring dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", at word-token
+    granularity) → (id, span_start, span_end) with 0-based token
+    positions, end exclusive.
+
+    Plan (scale-first, all JVM):
+    - positional k-gram shingles via posexplode — row fan-out ≈ corpus
+      token count, the floor for any shingle pipeline;
+    - shingles carry an 8-byte ``xxhash64`` key, never the gram string,
+      so the corpus-sized shuffle moves (id, pos, int64) rows only
+      (64-bit collisions are ~n²/2⁶⁵ — immaterial vs the dedup's own
+      fuzziness; the DuckDB oracle joins on gram strings and agrees);
+    - duplicated positions = shingles equi-joined to the >1-count gram
+      hashes (groupBy with map-side partial agg; AQE absorbs hot-gram
+      skew — a boilerplate shingle with 10⁶ occurrences is one hot key,
+      not a plan change);
+    - per-doc span merge is two window functions over that doc's
+      duplicated positions (bounded by doc length): windows [p, p+k)
+      merge while p <= prev_p + k, islands become (min pos, max pos + k).
+
+    The shingle table feeds two non-identical subtrees (the count
+    aggregate and the join probe side), so it is persisted via
+    ``cache.track`` (released by ``cache.release_all``)."""
+    from pyspark.sql import Window
+
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    )
+    g = cache.track(
+        toks.select(
+            "id",
+            F.posexplode(ngrams_from_tokens(F.col("t"), k)).alias("pos", "g"),
+        ).select("id", "pos", F.xxhash64("g").alias("h"))
+    )
+    freq = g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    dup = g.join(freq.select("h"), "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    isl = dup.withColumn(
+        "brk",
+        F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .drop("island")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,

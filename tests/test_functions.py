@@ -28,6 +28,34 @@ class TestDedup:
         assert out[1] == 2  # docs 1+2 identical, min id kept
         assert out[3] == 1
 
+    def test_substring_dup_spans(self, spark):
+        from ppocr_spark.functions.dedup import substring_dup_spans
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+        rows = [
+            # shared passage at token offset 2 of doc 1, offset 0 of doc 2
+            (1, "intro words " + shared + " tail one two"),
+            (2, shared + " totally different continuation here"),
+            # two k-windows overlapping in doc 3 must merge to ONE span:
+            # passage repeated back-to-back gives dup windows at 0..7
+            (3, shared + " " + shared),
+            (4, shared + " " + shared),
+            (5, "no duplicated content in this document at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["id"], r["span_start"], r["span_end"])
+            for r in substring_dup_spans(df, k=6).collect()
+        }
+        # doc 1: the only 6-gram shared corpus-wide starts at token 2
+        assert (1, 2, 8) in out
+        assert (2, 0, 6) in out
+        # docs 3/4 are 12 identical tokens: every window duplicated,
+        # islands merge into one full-document span
+        assert (3, 0, 12) in out and (4, 0, 12) in out
+        ids = {i for i, _, _ in out}
+        assert 5 not in ids
+
     def test_ngram_jaccard(self, docs):
         from ppocr_spark.functions.dedup import ngram_jaccard_pairs
 
