@@ -745,6 +745,53 @@ FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 0 stand in for
+    the held-out benchmark set; spans of the remaining corpus covered by
+    any benchmark 12-gram are flagged."""
+    from ppocr_spark.functions.dedup import contamination_spans
+
+    d = _load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    probe = d.filter(F.col("doc_id") % 20 == 0)
+    return (
+        contamination_spans(corpus, probe, k=12)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+cg AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+11], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS pos
+        FROM toks WHERE len(t) >= 12 AND doc_id % 20 <> 0)
+),
+pg AS (
+  SELECT DISTINCT array_to_string(t[pos:pos+11], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS pos
+        FROM toks WHERE len(t) >= 12 AND doc_id % 20 = 0)
+),
+dup AS (SELECT doc_id, pos - 1 AS pos FROM cg JOIN pg USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 12
+              THEN 1 ELSE 0 END AS brk
+  FROM dup),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end
+FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ppocr_spark.functions.dedup import minhash_dedup_pairs
 
@@ -1673,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_substring_spans": _dedup_substring,
+        "decontaminate_spans": _decontaminate,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
@@ -1727,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_substring_spans": _DEDUP_SUBSTRING_SQL,
+        "decontaminate_spans": _DECONTAMINATE_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash": _dedup_simhash_sql(),

@@ -86,19 +86,57 @@ def substring_dup_spans(
     The shingle table feeds two non-identical subtrees (the count
     aggregate and the join probe side), so it is persisted via
     ``cache.track`` (released by ``cache.release_all``)."""
-    from pyspark.sql import Window
+    g = cache.track(_positional_gram_hashes(df, text_col, id_col, k))
+    freq = g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    dup = g.join(freq.select("h"), "h").select("id", "pos")
+    return _merge_windows(dup, k)
 
+
+def contamination_spans(
+    corpus_df: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+) -> DataFrame:
+    """Decontamination: maximal token ranges of corpus documents covered
+    by some k-token window that occurs anywhere in the probe (benchmark)
+    set → (id, span_start, span_end), 0-based, end exclusive.
+
+    Same machinery as ``substring_dup_spans`` but cross-table: the probe
+    side reduces to DISTINCT gram hashes (benchmark suites are tiny next
+    to a training corpus — the join build side broadcasts; at worst it is
+    a shuffle equi-join on the 8-byte key), and the corpus shingle table
+    is consumed once, so nothing persists."""
+    g = _positional_gram_hashes(corpus_df, text_col, id_col, k)
+    probe = (
+        _positional_gram_hashes(probe_df, text_col, id_col, k)
+        .select("h")
+        .distinct()
+    )
+    return _merge_windows(g.join(probe, "h").select("id", "pos"), k)
+
+
+def _positional_gram_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h): xxhash64 of each positional k-token shingle."""
     toks = _spread(
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     )
-    g = cache.track(
-        toks.select(
-            "id",
-            F.posexplode(ngrams_from_tokens(F.col("t"), k)).alias("pos", "g"),
-        ).select("id", "pos", F.xxhash64("g").alias("h"))
-    )
-    freq = g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
-    dup = g.join(freq.select("h"), "h").select("id", "pos")
+    return toks.select(
+        "id",
+        F.posexplode(ngrams_from_tokens(F.col("t"), k)).alias("pos", "g"),
+    ).select("id", "pos", F.xxhash64("g").alias("h"))
+
+
+def _merge_windows(dup: DataFrame, k: int) -> DataFrame:
+    """Interval union of k-windows at duplicated positions, per doc:
+    windows [p, p+k) merge while p <= prev_p + k; each island becomes
+    (min pos, max pos + k). Two window functions over per-doc partitions
+    (bounded by doc length — no scale concern)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(w)
     isl = dup.withColumn(

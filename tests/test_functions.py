@@ -56,6 +56,27 @@ class TestDedup:
         ids = {i for i, _, _ in out}
         assert 5 not in ids
 
+    def test_contamination_spans(self, spark):
+        from ppocr_spark.functions.dedup import contamination_spans
+
+        bench = "what is the capital of france paris"  # 7 tokens
+        corpus = spark.createDataFrame(
+            [
+                (10, "filler filler " + bench + " answer leaked here"),
+                (11, "clean document with no benchmark overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(900, bench + " extra benchmark context")],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["id"], r["span_start"], r["span_end"])
+            for r in contamination_spans(corpus, probe, k=7).collect()
+        }
+        assert out == {(10, 2, 9)}
+
     def test_ngram_jaccard(self, docs):
         from ppocr_spark.functions.dedup import ngram_jaccard_pairs
 
