@@ -534,6 +534,48 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def _quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/length gates: per-doc duplicate n-gram
+    fractions (library dup_ngram_fraction — per-row JVM HOFs, no shuffle)
+    plus a composite keep flag."""
+    from ppocr_spark.functions.text import dup_ngram_fraction
+
+    d = _load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    d2 = dup_ngram_fraction(F.col("text"), 2)
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        dup_ngram_fraction(F.col("text"), 1).alias("dup_word_frac"),
+        d2.alias("dup_2gram_frac"),
+        dup_ngram_fraction(F.col("text"), 3).alias("dup_3gram_frac"),
+        ((n_chars >= 100) & (d2 < 0.05)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_GATES_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents),
+fr AS (
+  SELECT doc_id, length(text) AS n_chars,
+    CASE WHEN len(t) < 1 THEN 0.0 ELSE
+      round(1 - len(list_distinct([array_to_string(t[i:i], ' ')
+                                   FOR i IN range(1, len(t) + 1)]))
+              / (len(t) - 0), 6) END AS dup_word_frac,
+    CASE WHEN len(t) < 2 THEN 0.0 ELSE
+      round(1 - len(list_distinct([array_to_string(t[i:i+1], ' ')
+                                   FOR i IN range(1, len(t))]))
+              / (len(t) - 1), 6) END AS dup_2gram_frac,
+    CASE WHEN len(t) < 3 THEN 0.0 ELSE
+      round(1 - len(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   FOR i IN range(1, len(t) - 1)]))
+              / (len(t) - 2), 6) END AS dup_3gram_frac
+  FROM toks)
+SELECT doc_id, n_chars, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       (n_chars >= 100 AND dup_2gram_frac < 0.05) AS keep
+FROM fr ORDER BY doc_id
+"""
+
+
 def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calls the SHIPPED library surface (functions.text.add_text_features)
     so the gate certifies what users import, not an inline twin."""
@@ -1713,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "request_results": _request_results,
         "k1_output_filter": _k1_filter,
         "text_features": _text_features,
+        "quality_gates": _quality_gates,
         "text_langid": _langid,
         "text_fingerprint": _fingerprint,
         "text_token_counts": _token_counts,
@@ -1768,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "request_results": _request_results_sql(sf_dir),
         "k1_output_filter": _K1_FILTER_SQL,
         "text_features": _TEXT_FEATURES_SQL,
+        "quality_gates": _QUALITY_GATES_SQL,
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_token_counts": _TOKEN_COUNTS_SQL,

@@ -55,6 +55,19 @@ def stopword_hits(col: Column, lang: str) -> Column:
     return F.size(hits)
 
 
+def dup_ngram_fraction(col: Column, n: int) -> Column:
+    """Gopher/MassiveText-style repetition signal: the fraction of word
+    n-gram occurrences that repeat an earlier occurrence in the same
+    document, ``1 - distinct/total`` (0 for docs shorter than n tokens).
+    Pure JVM higher-order functions — no explode, no shuffle: this is a
+    per-row expression and scales as a map."""
+    grams = ngrams_from_tokens(tokens(col), n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6)
+    )
+
+
 def quality_score(text_col: Column) -> Column:
     """Composite quality in [0,1]: length band + low punctuation + mean
     word length band. Deterministic arithmetic, oracle-mirrorable."""

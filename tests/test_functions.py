@@ -56,6 +56,25 @@ class TestDedup:
         ids = {i for i, _, _ in out}
         assert 5 not in ids
 
+    def test_dup_ngram_fraction(self, spark):
+        from ppocr_spark.functions.text import dup_ngram_fraction
+
+        rows = [
+            (1, "a b a b a b"),          # 2-grams: ab ba ab ba ab → 2/5 distinct
+            (2, "all words unique here"),
+            (3, "x"),                    # shorter than n → 0.0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["f"]
+            for r in df.select(
+                "doc_id", dup_ngram_fraction(F.col("text"), 2).alias("f")
+            ).collect()
+        }
+        assert out[1] == 0.6
+        assert out[2] == 0.0
+        assert out[3] == 0.0
+
     def test_contamination_spans(self, spark):
         from ppocr_spark.functions.dedup import contamination_spans
 
