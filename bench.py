@@ -77,7 +77,13 @@ def main():
     # cache.release_all() between samples keeps each sample cold w.r.t.
     # library persists (no cache-hit inflation of samples 2..k).
     K = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
-    extras = ["dedup_embedding_lsh", "ann_topk_lsh"]
+    extras = [
+        "dedup_embedding_lsh",
+        "ann_topk_lsh",
+        "dedup_substring_spans",
+        "decontaminate_spans",
+        "quality_gates",
+    ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
         samples = []
