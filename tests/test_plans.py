@@ -222,3 +222,46 @@ class TestLshEquiJoinPlans:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         # identical self-join sides → one signature pass via ReusedExchange
         assert "ReusedExchange" in plan
+
+
+class TestSubstringDedupPlans:
+    """The positional-shingle ops must stay equi-join + partial-agg shaped:
+    a plan that evaluates corpus×corpus (or corpus×probe) pairs would be
+    the same O(n²) failure mode the LSH pins above guard against."""
+
+    def test_substring_spans_equi_join_partial_agg(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["dedup_substring_spans"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+        # duplicated-gram detection combines map-side
+        assert "partial_count" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_decontaminate_equi_join(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["decontaminate_spans"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+        assert "BatchEvalPython" not in plan
+
+    def test_quality_gates_is_map_only(self, spark, sf_dir):
+        # per-row HOF expressions: no join, no aggregate exchange beyond
+        # the final presentation sort
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["quality_gates"](spark, sf_dir))
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
