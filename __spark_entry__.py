@@ -834,6 +834,75 @@ FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def _clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: repetition/length
+    gates → exact dedup (min-id representative) → exact-substring span
+    accounting on the surviving corpus. One summary row; every stage is
+    the shipped library op the standalone gate queries certify."""
+    from ppocr_spark.functions.dedup import exact_dedup, substring_dup_spans
+    from ppocr_spark.functions.text import dup_ngram_fraction, token_count
+
+    d = _load(spark, sf_dir, "documents")
+    gated = d.filter(
+        (F.length("text") >= 100) & (dup_ngram_fraction(F.col("text"), 2) < 0.05)
+    )
+    reps = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    corpus = gated.join(reps, "doc_id")
+    spans = substring_dup_spans(corpus, k=12)
+    n_raw = d.agg(F.count("*").cast("long").alias("n_raw"))
+    n_gated = gated.agg(F.count("*").cast("long").alias("n_gated"))
+    kept = corpus.agg(
+        F.count("*").cast("long").alias("n_after_exact"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+    dup_tok = spans.agg(
+        F.coalesce(F.sum(F.col("span_end") - F.col("span_start")), F.lit(0))
+        .cast("long")
+        .alias("dup_span_tokens")
+    )
+    return n_raw.crossJoin(n_gated).crossJoin(kept).crossJoin(dup_tok)
+
+
+_CLEAN_CORPUS_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+),
+gated AS (
+  SELECT doc_id, text, t FROM feats
+  WHERE length(text) >= 100 AND (
+    CASE WHEN len(t) < 2 THEN 0.0 ELSE
+      round(1 - len(list_distinct([array_to_string(t[i:i+1], ' ')
+                                   FOR i IN range(1, len(t))]))
+              / (len(t) - 1), 6) END) < 0.05
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+corpus AS (SELECT g.doc_id, g.t FROM gated g JOIN reps USING (doc_id)),
+grams AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+11], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS pos
+        FROM corpus WHERE len(t) >= 12)
+),
+freq AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+dup AS (SELECT doc_id, pos - 1 AS pos FROM grams JOIN freq USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 12
+              THEN 1 ELSE 0 END AS brk
+  FROM dup),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+          FROM isl2 GROUP BY doc_id, island)
+SELECT (SELECT count(*) FROM documents) AS n_raw,
+       (SELECT count(*) FROM gated) AS n_gated,
+       (SELECT count(*) FROM corpus) AS n_after_exact,
+       (SELECT sum(len(t)) FROM corpus) AS total_tokens,
+       (SELECT coalesce(sum(e - s), 0) FROM spans) AS dup_span_tokens
+"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ppocr_spark.functions.dedup import minhash_dedup_pairs
 
@@ -1764,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_substring_spans": _dedup_substring,
         "decontaminate_spans": _decontaminate,
+        "clean_corpus_stats": _clean_corpus_stats,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
@@ -1820,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_substring_spans": _DEDUP_SUBSTRING_SQL,
         "decontaminate_spans": _DECONTAMINATE_SQL,
+        "clean_corpus_stats": _CLEAN_CORPUS_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash": _dedup_simhash_sql(),
