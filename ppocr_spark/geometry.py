@@ -367,10 +367,21 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     # flat gathers straight from the uint8 page (gather-then-astype ==
     # astype-then-gather bit-for-bit): no float32 sub-image is ever
     # materialized — the gathers touch only the cache lines the clamped
-    # sample indices hit, the warp's whole read traffic
-    src = img if img.flags.c_contiguous else np.ascontiguousarray(img)
-    flat = src.reshape(-1)
-    base = y0 * w + x0
+    # sample indices hit, the warp's whole read traffic. A non-contiguous
+    # page (ROI view) copies only the bounding sub-rect the clamped
+    # indices touch, never the whole page — same gathered bytes.
+    if img.flags.c_contiguous:
+        flat = img.reshape(-1)
+        stride = w
+        base = y0 * stride + x0
+    else:
+        by0, bx0 = int(y0.min()), int(x0.min())
+        sub = np.ascontiguousarray(
+            img[by0 : int(y0.max()) + 2, bx0 : int(x0.max()) + 2]
+        )
+        flat = sub.reshape(-1)
+        stride = sub.shape[1]
+        base = (y0 - by0) * stride + (x0 - bx0)
     # in-place accumulation of the SAME left-associated per-element
     # products/sums as the naive 4-term blend — bit-identical, ~half the
     # temporaries (this is the hottest per-box kernel on skewed pages)
@@ -383,11 +394,11 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     t *= fx
     t *= gy
     out += t
-    t = flat[base + w].astype(np.float32)
+    t = flat[base + stride].astype(np.float32)
     t *= gx
     t *= fy
     out += t
-    t = flat[base + w + 1].astype(np.float32)
+    t = flat[base + stride + 1].astype(np.float32)
     t *= fx
     t *= fy
     out += t
