@@ -83,6 +83,7 @@ def main():
         "dedup_substring_spans",
         "decontaminate_spans",
         "quality_gates",
+        "clean_corpus_stats",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
