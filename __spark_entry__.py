@@ -1800,6 +1800,209 @@ FROM ranked WHERE rnk = 1 ORDER BY media_ref, "row", col
 """
 
 
+# --- deterministic sampling / splitting / scrubbing (training-data ops) ---
+
+
+_SPLIT_WEIGHTS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
+def _sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (library sampling.hash_split): md5-keyed
+    train/val/test assignment, reproducible across engines/clusters (no
+    randomSplit partition-layout dependence). Pure projection."""
+    from ppocr_spark.functions.sampling import hash_split
+
+    d = _load(spark, sf_dir, "documents")
+    return hash_split(d.select("doc_id", "lang"),
+                      _SPLIT_WEIGHTS).orderBy("doc_id")
+
+
+def _sample_split_sql() -> str:
+    from ppocr_spark.functions.sampling import split_thresholds
+
+    ths = split_thresholds(_SPLIT_WEIGHTS)
+    h4 = "substr(md5(concat('split:', doc_id::VARCHAR)), 1, 4)"
+    arms = "\n".join(
+        f"  WHEN {h4} < '{upper}' THEN '{name}'"
+        for name, upper in ths[:-1]
+    )
+    return f"""
+SELECT doc_id, lang, CASE
+{arms}
+  ELSE '{ths[-1][0]}' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+_STRAT_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 1.0}
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (library
+    sampling.stratified_sample): keep iff md5(salt:lang:id) clears the
+    stratum's hex threshold; strata without a fraction (zh here) drop.
+    Pure filter — zero shuffles."""
+    from ppocr_spark.functions.sampling import stratified_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d.select("doc_id", "lang"), _STRAT_FRACTIONS
+    ).orderBy("doc_id")
+
+
+def _sample_stratified_sql() -> str:
+    from ppocr_spark.functions.sampling import frac_threshold
+
+    h4 = ("substr(md5(concat('strat:', lang, ':', doc_id::VARCHAR)), "
+          "1, 4)")
+    conds = " OR ".join(
+        f"(lang = '{s}' AND {h4} < '{frac_threshold(f)}')"
+        for s, f in sorted(_STRAT_FRACTIONS.items())
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {conds} ORDER BY doc_id"
+
+
+_TOKEN_BUDGETS = {"en": 6000, "de": 2000, "zh": 999999}
+
+
+def _sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (library
+    sampling.token_budget_sample): per lang, the largest md5-ordered
+    document prefix whose cumulative whitespace-token count fits the
+    budget — exact, deterministic, and implemented as the two-pass
+    bucketed cumulative histogram (bounded windows only; no global
+    per-group sort). zh's budget exceeds its total (keep-all edge); fr/es
+    have no budget (dropped)."""
+    from ppocr_spark.functions.sampling import token_budget_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return token_budget_sample(d, _TOKEN_BUDGETS).orderBy("doc_id")
+
+
+def _sample_token_budget_sql() -> str:
+    budget = "CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in sorted(_TOKEN_BUDGETS.items())
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len({_DUCK_TOKS})::BIGINT AS n_toks,
+         md5(concat('budget:', doc_id::VARCHAR)) AS h
+  FROM documents WHERE lang IN ('en', 'de', 'zh')
+), c AS (
+  SELECT doc_id, lang, n_toks,
+         sum(n_toks) OVER (PARTITION BY lang
+                           ORDER BY substr(h, 1, 4), h, doc_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_toks
+  FROM t
+)
+SELECT doc_id, lang, n_toks, cum_toks FROM c
+WHERE cum_toks <= {budget} ORDER BY doc_id
+"""
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (library text.pii_scrub/pii_counts): per-row JVM
+    regexp chain over the Java∩RE2 pattern subset. The corpus text carries
+    no PII, so the query injects deterministic synthetic emails / phones /
+    IPs derived from doc_id — identically on both engines — then counts
+    and scrubs them."""
+    from ppocr_spark.functions.text import pii_counts, pii_scrub
+
+    d = _load(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    base = d.select("doc_id", injected.alias("txt"))
+    counts = pii_counts(F.col("txt"))
+    return base.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        pii_scrub(F.col("txt")).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    from ppocr_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    scrub = "txt"
+    for pat, repl in ((PII_EMAIL, "<EMAIL>"), (PII_PHONE, "<PHONE>"),
+                      (PII_IPV4, "<IP>")):
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         concat(text, ' contact user', doc_id::VARCHAR,
+                '@example.com or +1-555-',
+                lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                ' from 10.', (doc_id % 256)::VARCHAR, '.0.1') AS txt
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(txt, '{PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(txt, '{PII_IPV4}')) AS n_ipv4,
+       {scrub} AS clean_text
+FROM inj ORDER BY doc_id
+"""
+
+
+def _emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTER formation: hyperplane-LSH pair finding
+    (the scale path: exploded (table,bucket) equi-join + exact verify)
+    composed with distributed connected components + keep-one policy —
+    the full embedding-dedup stage in one plan. Oracle: DuckDB recursive
+    reachability over the identical LSH pair list."""
+    from ppocr_spark.functions.dedup import dedup_representatives
+    from ppocr_spark.functions.similarity import lsh_near_dup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    pairs = lsh_near_dup_pairs(e, threshold=0.4, bits=6, tables=4, dim=64)
+    return (
+        dedup_representatives(pairs, e, id_col="vec_id")
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def _emb_clusters_sql() -> str:
+    tables = 4
+    match = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+    return f"""
+WITH RECURSIVE base AS ({_lsh_sigs_cte(bits=6, tables=4, dim=64)}),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM base x JOIN base y ON ({match}) AND x.vec_id < y.vec_id
+  WHERE list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(x.embedding::DOUBLE[],
+                               x.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(y.embedding::DOUBLE[],
+                               y.embedding::DOUBLE[]))) >= 0.4
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS node, u AS lab FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+), cc AS (
+  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT v.vec_id,
+       coalesce(cc.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = coalesce(cc.cluster_id, v.vec_id) AS keep
+FROM embeddings v LEFT JOIN cc ON cc.node = v.vec_id
+ORDER BY v.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1864,6 +2067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cell_match": _table_cell_match,
         "table_html": _table_html,
         "layout_nms": _layout_nms,
+        "sample_split": _sample_split,
+        "sample_stratified": _sample_stratified,
+        "sample_token_budget": _sample_token_budget,
+        "pii_scrub": _pii_scrub,
+        "dedup_embedding_clusters": _emb_clusters,
     }
 
 
@@ -1921,4 +2129,9 @@ def oracle_sql() -> dict[str, str]:
         "table_cell_match": _table_cell_match_sql(sf_dir),
         "table_html": _table_html_sql(sf_dir),
         "layout_nms": _layout_nms_sql(sf_dir),
+        "sample_split": _sample_split_sql(),
+        "sample_stratified": _sample_stratified_sql(),
+        "sample_token_budget": _sample_token_budget_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "dedup_embedding_clusters": _emb_clusters_sql(),
     }

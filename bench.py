@@ -84,6 +84,8 @@ def main():
         "decontaminate_spans",
         "quality_gates",
         "clean_corpus_stats",
+        "sample_token_budget",
+        "dedup_embedding_clusters",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

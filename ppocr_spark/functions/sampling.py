@@ -1,0 +1,195 @@
+"""Deterministic corpus splitting / sampling operators for training-data
+pipelines: hash splits, stratified sampling, and token-budget mixture
+sampling.
+
+All "randomness" is content-keyed md5 over stable ids — reproducible
+across runs, engines (the DuckDB oracles share the literal thresholds),
+cluster sizes, and input partitionings; no RNG state, no driver
+coordination, no ``rand()`` (whose per-partition seeding makes results
+depend on the physical split layout).
+
+100 TB design notes:
+
+- ``hash_split`` / ``stratified_sample`` are narrow per-row projections /
+  filters — ZERO shuffles; they push down past nothing and cost one scan.
+- ``token_budget_sample`` is the exact "largest hash-ordered prefix whose
+  token sum fits the budget" selection (the mixture-weighting step of a
+  training run: take ~B tokens of lang X, deterministically). A naive
+  implementation is a global per-group window cumsum — a single-partition
+  sort per group, which dies when one group holds 50 TB. Here it is a
+  two-pass bucketed cumulative histogram instead:
+
+    1. map-side-combined ``groupBy(group, bucket)`` over 16-bit md5
+       buckets → at most n_groups × 65536 rows, whatever N is;
+    2. cross-bucket prefix sums via a window over THAT bounded table;
+    3. broadcast the surviving (cum_start < budget) bucket offsets back
+       and run the per-row cumsum window partitioned by (group, bucket) —
+       every window partition is ~N/65536 rows, and buckets entirely
+       past the budget are pruned by the inner join before the sort.
+
+  No global sort, no unbounded window partition, one shuffle for the
+  histogram and one for the per-bucket window.
+
+Hex-string ordering trick: md5 renders lowercase fixed-width hex in both
+Spark and DuckDB, and lexicographic order on fixed-width lowercase hex
+equals numeric order ('0'-'9' < 'a'-'f' in ASCII) — so thresholds and
+bucket sort keys are plain string literals both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+HEX_W = 4  # 16-bit bucket space: 65536 buckets / threshold resolution
+
+
+def _id_hash(id_col: Column, salt: str = "") -> Column:
+    """Stable lowercase-hex hash of a row id (salted to decorrelate
+    independent sampling decisions on the same ids)."""
+    if salt:
+        return F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+    return F.md5(id_col.cast("string"))
+
+
+def frac_threshold(frac: float) -> str:
+    """Hex threshold literal t with P[hash4 < t] = floor(frac*2^16)/2^16.
+    Shared with the DuckDB oracles (same literal, same comparison)."""
+    t = int(frac * (1 << (4 * HEX_W)))
+    return format(min(t, (1 << (4 * HEX_W)) - 1), f"0{HEX_W}x") \
+        if frac < 1.0 else "g" * HEX_W  # 'gggg' > any hex string: keep all
+
+
+def split_thresholds(
+    weights: list[tuple[str, float]],
+) -> list[tuple[str, str]]:
+    """Cumulative hex thresholds for ``hash_split``: [(name, upper_hex)].
+    The last class is the ELSE arm (its threshold is unused) so weights
+    that don't sum exactly to 1.0 still partition every row."""
+    total = sum(w for _, w in weights)
+    out, cum = [], 0.0
+    for name, w in weights:
+        cum += w / total
+        out.append((name, frac_threshold(min(cum, 1.0))))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    weights: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    keyed on md5(id) bucket thresholds. Pure projection — no shuffle, no
+    RNG; the same id lands in the same split on any cluster, any run,
+    any partitioning (unlike ``randomSplit``, whose assignment changes
+    with the physical partition layout)."""
+    weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    h4 = F.substring(_id_hash(F.col(id_col), salt), 1, HEX_W)
+    ths = split_thresholds(weights)
+    expr = F.lit(ths[-1][0])
+    for name, upper in reversed(ths[:-1]):
+        expr = F.when(h4 < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    md5(salt:stratum:id)[:4] < threshold(stratum). Strata absent from
+    ``fractions`` are dropped (fraction 0). Pure filter — no shuffle;
+    hashing (stratum, id) decorrelates the keep decision from any other
+    hash-keyed stage (splits, buckets) on the same ids."""
+    h4 = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col(strata_col),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        1,
+        HEX_W,
+    )
+    cond = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        cond = cond | (
+            (F.col(strata_col) == stratum) & (h4 < F.lit(frac_threshold(frac)))
+        )
+    return df.filter(cond)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int] | int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-budget mixture sampling: per group, keep the largest
+    md5-hash-ordered prefix of documents whose cumulative whitespace-token
+    count stays within the group's budget. Deterministic and maximal: the
+    kept set is identical on any cluster, and adding the next document in
+    hash order would exceed the budget.
+
+    Returns (id, group, n_toks, cum_toks) for kept rows, where cum_toks
+    is the running total in the canonical (bucket, hash, id) order — the
+    DuckDB oracle recomputes the identical prefix with one naive window.
+
+    Scale path (see module docstring): bucketed cumulative histogram —
+    bounded histogram window, broadcast bucket offsets, per-bucket row
+    window; buckets wholly past the budget never reach the sort.
+    """
+    if isinstance(budgets, int):
+        budget = F.lit(budgets)
+        groups_filter = None
+    else:
+        budget = F.lit(None).cast("long")
+        for g, b in sorted(budgets.items()):
+            budget = F.when(F.col(group_col) == g, F.lit(b)).otherwise(budget)
+        groups_filter = F.col(group_col).isin(*budgets.keys())
+
+    h = _id_hash(F.col(id_col), "budget")
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).cast("long").alias("n_toks"),
+        h.alias("h"),
+        F.substring(h, 1, HEX_W).alias("bkt"),
+    )
+    if groups_filter is not None:
+        base = base.filter(groups_filter)
+
+    # pass 1: bounded histogram (map-side partial agg → ≤ groups×65536 rows)
+    hist = base.groupBy(group_col, "bkt").agg(F.sum("n_toks").alias("btoks"))
+    wb = Window.partitionBy(group_col).orderBy("bkt")
+    offsets = (
+        hist.withColumn("cum_end", F.sum("btoks").over(wb))
+        .withColumn("cum_start", (F.col("cum_end") - F.col("btoks")))
+        .filter(F.col("cum_start") < budget)  # prune past-budget buckets
+        .select(group_col, "bkt", "cum_start")
+    )
+
+    # pass 2: per-bucket row cumsum on the surviving buckets only
+    joined = base.join(F.broadcast(offsets), [group_col, "bkt"])
+    wr = (
+        Window.partitionBy(group_col, "bkt")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            "cum_toks", F.col("cum_start") + F.sum("n_toks").over(wr)
+        )
+        .filter(F.col("cum_toks") <= budget)
+        .select(id_col, group_col, "n_toks", "cum_toks")
+    )

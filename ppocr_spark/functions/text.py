@@ -296,3 +296,43 @@ def winnowing_fingerprint(
         lambda j: F.array_min(F.slice(hashes, j, w)),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+# --- PII scrubbing (training-data redaction pass) -------------------------
+#
+# Patterns are kept inside the Java-regex ∩ RE2 common subset (no
+# lookaround, no backreferences) so the identical literals run in Spark's
+# regexp_* (Java) and the DuckDB oracle's regexp_* (RE2). Applied in a
+# fixed order (emails → phones → IPv4) so a later pattern never matches
+# inside an earlier placeholder.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+PII_PATTERNS = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_PHONE, "<PHONE>"),
+    (PII_IPV4, "<IP>"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII hit counts (emails/phones/ipv4) as JVM regexp
+    expressions — counted on the RAW text, before scrubbing."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), F.lit(0))),
+        "n_ipv4": F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))),
+    }
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact PII spans with typed placeholders: the standard scrub pass a
+    training corpus runs before tokenization. Pure per-row JVM regexp
+    chain — no shuffle, no UDF; whole-stage-codegen keeps it in the scan
+    stage."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -1,0 +1,200 @@
+"""Deterministic sampling/splitting operators (functions/sampling.py) and
+the PII scrub pass (functions/text.py): exactness, determinism,
+maximality, and scale-shape (plan) properties."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ppocr_spark.functions.sampling import (
+    HEX_W,
+    frac_threshold,
+    hash_split,
+    split_thresholds,
+    stratified_sample,
+    token_budget_sample,
+)
+from ppocr_spark.functions.text import pii_counts, pii_scrub
+
+
+def _docs(spark, n=400):
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], " ".join(f"w{j}" for j in range(1 + i % 7)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _h4(*parts: str) -> str:
+    return hashlib.md5(":".join(parts).encode()).hexdigest()[:HEX_W]
+
+
+class TestHashSplit:
+    def test_partitions_every_row_and_matches_reference_hash(self, spark):
+        df = hash_split(_docs(spark), [("train", 0.8), ("val", 0.2)])
+        got = {r.doc_id: r.split for r in df.collect()}
+        assert len(got) == 400
+        th = split_thresholds([("train", 0.8), ("val", 0.2)])[0][1]
+        for i in range(400):
+            expect = "train" if _h4("split", str(i)) < th else "val"
+            assert got[i] == expect, i
+
+    def test_deterministic_and_partition_layout_independent(self, spark):
+        a = {(r.doc_id, r.split) for r in hash_split(_docs(spark)).collect()}
+        b = {
+            (r.doc_id, r.split)
+            for r in hash_split(_docs(spark).repartition(7)).collect()
+        }
+        assert a == b
+
+    def test_fractions_approximate_weights(self, spark):
+        counts = dict(
+            hash_split(_docs(spark, 2000))
+            .groupBy("split")
+            .count()
+            .collect()
+        )
+        # md5 is uniform: 90/5/5 within a loose binomial band at n=2000
+        assert 0.85 <= counts["train"] / 2000 <= 0.95
+        assert counts["train"] + counts["val"] + counts["test"] == 2000
+
+    def test_no_shuffle_pure_projection(self, spark):
+        plan = hash_split(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestStratifiedSample:
+    def test_exact_threshold_semantics(self, spark):
+        fr = {"en": 0.5, "de": 1.0}
+        kept = {r.doc_id for r in stratified_sample(_docs(spark), fr).collect()}
+        for i in range(400):
+            lang = ["en", "de", "fr"][i % 3]
+            if lang == "fr":
+                expect = False  # no fraction -> dropped
+            elif lang == "de":
+                expect = True  # 1.0 -> keep all
+            else:
+                expect = _h4("strat", "en", str(i)) < frac_threshold(0.5)
+            assert (i in kept) == expect, i
+
+    def test_decorrelated_from_split_hash(self, spark):
+        # the same ids sampled and split use different salts: the kept set
+        # must not be nested inside one split class
+        df = hash_split(_docs(spark, 1000))
+        kept = stratified_sample(df, {"en": 0.5, "de": 0.5, "fr": 0.5})
+        splits = {r.split for r in kept.select("split").distinct().collect()}
+        assert splits == {"train", "val", "test"}
+
+
+class TestTokenBudgetSample:
+    def _expected(self, rows, budgets):
+        # naive reference: per group, order by (bucket, full-hash, id),
+        # take while cumsum <= budget
+        out = {}
+        for g, b in budgets.items():
+            grp = [r for r in rows if r[1] == g]
+            grp.sort(key=lambda r: (
+                hashlib.md5(f"budget:{r[0]}".encode()).hexdigest()[:HEX_W],
+                hashlib.md5(f"budget:{r[0]}".encode()).hexdigest(),
+                r[0],
+            ))
+            cum = 0
+            for doc_id, _, text in grp:
+                n = len(text.split())
+                if cum + n > b:
+                    break
+                cum += n
+                out[doc_id] = cum
+        return out
+
+    def test_exact_prefix_and_maximality(self, spark):
+        budgets = {"en": 120, "de": 37, "fr": 10 ** 9}
+        rows = [(r.doc_id, r.lang, r.text) for r in _docs(spark).collect()]
+        expect = self._expected(rows, budgets)
+        got = {
+            r.doc_id: r.cum_toks
+            for r in token_budget_sample(_docs(spark), budgets).collect()
+        }
+        assert got == expect
+        # keep-all edge: every fr row survives under the huge budget
+        n_fr = sum(1 for r in rows if r[1] == "fr")
+        assert sum(1 for d in got if d % 3 == 2) == n_fr
+
+    def test_int_budget_applies_to_all_groups(self, spark):
+        got = token_budget_sample(_docs(spark), 50).groupBy("lang").agg(
+            F.sum("n_toks").alias("s")
+        )
+        for r in got.collect():
+            assert r.s <= 50
+
+    def test_plan_shape_bounded_windows_no_nested_loops(self, spark):
+        plan = (
+            token_budget_sample(_docs(spark), {"en": 100})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # histogram aggregate is map-side partial (two HashAggregate levels)
+        assert plan.count("HashAggregate") >= 2
+        # bucket offsets come back as a broadcast hash join, not a shuffle
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPiiScrub:
+    CASES = [
+        (
+            "mail me at jane.doe+spam@sub.example.co.uk today",
+            "mail me at <EMAIL> today",
+            (1, 0, 0),
+        ),
+        ("call +44-555-0199 or +1-555-0100", "call <PHONE> or <PHONE>", (0, 2, 0)),
+        ("host 192.168.0.1 and 10.0.0.255", "host <IP> and <IP>", (0, 0, 2)),
+        ("plain text, no pii 12.3", "plain text, no pii 12.3", (0, 0, 0)),
+        (
+            "a@b.io via 127.0.0.1 tel +1-555-1234",
+            "<EMAIL> via <IP> tel <PHONE>",
+            (1, 1, 1),
+        ),
+    ]
+
+    def test_golden_scrub_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _, _) in enumerate(self.CASES)], "i long, t string"
+        )
+        c = pii_counts(F.col("t"))
+        out = df.select(
+            "i",
+            pii_scrub(F.col("t")).alias("clean"),
+            c["n_emails"].alias("e"),
+            c["n_phones"].alias("p"),
+            c["n_ipv4"].alias("ip"),
+        ).collect()
+        for r in out:
+            want_clean, want_counts = self.CASES[r.i][1], self.CASES[r.i][2]
+            assert r.clean == want_clean, self.CASES[r.i][0]
+            assert (r.e, r.p, r.ip) == want_counts, self.CASES[r.i][0]
+
+    def test_jvm_only_no_python_udf(self, spark):
+        df = spark.createDataFrame([(1, "x@y.io")], "i long, t string")
+        plan = (
+            df.select(pii_scrub(F.col("t")))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestThresholds:
+    def test_hex_threshold_is_numeric_order(self):
+        assert frac_threshold(0.5) == "8000"
+        assert frac_threshold(0.25) == "4000"
+        assert frac_threshold(1.0) == "g" * HEX_W
+        # every 4-hex-char string sorts below the keep-all sentinel
+        assert "ffff" < frac_threshold(1.0)
+
+    def test_split_thresholds_normalize(self):
+        ths = split_thresholds([("a", 2.0), ("b", 1.0), ("c", 1.0)])
+        assert [n for n, _ in ths] == ["a", "b", "c"]
+        assert ths[0][1] == "8000"
+        assert ths[1][1] == "c000"
