@@ -251,3 +251,56 @@ def stream_assemble_documents(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    documents_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming EXACT dedup over a continuous document feed: keep the
+    first arrival of each distinct span-sequence content, drop later
+    copies — the online twin of the batch ``dedup.exact_dedup`` stage, so
+    an ingest pipeline can discard crawl re-fetches before paying for
+    extraction.
+
+    Content identity is md5(to_json(spans)) — the same whole-document
+    equality the batch path groups on — computed JVM-side; the stateful
+    operator is ``dropDuplicatesWithinWatermark``, whose dedup state is
+    BOUNDED by the event-time watermark (keys older than the watermark
+    are evicted), which is what makes this run forever at 100 TB ingest:
+    state ~ (arrival rate × watermark horizon), not corpus size.
+    Cross-restart dedup within the horizon comes from the checkpointed
+    state store; duplicates straddling a horizon larger than the
+    watermark are the batch dedup stage's job downstream.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(DOCUMENTS.fields)
+        + [T.StructField("ingest_ts", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(documents_dir)
+    )
+    deduped = (
+        stream.withColumn("content_key", F.md5(F.to_json(F.col("spans"))))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -460,3 +460,55 @@ class TestIcebergScope:
         # path form: plain parquet
         d1 = read_documents(spark, f"{cdir}/documents_spans.parquet")
         assert d1.count() == 8
+
+
+class TestStreamingDedup:
+    def _doc(self, doc_id: str, words: str):
+        return (
+            doc_id,
+            [("text", words, None, 0), ("text", words + " tail", None, 1)],
+        )
+
+    def test_dedup_across_micro_batches(self, spark, tmp_path):
+        """Duplicate span-sequences arriving in LATER micro-batches are
+        dropped (state carried across batches by the watermarked
+        dropDuplicatesWithinWatermark operator); first arrivals and
+        unique contents survive."""
+        import datetime as dt
+
+        from pyspark.sql import types as T
+
+        from ppocr_spark.schemas import DOCUMENTS
+        from ppocr_spark.streaming.stream import stream_dedup_exact
+
+        schema = T.StructType(
+            list(DOCUMENTS.fields)
+            + [T.StructField("ingest_ts", T.TimestampType())]
+        )
+        ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+        batch_a = [self._doc("a1", "alpha"), self._doc("a2", "beta")]
+        batch_b = [
+            self._doc("b1", "alpha"),   # duplicate of a1's content
+            self._doc("b2", "gamma"),   # unique
+            self._doc("b3", "beta"),    # duplicate of a2's content
+        ]
+        src = tmp_path / "feed"
+        src.mkdir()
+        for name, rows in (("0001", batch_a), ("0002", batch_b)):
+            spark.createDataFrame(
+                [(d, s, ts) for d, s in rows], schema
+            ).coalesce(1).write.parquet(str(src / name))
+        q = stream_dedup_exact(
+            spark,
+            f"{src}/*",
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,  # force multiple micro-batches
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        rows = {r.doc_id for r in out.collect()}
+        # one survivor per distinct content; first-batch docs win
+        assert len(rows) == 3
+        assert {"a1", "a2"} <= rows
+        assert "b2" in rows
