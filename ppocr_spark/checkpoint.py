@@ -189,3 +189,118 @@ def run_resumable(
         "buckets_skipped": n_buckets - len(todo),
         "stage_ms": stage,
     }
+
+
+def _bucket_file_stats(spark: SparkSession, res_path: str) -> dict[int, tuple[int, int]]:
+    """Per-bucket (n_files, bytes) via the Hadoop FileSystem API — works on
+    file://, HDFS and object stores alike; listing is driver-side but
+    bounded by n_buckets × files-per-bucket (metadata only, no data read)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(res_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return {}
+    out: dict[int, tuple[int, int]] = {}
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("bucket=")):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        n, size = 0, 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+                size += f.getLen()
+        out[bucket] = (n, size)
+    return out
+
+
+def compact_results(
+    spark: SparkSession,
+    out_dir: str,
+    target_bytes: int = 256 << 20,
+    wave_bytes: int = 4 << 30,
+) -> dict:
+    """Compact the extraction sink's small files: re-pack each
+    ``results/bucket=N/`` partition into ~ceil(bytes/target) parquet files.
+
+    The small-file problem is the standard failure mode of a long
+    resumable run at 100 TB: every resume wave appends task-count files
+    per bucket, and a downstream scan then pays per-file open/footer cost
+    (and object-store LIST amplification) far above the data cost.
+
+    Mechanics and safety:
+    - Buckets already at or under their target file count are untouched
+      (their partitions are not in the write, and dynamic partition
+      overwrite only replaces partitions present in the output).
+    - Work proceeds in driver-bounded WAVES of ≤ ``wave_bytes`` so the
+      re-pack never needs the whole sink resident: each wave is
+      localCheckpoint-ed (Spark refuses to overwrite a path it is
+      concurrently reading from; the checkpoint cuts that lineage) and
+      then atomically replaces only its own bucket partitions.
+    - Idempotent and kill-safe BY CONTENT: a re-pack writes the identical
+      rows, so a kill between wave commits leaves every bucket holding
+      the same data (some compacted, some not); re-running converges.
+    - File-count targeting uses hash slots per bucket + repartitionByRange
+      on (bucket, slot): ~one (bucket, slot) key per output file from
+      sampled range boundaries — approximate (±1 file per bucket), which
+      is the right trade against an exact per-bucket shuffle loop.
+
+    Returns {"buckets_compacted": n, "waves": w, "files_before": a,
+    "files_after": b}.
+    """
+    import math
+
+    res_path = os.path.join(out_dir, "results")
+    before = _bucket_file_stats(spark, res_path)
+    need = {
+        b: max(1, math.ceil(size / target_bytes))
+        for b, (n, size) in before.items()
+        if n > max(1, math.ceil(size / target_bytes))
+    }
+    if not need:
+        return {"buckets_compacted": 0, "waves": 0,
+                "files_before": sum(n for n, _ in before.values()),
+                "files_after": sum(n for n, _ in before.values())}
+
+    # greedy waves by bytes (driver-side, bounded by n_buckets)
+    waves: list[list[int]] = [[]]
+    acc = 0
+    for b in sorted(need):
+        size = before[b][1]
+        if waves[-1] and acc + size > wave_bytes:
+            waves.append([])
+            acc = 0
+        waves[-1].append(b)
+        acc += size
+
+    for wave in waves:
+        slots = spark.createDataFrame(
+            [(b, need[b]) for b in wave], "bucket int, n_slots int"
+        )
+        df = (
+            spark.read.parquet(res_path)
+            .filter(F.col("bucket").isin(wave))
+            .join(F.broadcast(slots), "bucket")
+            .withColumn(
+                "slot", F.pmod(F.xxhash64("doc_id"), F.col("n_slots"))
+            )
+            .drop("n_slots")
+        )
+        total = sum(need[b] for b in wave)
+        packed = (
+            df.repartitionByRange(total, "bucket", "slot")
+            .drop("slot")
+            .localCheckpoint()  # cut lineage: we overwrite the input path
+        )
+        packed.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(res_path)
+
+    after = _bucket_file_stats(spark, res_path)
+    return {
+        "buckets_compacted": len(need),
+        "waves": len(waves),
+        "files_before": sum(n for n, _ in before.values()),
+        "files_after": sum(n for n, _ in after.values()),
+    }

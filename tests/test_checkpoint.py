@@ -79,3 +79,70 @@ def test_kill_between_results_and_manifest(spark, small_corpus, tmp_path):
     res = spark.read.parquet(f"{out}/results")
     assert res.count() == docs.count()
     assert res.select("doc_id").distinct().count() == docs.count()
+
+
+class TestCompaction:
+    def _write_fragmented(self, spark, path, buckets=4, files_per=6,
+                          rows_per=120):
+        rows = [
+            (f"d{b}_{i}", b, "x" * 64)
+            for b in range(buckets)
+            for i in range(rows_per)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, bucket int, payload string"
+        )
+        df.repartition(files_per).write.partitionBy("bucket").parquet(
+            f"{path}/results"
+        )
+        return df
+
+    def test_compacts_to_target_and_preserves_rows(self, spark, tmp_path):
+        from ppocr_spark.checkpoint import _bucket_file_stats, compact_results
+
+        out = str(tmp_path / "sink")
+        df = self._write_fragmented(spark, out)
+        before = _bucket_file_stats(spark, f"{out}/results")
+        assert all(n > 1 for n, _ in before.values())
+        orig = {
+            (r.doc_id, r.bucket, r.payload)
+            for r in spark.read.parquet(f"{out}/results").collect()
+        }
+
+        stats = compact_results(spark, out, target_bytes=1 << 30)
+        assert stats["buckets_compacted"] == 4
+        assert stats["files_after"] < stats["files_before"]
+        after = _bucket_file_stats(spark, f"{out}/results")
+        assert all(n == 1 for n, _ in after.values())
+        got = {
+            (r.doc_id, r.bucket, r.payload)
+            for r in spark.read.parquet(f"{out}/results").collect()
+        }
+        assert got == orig
+
+        # idempotent: second pass is a no-op
+        again = compact_results(spark, out, target_bytes=1 << 30)
+        assert again["buckets_compacted"] == 0
+
+    def test_untouched_buckets_keep_their_files(self, spark, tmp_path):
+        import os as _os
+
+        from ppocr_spark.checkpoint import compact_results
+
+        out = str(tmp_path / "sink")
+        self._write_fragmented(spark, out, buckets=3)
+        # bucket 99 is already one file: must not be rewritten
+        spark.createDataFrame(
+            [("solo", 99, "y")], "doc_id string, bucket int, payload string"
+        ).coalesce(1).write.mode("append").partitionBy("bucket").parquet(
+            f"{out}/results"
+        )
+        solo_dir = f"{out}/results/bucket=99"
+        files_before = sorted(
+            f for f in _os.listdir(solo_dir) if f.endswith(".parquet")
+        )
+        compact_results(spark, out, target_bytes=1 << 30)
+        files_after = sorted(
+            f for f in _os.listdir(solo_dir) if f.endswith(".parquet")
+        )
+        assert files_after == files_before
