@@ -2003,6 +2003,77 @@ ORDER BY v.vec_id
 """
 
 
+def _quality_model_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed GD step of the distilled quality probe (library
+    quality_model.gd_step): squared-loss linear regression of the
+    rule-gate label on [1, tokens/100, chars/1000, dup2] from literal
+    init weights. Gradient terms are rounded then DECIMAL-summed —
+    order-independent across partials — so DuckDB reproduces the step
+    bit-for-bit (the ivf_topk device). The aggregation runs on Spark;
+    only the 4-float gradient reaches the driver."""
+    from ppocr_spark.functions.quality_model import (
+        FEATURE_NAMES,
+        INIT_WEIGHTS,
+        doc_features,
+        gate_label,
+        gd_step,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    feats = d.select(
+        doc_features(F.col("text")).alias("x"),
+        gate_label(F.col("text")).alias("y"),
+    )
+    grad, w1 = gd_step(feats, list(INIT_WEIGHTS), lr=0.5)
+    rows = [
+        (j, FEATURE_NAMES[j], float(grad[j]), float(w1[j]))
+        for j in range(len(FEATURE_NAMES))
+    ]
+    return spark.createDataFrame(
+        rows, "j int, feature string, grad double, w_new double"
+    )
+
+
+def _quality_model_step_sql() -> str:
+    from ppocr_spark.functions.quality_model import (
+        FEATURE_NAMES,
+        INIT_WEIGHTS,
+    )
+
+    w = [repr(float(v)) for v in INIT_WEIGHTS]
+    names = ", ".join(f"'{n}'" for n in FEATURE_NAMES)
+    dup2 = (
+        "CASE WHEN len(t) < 2 THEN 0.0 ELSE "
+        "round(1 - len(list_distinct([array_to_string(t[i:i+1], ' ') "
+        "FOR i IN range(1, len(t))])) / (len(t) - 1), 6) END"
+    )
+    return f"""
+WITH f AS (
+  SELECT length(text)::DOUBLE AS n_chars,
+         len(t)::DOUBLE / 100.0 AS x1,
+         length(text)::DOUBLE / 1000.0 AS x2,
+         {dup2} AS dup2
+  FROM (SELECT text, {_DUCK_TOKS} AS t FROM documents)
+), r AS (
+  SELECT ((((0.0 + 1.0 * ({w[0]})) + x1 * ({w[1]}))
+           + x2 * ({w[2]})) + dup2 * ({w[3]}))
+         - (CASE WHEN n_chars >= 100 AND dup2 < 0.05
+                 THEN 1.0 ELSE 0.0 END) AS resid,
+         [1.0, x1, x2, dup2] AS x
+  FROM f
+), terms AS (
+  SELECT u.j - 1 AS j,
+         round(resid * x[u.j], 9)::DECIMAL(28,9) AS t
+  FROM r, unnest([1, 2, 3, 4]) AS u(j)
+), g AS (
+  SELECT j, (2.0 * sum(t)::DOUBLE) / count(*) AS grad FROM terms GROUP BY j
+)
+SELECT j, ([{names}])[j + 1] AS feature, grad,
+       ([{w[0]}, {w[1]}, {w[2]}, {w[3]}])[j + 1] - 0.5 * grad AS w_new
+FROM g ORDER BY j
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2072,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": _sample_token_budget,
         "pii_scrub": _pii_scrub,
         "dedup_embedding_clusters": _emb_clusters,
+        "quality_model_step": _quality_model_step,
     }
 
 
@@ -2134,4 +2206,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_token_budget": _sample_token_budget_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "dedup_embedding_clusters": _emb_clusters_sql(),
+        "quality_model_step": _quality_model_step_sql(),
     }

@@ -198,3 +198,80 @@ class TestThresholds:
         assert [n for n, _ in ths] == ["a", "b", "c"]
         assert ths[0][1] == "8000"
         assert ths[1][1] == "c000"
+
+
+class TestQualityModel:
+    def _labeled_docs(self, spark):
+        # separable-ish: long unique texts (keep=1) vs short/repetitive
+        good = [
+            (i, " ".join(f"tok{i}_{j}" for j in range(40)))
+            for i in range(30)
+        ]
+        bad = [(100 + i, "dup dup dup dup") for i in range(30)]
+        return spark.createDataFrame(good + bad, "doc_id long, text string")
+
+    def test_training_reduces_loss_and_separates(self, spark):
+        from ppocr_spark.functions.quality_model import (
+            INIT_WEIGHTS,
+            doc_features,
+            gate_label,
+            gd_step,
+            score_docs,
+            train_quality_probe,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._labeled_docs(spark)
+        feats = docs.select(
+            doc_features(F.col("text")).alias("x"),
+            gate_label(F.col("text")).alias("y"),
+        ).persist()
+
+        def loss(w):
+            wc = F.array(*[F.lit(float(v)) for v in w])
+            pred = F.aggregate(
+                F.zip_with(F.col("x"), wc, lambda x, wi: x * wi),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            )
+            return feats.select(
+                F.avg((pred - F.col("y")) * (pred - F.col("y"))).alias("l")
+            ).collect()[0]["l"]
+
+        w = train_quality_probe(docs, iters=8)
+        assert loss(w) < loss(list(INIT_WEIGHTS)) * 0.5
+        feats.unpersist()
+
+        scored = {r.doc_id: r.quality_score for r in
+                  score_docs(docs, w).collect()}
+        good_mean = sum(scored[i] for i in range(30)) / 30
+        bad_mean = sum(scored[100 + i] for i in range(30)) / 30
+        assert good_mean > bad_mean + 0.3
+
+        # single-step API surface: gradient has one entry per feature
+        g, w1 = gd_step(
+            docs.select(doc_features(F.col("text")).alias("x"),
+                        gate_label(F.col("text")).alias("y")),
+            list(INIT_WEIGHTS),
+        )
+        assert len(g) == len(INIT_WEIGHTS) == len(w1)
+
+    def test_deterministic_across_partitioning(self, spark):
+        from ppocr_spark.functions.quality_model import train_quality_probe
+
+        docs = self._labeled_docs(spark)
+        w_a = train_quality_probe(docs, iters=3)
+        w_b = train_quality_probe(docs.repartition(13), iters=3)
+        assert w_a == w_b  # decimal-exact sums: bit-identical weights
+
+    def test_scoring_is_jvm_only_map(self, spark):
+        from ppocr_spark.functions.quality_model import score_docs
+
+        docs = self._labeled_docs(spark)
+        plan = (
+            score_docs(docs, [0.1, 0.2, 0.3, 0.4])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan

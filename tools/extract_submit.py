@@ -6,7 +6,7 @@
         --output /path/results.parquet \
         [--resumable] [--no-broadcast-media] \
         [--parser multi_para] [--html-strip off|strip|main] \
-        [--salt-buckets 8]
+        [--salt-buckets 8] [--compact-target-mb 256]
 
 Reads the interleaved documents + media tables, runs
 detect→classify→recognize→layout with salted reassembly, writes the
@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--html-strip", default="off",
                     choices=["off", "strip", "main"])
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument(
+        "--compact-target-mb", type=int, default=0,
+        help="after a --resumable run, re-pack each bucket partition to "
+        "~this file size (0 = skip); long resumed runs otherwise "
+        "accumulate task-count small files per bucket",
+    )
     args = ap.parse_args()
 
     # imports AFTER argparse: on executors this module is not imported at
@@ -65,6 +71,14 @@ def main() -> None:
             broadcast_media=not args.no_broadcast_media,
         )
         print(f"resumable run: {stats}")
+        if args.compact_target_mb > 0:
+            from ppocr_spark.checkpoint import compact_results
+
+            cstats = compact_results(
+                spark, args.output,
+                target_bytes=args.compact_target_mb << 20,
+            )
+            print(f"compaction: {cstats}")
     else:
         from ppocr_spark.pipeline import (
             make_stage_metrics,
