@@ -2003,6 +2003,89 @@ ORDER BY v.vec_id
 """
 
 
+def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit unigram LM quality signal (library
+    text.unigram_logprob): mean add-one-smoothed log-prob per document —
+    the CCNet-style perplexity filter stand-in. Per-token log p is
+    rounded then decimal-summed, so the mean is partition-order
+    independent and the oracle reproduces it exactly."""
+    from ppocr_spark.functions.text import unigram_logprob
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        unigram_logprob(d)
+        .select(F.col("id").alias("doc_id"), "n_toks", "logprob")
+        .orderBy("doc_id")
+    )
+
+
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE + count(*)::DOUBLE AS denom FROM vocab),
+lp AS (
+  SELECT doc_id,
+         round(ln((c + 1)::DOUBLE / denom), 9)::DECIMAL(28,9) AS lp
+  FROM toks JOIN vocab USING (tok), tot)
+SELECT doc_id, count(*) AS n_toks,
+       round(sum(lp)::DOUBLE / count(*), 6) AS logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup applied as a transformation (library
+    dedup.substring_rewrite): every maximal duplicated 12-token span is
+    cut from the text (the ExactSubstr remove-all-copies policy), tokens
+    re-joined. The oracle rebuilds the cleaned text with the identical
+    span set computed on gram strings."""
+    from ppocr_spark.functions.dedup import substring_rewrite
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        substring_rewrite(d, k=12)
+        .select(F.col("id").alias("doc_id"), "clean_text", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTRING_REWRITE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+11], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS pos
+        FROM toks WHERE len(t) >= 12)
+),
+freq AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+dup AS (SELECT doc_id, pos - 1 AS pos FROM grams JOIN freq USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 12
+              THEN 1 ELSE 0 END AS brk
+  FROM dup),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+  FROM isl2 GROUP BY doc_id, island),
+sp AS (SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+       FROM spans GROUP BY doc_id),
+cut AS (
+  SELECT d.doc_id, d.t,
+         [d.t[i] FOR i IN range(1, len(d.t) + 1)
+          IF len(list_filter(coalesce(sp.ss, []),
+                             (s, j) -> i - 1 >= s
+                                   AND i - 1 < coalesce(sp.ee, [])[j])) = 0
+         ] AS kept
+  FROM toks d LEFT JOIN sp USING (doc_id))
+SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+       (len(t) - len(kept))::BIGINT AS n_removed
+FROM cut ORDER BY doc_id
+"""
+
+
 def _quality_model_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed GD step of the distilled quality probe (library
     quality_model.gd_step): squared-loss linear regression of the
@@ -2144,6 +2227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "dedup_embedding_clusters": _emb_clusters,
         "quality_model_step": _quality_model_step,
+        "dedup_substring_rewrite": _substring_rewrite,
+        "text_unigram_logprob": _unigram_logprob,
     }
 
 
@@ -2207,4 +2292,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "dedup_embedding_clusters": _emb_clusters_sql(),
         "quality_model_step": _quality_model_step_sql(),
+        "dedup_substring_rewrite": _SUBSTRING_REWRITE_SQL,
+        "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     }

@@ -92,6 +92,64 @@ def substring_dup_spans(
     return _merge_windows(dup, k)
 
 
+def substring_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORMATION: cut every maximal
+    duplicated token span found by ``substring_dup_spans`` (ALL
+    occurrences — the ExactSubstr policy of Lee et al., which removes
+    both copies) and re-join the survivors. Returns
+    (id, clean_text, n_removed); whitespace is normalized to single
+    spaces (token-granularity rewrite).
+
+    Shape: the span side aggregates to one bounded array per affected
+    document (spans are disjoint maximal intervals ≤ len/k per doc); the
+    cut itself is a per-row JVM filter over (token, index) — O(len ×
+    n_spans) per row worst case, bounded by document length, no extra
+    shuffle beyond the span computation."""
+    spans = substring_dup_spans(df, text_col, id_col, k)
+    per_doc = spans.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("int").alias("s"),
+                    F.col("span_end").cast("int").alias("e"),
+                )
+            )
+        ).alias("spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    # typed empty array for span-free documents (left join gives null)
+    empty = F.slice(
+        F.array(F.struct(F.lit(-1).alias("s"), F.lit(-1).alias("e"))), 1, 0
+    )
+    joined = base.join(per_doc, "id", "left").select(
+        "id", "t", F.coalesce(F.col("spans"), empty).alias("spans")
+    )
+    withidx = F.transform(
+        F.col("t"), lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))
+    )
+    kept = F.filter(
+        withidx,
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["i"] >= sp["s"]) & (s["i"] < sp["e"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.array_join(
+            F.transform(kept, lambda s: s["tok"]), " "
+        ).alias("clean_text"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def contamination_spans(
     corpus_df: DataFrame,
     probe_df: DataFrame,

@@ -336,3 +336,59 @@ def pii_scrub(col: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# --- unigram LM scoring (CCNet-style perplexity quality signal) ------------
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-fit unigram language-model score per document: mean
+    add-one-smoothed log-probability of its tokens under the corpus's own
+    unigram distribution — the cheap stand-in for the LM-perplexity
+    quality filter of CCNet-style pipelines (docs of improbable tokens
+    score low; boilerplate-heavy docs score suspiciously high).
+
+    Two passes, both shuffle-disciplined:
+    1. vocabulary fit: explode tokens → groupBy(token) count (map-side
+       partial agg; the token-level shuffle is the floor for any LM fit);
+    2. scoring: re-explode and equi-join each token to its count (AQE
+       handles hot-token skew), then mean log p per document where
+       p = (count + 1) / (total + |V|).
+
+    The fitted relation feeds both the total/|V| scalars and the join, so
+    it is persisted via ``cache.track`` (released by
+    ``cache.release_all``). Returns (id, n_toks, logprob) with logprob
+    rounded to 6 (float log arithmetic; portable at that precision).
+    """
+    from ppocr_spark import cache
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = cache.track(toks.groupBy("tok").agg(F.count("*").alias("c")))
+    totals = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v")
+    ).collect()[0]
+    denom = float(totals["total"]) + float(totals["v"])
+    # per-token log p is rounded then DECIMAL-summed: the mean is exact
+    # and order-independent across partitions (a double sum would drift
+    # with partition layout — the round-after-unordered-float-sum trap)
+    scored = toks.join(vocab, "tok").select(
+        "id",
+        F.round(
+            F.log((F.col("c") + 1).cast("double") / F.lit(denom)), 9
+        ).cast("decimal(28,9)").alias("lp"),
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_toks"),
+        # exact decimal sum → double, THEN one double divide: the same
+        # IEEE op order the oracle states (a decimal divide would round
+        # at a different scale than DuckDB's)
+        F.round(
+            F.sum("lp").cast("double") / F.count("*"), 6
+        ).alias("logprob"),
+    )

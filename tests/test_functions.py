@@ -633,3 +633,59 @@ class TestConnectedComponents:
         # untouched docs are their own singleton clusters
         assert rows["d0"]["keep"] and rows["d0"]["cluster_id"] == "d0"
         assert rows["d3"]["keep"]
+
+
+class TestSubstringRewrite:
+    def test_cuts_all_copies_and_leaves_unique_text(self, spark):
+        from ppocr_spark.functions.dedup import substring_rewrite
+
+        shared = " ".join(f"dup{i}" for i in range(15))
+        rows = [
+            (1, "a1 a2 a3 " + shared + " a4 a5"),
+            (2, "b1 " + shared + " b2 b3 b4"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.id: (r.clean_text, r.n_removed)
+            for r in substring_rewrite(df, k=12).collect()
+        }
+        # the 15-token shared run is fully covered by duplicated 12-gram
+        # windows and removed from BOTH documents (ExactSubstr policy)
+        assert got[1] == ("a1 a2 a3 a4 a5", 15)
+        assert got[2] == ("b1 b2 b3 b4", 15)
+        # unique document untouched (and present despite no spans)
+        assert got[3] == (rows[2][1], 0)
+
+    def test_within_document_repeat_is_cut(self, spark):
+        from ppocr_spark.functions.dedup import substring_rewrite
+
+        run = " ".join(f"x{i}" for i in range(12))
+        df = spark.createDataFrame(
+            [(7, run + " mid " + run)], "doc_id long, text string"
+        )
+        (r,) = substring_rewrite(df, k=12).collect()
+        assert r.clean_text == "mid"
+        assert r.n_removed == 24
+
+
+class TestUnigramLogprob:
+    def test_rare_token_docs_score_lower_and_deterministic(self, spark):
+        from ppocr_spark import cache
+        from ppocr_spark.functions.text import unigram_logprob
+
+        common = [(i, "the cat sat on the mat") for i in range(10)]
+        rare = [(99, "zyx qwv jkl pqr stu vwx")]
+        df = spark.createDataFrame(
+            common + rare, "doc_id long, text string"
+        )
+        got = {r.id: r.logprob for r in unigram_logprob(df).collect()}
+        cache.release_all()
+        assert got[99] < got[0]  # improbable tokens → lower mean log p
+        got_b = {
+            r.id: r.logprob
+            for r in unigram_logprob(df.repartition(7)).collect()
+        }
+        cache.release_all()
+        assert got == got_b  # decimal-summed: layout-independent
+        assert all(v < 0 for v in got.values())
