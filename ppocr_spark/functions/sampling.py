@@ -175,7 +175,10 @@ def token_budget_sample(
     offsets = (
         hist.withColumn("cum_end", F.sum("btoks").over(wb))
         .withColumn("cum_start", (F.col("cum_end") - F.col("btoks")))
-        .filter(F.col("cum_start") < budget)  # prune past-budget buckets
+        # prune buckets that start past the budget — <=, not <: a bucket
+        # starting exactly AT the budget can still contribute zero-token
+        # rows whose running total equals the budget (kept by cum<=budget)
+        .filter(F.col("cum_start") <= budget)
         .select(group_col, "bkt", "cum_start")
     )
 

@@ -275,3 +275,57 @@ class TestQualityModel:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestTokenBudgetProperty:
+    def test_random_corpora_match_naive_reference(self, spark):
+        """Hypothesis: on arbitrary (id, group, n_tokens) corpora and
+        budgets, the two-pass bucketed-histogram plan equals the naive
+        'sort by hash, take while prefix fits' reference — including
+        zero-token docs, exact-fit boundaries, and budget 0."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def naive(docs, budget):
+            out = {}
+            for g in {d[1] for d in docs}:
+                grp = [d for d in docs if d[1] == g]
+                grp.sort(key=lambda d: (
+                    hashlib.md5(f"budget:{d[0]}".encode()).hexdigest(),
+                    d[0],
+                ))
+                cum = 0
+                for doc_id, _, text in grp:
+                    n = len(text.split())
+                    if cum + n > budget:
+                        break
+                    cum += n
+                    out[doc_id] = cum
+            return out
+
+        @settings(max_examples=5, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 10 ** 6),
+                    st.sampled_from(["a", "b"]),
+                    st.integers(0, 9),
+                ),
+                min_size=1,
+                max_size=50,
+                unique_by=lambda r: r[0],
+            ),
+            st.integers(0, 40),
+        )
+        def prop(rows, budget):
+            docs = [(i, g, " ".join(["w"] * n)) for i, g, n in rows]
+            df = spark.createDataFrame(
+                docs, "doc_id long, lang string, text string"
+            )
+            got = {
+                r.doc_id: r.cum_toks
+                for r in token_budget_sample(df, budget).collect()
+            }
+            assert got == naive(docs, budget)
+
+        prop()
