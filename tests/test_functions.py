@@ -689,3 +689,60 @@ class TestUnigramLogprob:
         cache.release_all()
         assert got == got_b  # decimal-summed: layout-independent
         assert all(v < 0 for v in got.values())
+
+
+class TestSubstringRewriteProperty:
+    def test_random_corpora_match_bruteforce(self, spark):
+        """Hypothesis: on random small-vocabulary corpora (which produce
+        plenty of accidental duplicate k-grams), the distributed
+        shingle→interval-union→cut pipeline equals a brute-force
+        reference computed in Python."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ppocr_spark.functions.dedup import substring_rewrite
+
+        K = 4
+
+        def brute(docs):
+            grams: dict[tuple, int] = {}
+            for _, toks in docs:
+                for p in range(len(toks) - K + 1):
+                    g = tuple(toks[p:p + K])
+                    grams[g] = grams.get(g, 0) + 1
+            out = {}
+            for doc_id, toks in docs:
+                covered = set()
+                for p in range(len(toks) - K + 1):
+                    if grams[tuple(toks[p:p + K])] > 1:
+                        covered.update(range(p, p + K))
+                kept = [t for i, t in enumerate(toks) if i not in covered]
+                out[doc_id] = (" ".join(kept), len(toks) - len(kept))
+            return out
+
+        @settings(max_examples=5, deadline=None)
+        @given(
+            st.lists(
+                st.lists(
+                    st.sampled_from(["aa", "bb", "cc"]),
+                    min_size=0, max_size=14,
+                ),
+                min_size=1, max_size=8,
+            )
+        )
+        def prop(tok_lists):
+            docs = [(i, toks) for i, toks in enumerate(tok_lists)]
+            df = spark.createDataFrame(
+                [(i, " ".join(t)) for i, t in docs],
+                "doc_id long, text string",
+            )
+            got = {
+                r.id: (r.clean_text, r.n_removed)
+                for r in substring_rewrite(df, k=K).collect()
+            }
+            from ppocr_spark import cache
+
+            cache.release_all()
+            assert got == brute(docs)
+
+        prop()
