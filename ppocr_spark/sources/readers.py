@@ -131,3 +131,31 @@ def media_from_directory(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("media_ref"),
         F.col("content"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Persist a relation in Spark's bucketed layout: hash-partitioned
+    into ``n_buckets`` files per partition on ``bucket_col`` (and
+    sorted within buckets) via ``bucketBy().sortBy().saveAsTable``.
+
+    This is the parquet-catalog analog of the Iceberg bucket DDL in
+    SCALE.md §2: two relations bucketed the same way (same column, same
+    count) join with ZERO shuffle — Catalyst recognizes the co-located
+    layout and plans a sort-merge join with no Exchange on either side.
+    At 100 TB that converts the media⋈span join from the single biggest
+    shuffle in the pipeline into a local merge per bucket; the layout
+    cost is paid once at ingest and amortized over every downstream
+    query. Pinned by ``tests/test_plans.py::TestBucketedColocatedJoin``.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)

@@ -19,6 +19,19 @@ def _plan(df) -> str:
     )
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 class TestPlans:
     def test_q1_filter_pushdown_and_pruning(self, spark, sf_dir):
         import __spark_entry__ as entry
@@ -265,3 +278,46 @@ class TestSubstringDedupPlans:
         plan = _plan(entry.queries()["quality_gates"](spark, sf_dir))
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestBucketedColocatedJoin:
+    def test_same_bucketing_joins_with_zero_exchange(self, spark, tmp_path):
+        """Two relations bucketed identically on the join key (the
+        Iceberg-bucket-DDL analog from SCALE.md §2) must sort-merge join
+        with NO Exchange on either side — the layout, not the optimizer,
+        pays for co-location. Broadcast is disabled so the test can't
+        pass by broadcasting."""
+        from ppocr_spark.sources.readers import write_bucketed
+
+        spans = spark.createDataFrame(
+            [(f"m{i % 40}", i, f"d{i}") for i in range(400)],
+            "media_ref string, offset long, doc_id string",
+        )
+        media = spark.createDataFrame(
+            [(f"m{i}", bytes([i])) for i in range(40)],
+            "media_ref string, content binary",
+        )
+        write_bucketed(spans, "spans_b", "media_ref", n_buckets=8)
+        write_bucketed(media, "media_b", "media_ref", n_buckets=8)
+        try:
+            with _no_broadcast(spark):
+                joined = spark.table("spans_b").join(
+                    spark.table("media_b"), "media_ref"
+                )
+                plan = (
+                    joined._jdf.queryExecution().executedPlan().toString()
+                )
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan  # co-located: zero shuffle
+                assert joined.count() == 400
+            # a NON-bucketed copy of the same join must shuffle: the
+            # zero-Exchange plan above is the bucketing, not a freebie
+            with _no_broadcast(spark):
+                plain = spans.join(media, "media_ref")
+                pplan = (
+                    plain._jdf.queryExecution().executedPlan().toString()
+                )
+                assert "Exchange" in pplan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS spans_b")
+            spark.sql("DROP TABLE IF EXISTS media_b")

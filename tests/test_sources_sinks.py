@@ -512,3 +512,41 @@ class TestStreamingDedup:
         assert len(rows) == 3
         assert {"a1", "a2"} <= rows
         assert "b2" in rows
+
+    def test_dedup_state_survives_query_restart(self, spark, tmp_path):
+        """The docstring claims cross-restart dedup within the watermark
+        horizon via the checkpointed state store: drain batch A, stop,
+        drop in a file duplicating A's content, restart on the SAME
+        checkpoint — the duplicate must not reappear in the sink."""
+        import datetime as dt
+
+        from pyspark.sql import types as T
+
+        from ppocr_spark.schemas import DOCUMENTS
+        from ppocr_spark.streaming.stream import stream_dedup_exact
+
+        schema = T.StructType(
+            list(DOCUMENTS.fields)
+            + [T.StructField("ingest_ts", T.TimestampType())]
+        )
+        ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+        src = tmp_path / "feed"
+        src.mkdir()
+
+        def drop(name, rows):
+            spark.createDataFrame(
+                [(d, s, ts) for d, s in rows], schema
+            ).coalesce(1).write.parquet(str(src / name))
+
+        drop("0001", [self._doc("a1", "alpha"), self._doc("a2", "beta")])
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = stream_dedup_exact(spark, f"{src}/*", out, ckpt)
+        q.awaitTermination(300)
+        assert spark.read.parquet(out).count() == 2
+
+        drop("0002", [self._doc("b1", "alpha"),   # dup of a1, post-restart
+                      self._doc("b2", "delta")])  # new content
+        q2 = stream_dedup_exact(spark, f"{src}/*", out, ckpt)
+        q2.awaitTermination(300)
+        rows = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert rows == {"a1", "a2", "b2"}
