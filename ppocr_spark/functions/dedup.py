@@ -530,12 +530,18 @@ def connected_components(
     then re-labels through its label's label (label(x) ≤ x always, so the
     jump is monotone). Propagation alone needs O(diameter) rounds; the
     jump compresses chains so convergence is O(log d) — and near-dup
-    clusters are near-cliques, so 2-3 rounds in practice. Per round: two
-    hash-shuffles on node id (neighbor-min aggregate + jump join), no
-    driver-side data beyond a changed-row count; lineage is cut every
-    round with localCheckpoint so the plan does not double per iteration.
-    At 100 TB the edge list persists across rounds and every join is a
-    plain equi-join — no broadcast of anything unbounded.
+    clusters are near-cliques, so 2-3 rounds in practice.
+
+    Per round exactly TWO equi-joins fire: (1) the neighbor-min aggregate
+    — self-loops are unioned into the adjacency so "min over self and
+    neighbors" is ONE shuffle with no follow-up left join, and the same
+    aggregate carries the node's previous label out (max over the tagged
+    self row), so the convergence check is a filter+count on the
+    checkpointed result, not a third join — and (2) the pointer-jump
+    self-join. No driver-side data beyond a changed-row count; lineage is
+    cut every round with localCheckpoint so the plan does not double per
+    iteration. At 100 TB the edge list persists across rounds and every
+    join is a plain equi-join — no broadcast of anything unbounded.
     """
     edges = cache.track(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -549,23 +555,27 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nbr = (
-            edges.join(
+        # adjacency ∪ tagged self-loops: min(vlab) = least(own label,
+        # neighbor min) in one aggregate; the self row smuggles the old
+        # label through for the convergence check (every labeled node has
+        # exactly one self row, so max(when(self)) is just that label).
+        adj = edges.withColumn("self", F.lit(False)).union(
+            labels.select(
+                F.col("node").alias("u"), F.col("node").alias("v")
+            ).withColumn("self", F.lit(True))
+        )
+        stepped = (
+            adj.join(
                 labels.select(F.col("node").alias("v"),
                               F.col("label").alias("vlab")),
                 "v",
             )
             .groupBy("u")
-            .agg(F.min("vlab").alias("nbr_min"))
-        )
-        stepped = (
-            labels.join(nbr, labels["node"] == nbr["u"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
+            .agg(
+                F.min("vlab").alias("label"),
+                F.max(F.when(F.col("self"), F.col("vlab"))).alias("old"),
             )
+            .select(F.col("u").alias("node"), "label", "old")
         )
         jumped = (
             stepped.alias("s")
@@ -579,16 +589,12 @@ def connected_components(
             .select(
                 F.col("s.node").alias("node"),
                 F.coalesce("jlab", F.col("s.label")).alias("label"),
+                F.col("s.old").alias("old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("old")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
