@@ -420,6 +420,22 @@ def normalize_text_spans(spans: DataFrame, html_strip: str = "off") -> DataFrame
     )
 
 
+def media_span_ids(spans: DataFrame) -> DataFrame:
+    """Slim media-span request rows: (doc_id, offset, media_ref) plus the
+    join key. '#page=N' refs address one page of a PDF payload: join on
+    the base ref (JVM-side split, no Python) and ship the page number to
+    the UDF."""
+    return spans.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        F.regexp_replace("media_ref", r"#page=\d+$", "").alias("base_ref"),
+        F.nullif(
+            F.regexp_extract("media_ref", r"#page=(\d+)$", 1), F.lit("")
+        ).cast("int").alias("page"),
+    )
+
+
 def ocr_media_spans(
     spans: DataFrame,
     media: DataFrame,
@@ -432,17 +448,7 @@ def ocr_media_spans(
     auto-broadcasts when the media plan is below Spark's threshold (AQE
     decides); pass True/False to force."""
     m = media.select(F.col("media_ref").alias("base_ref"), "content")
-    # '#page=N' refs address one page of a PDF payload: join on the base
-    # ref (JVM-side split, no Python) and ship the page number to the UDF
-    ids = spans.filter(F.col("kind") == "media").select(
-        "doc_id",
-        "offset",
-        "media_ref",
-        F.regexp_replace("media_ref", r"#page=\d+$", "").alias("base_ref"),
-        F.nullif(
-            F.regexp_extract("media_ref", r"#page=(\d+)$", 1), F.lit("")
-        ).cast("int").alias("page"),
-    )
+    ids = media_span_ids(spans)
     par = spans.sparkSession.sparkContext.defaultParallelism
     if broadcast_media:
         # EXPLICIT repartition before the heavy UDF: a small parquet scan
@@ -502,6 +508,69 @@ def ocr_media_spans(
     return grouped.mapInArrow(
         make_grouped_ocr_udf(cfg, metrics), schema=OCR_RESULT_SCHEMA
     )
+
+
+def ocr_media_spans_colocated(
+    media_spans: DataFrame,
+    media: DataFrame,
+    cfg: PPOCRConfig,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Media branch over BUCKETED inputs (readers.write_extraction_layout):
+    both relations are hash-bucketed + bucket-sorted on ``base_ref`` with
+    the same bucket count, so the ENTIRE pre-UDF section — group the span
+    requests per payload, attach the payload — plans with ZERO Exchange:
+    the groupBy's hash requirement and the join's co-partitioning are both
+    satisfied by the storage layout. At 10^12 docs this removes the two
+    explicit repartitions of the co-partitioned path (the payload shuffle,
+    the pipeline's largest data movement) entirely; the cost was paid once
+    at ingest. Partition count = bucket count, so size buckets for the OCR
+    stage's parallelism at ingest. Pinned by
+    ``tests/test_plans.py::TestColocatedExtraction``.
+
+    ``media_spans``: (doc_id, offset, media_ref, base_ref, page) bucketed
+    by base_ref; ``media``: (base_ref, content) bucketed the same way.
+    """
+    grouped = (
+        media_spans.groupBy("base_ref")
+        .agg(
+            F.collect_list(
+                F.struct("doc_id", "offset", "media_ref", "page")
+            ).alias("reqs")
+        )
+        .join(media, "base_ref", "left")
+        .drop("base_ref")
+    )
+    return grouped.mapInArrow(
+        make_grouped_ocr_udf(cfg, metrics), schema=OCR_RESULT_SCHEMA
+    )
+
+
+def extract_documents_colocated(
+    spark: SparkSession,
+    prefix: str = "ppocr",
+    cfg: PPOCRConfig | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """``extract_documents`` over the ingest-time bucket layout written by
+    ``readers.write_extraction_layout``: the media branch is the
+    zero-Exchange colocated path; the text branch scans its own table
+    (no media join to co-locate). Output contract identical to
+    ``extract_documents`` (span-sequence equality pinned in
+    tests/test_pipeline_e2e.py)."""
+    cfg = cfg or PPOCRConfig(cls=True, use_angle_cls=True)
+    text_r = normalize_text_spans(
+        spark.table(f"{prefix}_text_spans"), cfg.html_strip
+    )
+    media_r = media_results_as_spans(
+        ocr_media_spans_colocated(
+            spark.table(f"{prefix}_media_spans"),
+            spark.table(f"{prefix}_media"),
+            cfg,
+            metrics,
+        )
+    )
+    return reassemble(text_r.unionByName(media_r), cfg.doc_salt_buckets)
 
 
 def ocr_requests(

@@ -159,3 +159,46 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.saveAsTable(table)
+
+
+def write_extraction_layout(
+    documents: DataFrame,
+    media: DataFrame,
+    n_buckets: int = 64,
+    prefix: str = "ppocr",
+) -> None:
+    """Ingest-time bucket DDL for the extraction pipeline (the Iceberg
+    ``bucket(N, base_ref)`` partition-transform analog, SCALE.md §2):
+
+    - ``{prefix}_media_spans`` — slim media-span request rows with the
+      join key (``base_ref``) and PDF page precomputed, bucketed +
+      bucket-sorted on base_ref;
+    - ``{prefix}_media`` — payload rows keyed by base_ref, bucketed the
+      same way (same column, same count);
+    - ``{prefix}_text_spans`` — the text branch, plain parquet (it joins
+      nothing; no layout to exploit).
+
+    Downstream ``pipeline.extract_documents_colocated`` then runs the
+    media branch — group requests per payload, attach payload, OCR —
+    with ZERO Exchange: the shuffle the co-partitioned path pays per run
+    is paid here once, at ingest. Bucket count fixes the OCR stage's
+    parallelism, so size it for the target cluster (e.g. 4096 at 10^12
+    docs), not the corpus."""
+    from ppocr_spark.pipeline import explode_spans, media_span_ids
+
+    spans = explode_spans(documents)
+    write_bucketed(
+        media_span_ids(spans),
+        f"{prefix}_media_spans",
+        "base_ref",
+        n_buckets=n_buckets,
+    )
+    write_bucketed(
+        media.select(F.col("media_ref").alias("base_ref"), "content"),
+        f"{prefix}_media",
+        "base_ref",
+        n_buckets=n_buckets,
+    )
+    spans.filter(F.col("kind") == "text").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{prefix}_text_spans")

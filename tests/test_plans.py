@@ -321,3 +321,83 @@ class TestBucketedColocatedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS spans_b")
             spark.sql("DROP TABLE IF EXISTS media_b")
+
+
+class TestColocatedExtraction:
+    def test_media_branch_zero_exchange_and_equal_output(
+        self, spark, small_corpus
+    ):
+        """The ingest-time bucket layout (write_extraction_layout) must
+        make the whole pre-UDF media branch — group requests per payload,
+        attach payload — plan with ZERO Exchange, and produce exactly the
+        rows of the co-partitioned runtime path on the same corpus."""
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.pipeline import (
+            explode_spans,
+            ocr_media_spans,
+            ocr_media_spans_colocated,
+        )
+        from ppocr_spark.sources.readers import write_extraction_layout
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+        write_extraction_layout(docs, media, n_buckets=8, prefix="t_colo")
+        try:
+            with _no_broadcast(spark):
+                colo = ocr_media_spans_colocated(
+                    spark.table("t_colo_media_spans"),
+                    spark.table("t_colo_media"),
+                    cfg,
+                )
+                plan = colo._jdf.queryExecution().executedPlan().toString()
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan  # layout pays the shuffle
+                got = sorted(
+                    (r.doc_id, r.offset, r.media_ref, r.code, r.text)
+                    for r in colo.collect()
+                )
+            base = ocr_media_spans(
+                explode_spans(docs), media, cfg, broadcast_media=False
+            )
+            want = sorted(
+                (r.doc_id, r.offset, r.media_ref, r.code, r.text)
+                for r in base.collect()
+            )
+            assert got == want and len(got) > 0
+        finally:
+            for t in ("t_colo_media_spans", "t_colo_media",
+                      "t_colo_text_spans"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_full_document_equality(self, spark, small_corpus):
+        """extract_documents_colocated == extract_documents on the e2e
+        corpus: same doc_ids, same span sequences (kind, text, media_ref,
+        order, code)."""
+        from ppocr_spark.config import PPOCRConfig
+        from ppocr_spark.pipeline import (
+            extract_documents,
+            extract_documents_colocated,
+        )
+        from ppocr_spark.sources.readers import write_extraction_layout
+
+        docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+        media = spark.read.parquet(f"{small_corpus}/media.parquet")
+        cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+        write_extraction_layout(docs, media, n_buckets=8, prefix="t_colo2")
+        try:
+            got = {
+                r.doc_id: [tuple(s) for s in r.spans]
+                for r in extract_documents_colocated(
+                    spark, "t_colo2", cfg
+                ).collect()
+            }
+            want = {
+                r.doc_id: [tuple(s) for s in r.spans]
+                for r in extract_documents(docs, media, cfg).collect()
+            }
+            assert got == want and len(got) > 0
+        finally:
+            for t in ("t_colo2_media_spans", "t_colo2_media",
+                      "t_colo2_text_spans"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
