@@ -1901,6 +1901,74 @@ WHERE cum_toks <= {budget} ORDER BY doc_id
 """
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (library
+    sampling.chunk_documents): chunk i = whitespace tokens
+    [16*i, 16*i+32); windows that add no new tokens beyond the previous
+    one are dropped, empty docs emit nothing. Pure per-row JVM
+    sequence→filter→posexplode→slice — zero shuffles."""
+    from ppocr_spark.functions.sampling import chunk_documents
+
+    d = _load(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, stride=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _chunk_documents_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start
+  FROM t WHERE len(toks) > 0
+), kept AS (
+  SELECT doc_id, toks, start,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)::INT
+           AS chunk_idx
+  FROM s WHERE start = 0 OR start - 16 + 32 < len(toks)
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+       len(toks[start + 1 : start + 32])::INT AS n_tokens
+FROM kept ORDER BY doc_id, chunk_idx
+"""
+
+
+def _token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-count sharding (library sampling.token_shards):
+    documents in md5 order, bucketed first (16 macro-buckets) so both
+    windows are bounded — no global sort; shards cut every 500 cumulative
+    tokens, documents never split."""
+    from ppocr_spark.functions.sampling import token_shards
+
+    d = _load(spark, sf_dir, "documents")
+    return token_shards(d, shard_tokens=500, bucket_hex=1).orderBy("doc_id")
+
+
+def _token_shards_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS n_toks,
+         md5(concat('shard:', doc_id::VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_toks, h, substr(h, 1, 1) AS bkt,
+         ((sum(n_toks) OVER (PARTITION BY substr(h, 1, 1)
+                             ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_toks)
+          // 500)::BIGINT AS shard_idx
+  FROM t
+)
+SELECT doc_id,
+       concat(bkt, ':', shard_idx::VARCHAR) AS shard_id,
+       (row_number() OVER (PARTITION BY bkt, shard_idx
+                           ORDER BY h, doc_id))::INT AS shard_pos,
+       n_toks
+FROM c ORDER BY doc_id
+"""
+
+
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (library text.pii_scrub/pii_counts): per-row JVM
     regexp chain over the Java∩RE2 pattern subset. The corpus text carries
@@ -2229,6 +2297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_step": _quality_model_step,
         "dedup_substring_rewrite": _substring_rewrite,
         "text_unigram_logprob": _unigram_logprob,
+        "chunk_documents": _chunk_documents,
+        "token_shards": _token_shards,
     }
 
 
@@ -2294,4 +2364,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_model_step": _quality_model_step_sql(),
         "dedup_substring_rewrite": _SUBSTRING_REWRITE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "chunk_documents": _chunk_documents_sql(),
+        "token_shards": _token_shards_sql(),
     }

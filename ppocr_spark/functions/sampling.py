@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import token_count, tokens
 
 HEX_W = 4  # 16-bit bucket space: 65536 buckets / threshold resolution
 
@@ -195,4 +195,101 @@ def token_budget_sample(
         )
         .filter(F.col("cum_toks") <= budget)
         .select(id_col, group_col, "n_toks", "cum_toks")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows (the training /
+    retrieval chunking step): chunk i covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens). Windows are emitted while they
+    add new tokens — a start > 0 whose tokens are fully covered by the
+    previous window is dropped (no degenerate tail subsets); zero-token
+    documents emit no chunks.
+
+    Pure per-row JVM expressions (sequence → filter → posexplode →
+    slice): ZERO shuffles, whole-stage codegen, scales as one scan.
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        # keep a start iff the previous window did not already reach the
+        # document's end (start 0 always kept for non-empty docs)
+        lambda s: (s == 0) | (s - stride + chunk_tokens < n),
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    bucket_hex: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous corpus sharding by cumulative token count — the
+    shard/packing step that turns a cleaned corpus into ~equal-token
+    training shards. Documents are laid out in deterministic md5 order
+    and cut into shards whose token sums reach ``shard_tokens``; a
+    document is never split, so a shard overshoots by at most one
+    document. shard_id = (bucket, floor(cumsum_before / shard_tokens)).
+
+    Scale path: the order is md5-bucketed FIRST (``16**bucket_hex``
+    macro-buckets) and both windows partition by bucket — window
+    partitions are ~N/buckets rows, there is no global sort, and the
+    layout is reproducible on any cluster size (same md5 order, same
+    shards). Two bounded shuffles total (bucket cumsum + shard
+    row-number). Returns (id, shard_id, shard_pos, n_toks).
+    """
+    h = _id_hash(F.col(id_col), "shard")
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_toks"),
+        h.alias("h"),
+        F.substring(h, 1, bucket_hex).alias("bkt"),
+    )
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn(
+        "shard_idx",
+        F.floor(
+            (F.sum("n_toks").over(wb) - F.col("n_toks"))
+            / F.lit(shard_tokens)
+        ),
+    ).withColumn(
+        "shard_id", F.concat_ws(":", F.col("bkt"), F.col("shard_idx"))
+    )
+    wp = Window.partitionBy("bkt", "shard_idx").orderBy("h", id_col)
+    return cum.withColumn("shard_pos", F.row_number().over(wp)).select(
+        id_col, "shard_id", "shard_pos", "n_toks"
     )

@@ -746,3 +746,91 @@ class TestSubstringRewriteProperty:
             assert got == brute(docs)
 
         prop()
+
+
+class TestChunkingAndShards:
+    def test_chunk_windows_and_edges(self, spark):
+        from ppocr_spark.functions.sampling import chunk_documents
+
+        df = spark.createDataFrame(
+            [
+                (1, " ".join(f"t{i}" for i in range(10))),  # multi-chunk
+                (2, "a b c"),       # shorter than one chunk
+                (3, ""),            # empty → no chunks
+                (4, "   "),         # whitespace-only → no chunks
+                (5, " ".join(f"u{i}" for i in range(8))),  # exact chunk
+            ],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, chunk_tokens=8, stride=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure per-row: zero shuffles
+        rows = out.collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_text, r.n_tokens)
+            )
+        # doc 1: starts 0 and 4; start 8 is dropped (covered by start 4's
+        # window reaching token 12 > 10)
+        assert by_doc[1] == [
+            (0, " ".join(f"t{i}" for i in range(8)), 8),
+            (1, " ".join(f"t{i}" for i in range(4, 10)), 6),
+        ]
+        assert by_doc[2] == [(0, "a b c", 3)]
+        assert 3 not in by_doc and 4 not in by_doc
+        # doc 5: exactly one full window, start 4 adds nothing (4+8-4=8==n)
+        assert by_doc[5] == [(0, " ".join(f"u{i}" for i in range(8)), 8)]
+
+    def test_chunks_cover_document_exactly(self, spark):
+        """Union of chunk token ranges covers every token; consecutive
+        chunks overlap by chunk-stride except possibly the last."""
+        from ppocr_spark.functions.sampling import chunk_documents
+
+        df = spark.createDataFrame(
+            [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 40)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, chunk_tokens=16, stride=8).collect()
+        per_doc: dict = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for n, rs in per_doc.items():
+            rs.sort(key=lambda r: r.chunk_idx)
+            seen = set()
+            for r in rs:
+                toks = r.chunk_text.split(" ")
+                assert r.n_tokens == len(toks) <= 16
+                seen.update(toks)
+            assert seen == {f"w{i}" for i in range(n)}, f"doc {n}"
+
+    def test_token_shards_deterministic_and_bounded(self, spark):
+        from ppocr_spark.functions.sampling import token_shards
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["x"] * (5 + i % 37))) for i in range(300)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, token_shards(df, 200).collect()))
+        b = sorted(
+            map(tuple, token_shards(df.repartition(13), 200).collect())
+        )
+        assert a == b and len(a) == 300  # layout-independent, total
+        # brute-force reference: md5 order per bucket, running cumsum,
+        # shard = floor(cum_before / budget), pos = rank within shard
+        import hashlib
+
+        per_bucket: dict = {}
+        for i in range(300):
+            h = hashlib.md5(f"shard:{i}".encode()).hexdigest()
+            per_bucket.setdefault(h[0], []).append((h, i, 5 + i % 37))
+        want = []
+        for bkt, rows_ in per_bucket.items():
+            rows_.sort()
+            cum, pos = 0, {}
+            for h, i, n in rows_:
+                idx = cum // 200
+                cum += n
+                pos[idx] = pos.get(idx, 0) + 1
+                want.append((i, f"{bkt}:{idx}", pos[idx], n))
+        assert a == sorted(want)
