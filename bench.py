@@ -86,6 +86,8 @@ def main():
         "clean_corpus_stats",
         "sample_token_budget",
         "dedup_embedding_clusters",
+        "chunk_documents",
+        "token_shards",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

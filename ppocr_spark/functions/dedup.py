@@ -288,23 +288,28 @@ def _gram_sig_table(
     return cache.track(tbl)
 
 
-def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+def band_key_structs(sig: Column, k: int, bands: int) -> Column:
+    """Array of (band, key) structs from a minhash signature column — ONE
+    key construction shared by the batch band join (``_banded``) and the
+    streaming collision detector (``streaming.stream.stream_dedup_near``),
+    so the streaming stage emits exactly the batch stage's candidates."""
     rows = k // bands
-    return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_join(
-                            F.slice("sig", b * rows + 1, rows), "|"
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(F.slice(sig, b * rows + 1, rows), "|").alias(
+                    "key"
+                ),
             )
-        ).alias("bk"),
+            for b in range(bands)
+        ]
+    )
+
+
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    return sig.select(
+        "id", F.explode(band_key_structs(F.col("sig"), k, bands)).alias("bk")
     ).select("id", "bk.band", "bk.key")
 
 

@@ -304,3 +304,121 @@ def stream_dedup_exact(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_near(
+    spark: SparkSession,
+    documents_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    state_ttl_ms: int = 3_600_000,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming NEAR-dup candidate detection — the online twin of the
+    batch MinHash+LSH stage (``dedup.minhash_lsh_candidates``): documents
+    arriving as (doc_id, text) files are banded with EXACTLY the batch
+    key construction (``dedup.band_key_structs`` over the same
+    tokens→distinct n-grams→minhash chain, all JVM expressions), and a
+    custom stateful operator (``applyInPandasWithState`` keyed by
+    (band, key)) remembers the first document seen per bucket.
+
+    Output: one row per (document, band) observation —
+    (doc_id, band, key, keeper, is_first) where ``keeper`` is the bucket's
+    first-arrival doc_id (min doc_id inside a single micro-batch, earlier
+    batch wins across batches, surviving restarts via the checkpointed
+    state store). A document is a near-dup CANDIDATE iff any of its rows
+    has ``is_first = false`` — exactly the batch band-join candidate set,
+    to be verified downstream by the batch Jaccard stage (same
+    candidates→verify split as the batch path).
+
+    Bounded state: a processing-time timeout evicts buckets untouched for
+    ``state_ttl_ms`` — state ~ (distinct buckets in the TTL horizon), not
+    corpus size, which is what lets this run forever at 100 TB ingest.
+    Docs with fewer than ``n`` tokens emit no bands (the batch rule).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ppocr_spark.functions.dedup import band_key_structs
+    from ppocr_spark.functions.text import (
+        minhash_from_grams,
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    out_schema = T.StructType.fromDDL(
+        "doc_id string, band int, key string, keeper string, "
+        "is_first boolean"
+    )
+    state_schema = T.StructType.fromDDL("keeper string")
+
+    def detect(key, pdfs, state: GroupState):
+        band, bkey = key
+        if state.hasTimedOut:
+            state.remove()  # bucket evicted — bounded-state guarantee
+            yield pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="object"),
+                 "band": pd.Series([], dtype="int32"),
+                 "key": pd.Series([], dtype="object"),
+                 "keeper": pd.Series([], dtype="object"),
+                 "is_first": pd.Series([], dtype="bool")}
+            )
+            return
+        ids: list[str] = []
+        for pdf in pdfs:
+            ids.extend(pdf["doc_id"].tolist())
+        keeper = state.get[0] if state.exists else min(ids)
+        state.update((keeper,))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            [
+                {"doc_id": d, "band": band, "key": bkey,
+                 "keeper": keeper, "is_first": d == keeper}
+                for d in ids
+            ]
+        )
+
+    toks = tokens(F.col("text"))
+    sig = minhash_from_grams(
+        F.array_distinct(ngrams_from_tokens(toks, n)), k
+    )
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL("doc_id string, text string")
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(documents_dir)
+    )
+    banded = (
+        stream.filter(F.size(toks) >= n)
+        .select(
+            "doc_id", F.explode(band_key_structs(sig, k, bands)).alias("bk")
+        )
+        .select("doc_id", "bk.band", "bk.key")
+    )
+    flagged = banded.groupBy("band", "key").applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    writer = (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -550,3 +550,100 @@ class TestStreamingDedup:
         q2.awaitTermination(300)
         rows = {r.doc_id for r in spark.read.parquet(out).collect()}
         assert rows == {"a1", "a2", "b2"}
+
+
+class TestStreamingNearDedup:
+    TEXTS = {
+        "a1": "alpha beta gamma delta epsilon zeta eta theta",
+        "a2": "alpha beta gamma delta epsilon zeta eta theta",  # dup of a1
+        "b1": "one two three four five six seven eight nine",
+        "c1": "alpha beta gamma delta epsilon zeta eta theta",  # dup, late
+        "d1": "red orange yellow green blue indigo violet",
+        "e1": "xy",  # < n tokens: emits no bands
+    }
+
+    def _drop(self, spark, src, name, ids):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"doc_id": ids, "text": [self.TEXTS[i] for i in ids]}
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def test_cross_batch_candidates_match_batch_banding(
+        self, spark, tmp_path
+    ):
+        """First arrival per (band, key) becomes the keeper (min doc_id
+        within a batch, earlier batch across batches/restarts); later
+        same-bucket docs are flagged. The emitted (band, key) rows equal
+        the batch _banded table for the same documents."""
+        from ppocr_spark.streaming.stream import stream_dedup_near
+
+        import time
+
+        def drain(q, want_rows, timeout_s=240):
+            # ProcessingTimeTimeout keeps scheduling timeout-check
+            # batches, so availableNow never self-terminates: poll the
+            # sink for the expected row count, then stop the query.
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= want_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+            q.stop()
+            q.awaitTermination(60)
+
+        src = tmp_path / "feed"
+        src.mkdir()
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._drop(spark, src, "0001", ["a1", "a2", "b1", "e1"])
+        # a1/a2/b1 emit 4 bands each; e1 emits none
+        drain(stream_dedup_near(spark, f"{src}/*", out, ckpt), 12)
+        self._drop(spark, src, "0002", ["c1", "d1"])
+        drain(stream_dedup_near(spark, f"{src}/*", out, ckpt), 20)
+
+        rows = spark.read.parquet(out).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # within-batch dup: a2 collides with a1 in every band (same text)
+        assert all(r.keeper == "a1" and not r.is_first
+                   for r in by_doc["a2"])
+        # cross-batch + cross-restart dup: c1 also maps to a1
+        assert all(r.keeper == "a1" and not r.is_first
+                   for r in by_doc["c1"])
+        # uniques are their own keepers
+        assert all(r.is_first for r in by_doc["a1"] + by_doc["b1"]
+                   + by_doc["d1"])
+        assert "e1" not in by_doc  # < n tokens emits nothing
+        # per-doc candidate verdict = the batch band-join candidate set
+        flagged = {d for d, rs in by_doc.items()
+                   if any(not r.is_first for r in rs)}
+        assert flagged == {"a2", "c1"}
+        # (band, key) parity with the batch construction
+        from ppocr_spark.functions.dedup import _banded
+        from ppocr_spark.functions.text import (
+            minhash_from_grams,
+            ngrams_from_tokens,
+            tokens,
+        )
+        from pyspark.sql import functions as F
+
+        static = spark.createDataFrame(
+            [(i, t) for i, t in self.TEXTS.items() if i != "e1"],
+            "id string, text string",
+        ).select(
+            "id",
+            minhash_from_grams(
+                F.array_distinct(ngrams_from_tokens(tokens(F.col("text")), 3)),
+                8,
+            ).alias("sig"),
+        )
+        want = {(r.id, r.band, r.key) for r in _banded(static, 8, 4).collect()}
+        got = {(r.doc_id, r.band, r.key) for r in rows}
+        assert got == want
