@@ -1969,6 +1969,56 @@ FROM c ORDER BY doc_id
 """
 
 
+_BM25_TERMS = ["hash", "stream", "vector"]
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus search (library search.bm25_topk): top-15 documents
+    for a 3-term query. Tokens are filtered to the query terms BEFORE the
+    shuffle, corpus constants and per-term document frequencies broadcast,
+    per-term partials rounded then decimal-summed (order-independent),
+    top-k via TakeOrderedAndProject. Oracle reproduces the identical
+    expression tree."""
+    from ppocr_spark.functions.search import bm25_topk
+
+    d = _load(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=15).orderBy("rank")
+
+
+def _bm25_topk_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, {_DUCK_TOKS} AS toks FROM documents
+), dd AS (
+  SELECT id, len(toks)::BIGINT AS dl, toks FROM d
+), consts AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         (sum(dl)::DOUBLE / count(*)) AS avgdl
+  FROM dd
+), tf AS (
+  SELECT id, dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT id, dl,
+               unnest(list_filter(toks, t -> t IN ({terms}))) AS term
+        FROM dd)
+  GROUP BY id, dl, term
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), parts AS (
+  SELECT id,
+         round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+               * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)),
+               9)::DECIMAL(38,9) AS part
+  FROM tf JOIN dfreq USING (term) CROSS JOIN consts
+), sc AS (
+  SELECT id, sum(part) AS dscore FROM parts GROUP BY id
+)
+SELECT id, round(dscore::DOUBLE, 6) AS score,
+       (row_number() OVER (ORDER BY dscore DESC, id ASC))::INT AS rank
+FROM sc ORDER BY dscore DESC, id ASC LIMIT 15
+"""
+
+
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (library text.pii_scrub/pii_counts): per-row JVM
     regexp chain over the Java∩RE2 pattern subset. The corpus text carries
@@ -2299,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _unigram_logprob,
         "chunk_documents": _chunk_documents,
         "token_shards": _token_shards,
+        "text_bm25_topk": _bm25_topk,
     }
 
 
@@ -2366,4 +2417,5 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "chunk_documents": _chunk_documents_sql(),
         "token_shards": _token_shards_sql(),
+        "text_bm25_topk": _bm25_topk_sql(),
     }

@@ -1,0 +1,132 @@
+"""Corpus search operators: BM25 scoring / top-k retrieval.
+
+A training-data pipeline mines its corpus constantly — "find the
+documents most about X" (quality probes, contamination spot-checks,
+targeted sampling). BM25 over the whitespace token stream is the
+standard lexical scorer; here it is one declarative Spark plan with the
+scale levers explicit:
+
+- tokens are filtered to the QUERY'S terms *before* any shuffle — the
+  exploded stream that reaches the aggregation is ≤ |query| rows per
+  document, not the corpus token count;
+- corpus constants (N, avgdl) and per-term document frequencies reduce
+  to one broadcastable row / ≤|query| rows — the joins that attach them
+  are broadcast hash joins, never a shuffle of the corpus side;
+- the per-(doc, term) partial scores are summed as DECIMALS after
+  rounding, so the document score is independent of partition order /
+  term arrival order and the DuckDB oracle reproduces it bit-for-bit
+  (the repo-wide decimal-exact aggregation rule);
+- top-k is a global ``orderBy(...).limit(k)`` — Spark plans
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+  NOT a full sort shuffle.
+
+No Python rows anywhere: pure pyspark.sql expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# score precision: partial scores rounded to 9 decimals, summed exactly
+_SCALE = 9
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25(query) → (id, score, rank).
+
+    idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))  (Robertson/Lucene
+    form — always positive), tf saturation k1, length normalization b
+    against the corpus mean token count. Ties break on doc id ascending.
+
+    Per-term partial scores are computed in float64 with one fixed
+    expression tree (identical in the DuckDB oracle), rounded to 9
+    decimals, and summed as DECIMAL(38,9) so the total is exact and
+    term-order/partition independent; the final score is surfaced
+    rounded to 6.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).select("id", "toks", F.size("toks").cast("long").alias("dl"))
+
+    # corpus constants: one row, broadcast to every partial-score row
+    consts = F.broadcast(
+        base.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.sum("dl") / F.count("*")).alias("avgdl"),
+        )
+    )
+
+    # per-(doc, term) counts — tokens filtered to the query terms BEFORE
+    # the explode/shuffle, so the aggregated stream is tiny
+    tf = (
+        base.select(
+            "id",
+            "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: t.isin(*terms))
+            ).alias("term"),
+        )
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+    # per-term document frequency: ≤ |query| rows — broadcast
+    dfreq = F.broadcast(
+        tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    part = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+        * idf
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(consts)
+        .select(
+            "id",
+            F.round(part, _SCALE)
+            .cast(f"decimal(38,{_SCALE})")
+            .alias("part"),
+        )
+        .groupBy("id")
+        .agg(F.sum("part").alias("dscore"))
+    )
+    # TakeOrderedAndProject keeps k rows; ranking the k survivors is a
+    # single-partition window over k rows (exact dscore order, then the
+    # display score is rounded)
+    top = scored.orderBy(F.col("dscore").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("dscore").desc(), F.col("id").asc())
+    return top.select(
+        "id",
+        F.round(F.col("dscore").cast("double"), 6).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )

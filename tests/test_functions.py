@@ -834,3 +834,50 @@ class TestChunkingAndShards:
                 pos[idx] = pos.get(idx, 0) + 1
                 want.append((i, f"{bkt}:{idx}", pos[idx], n))
         assert a == sorted(want)
+
+
+class TestBM25:
+    def test_matches_brute_force_and_plan(self, spark):
+        import math
+
+        from ppocr_spark.functions.search import bm25_topk
+
+        corpus = {
+            1: "hash join hash probe build",
+            2: "stream stream stream window",
+            3: "vector hash stream",
+            4: "sort merge join",          # no query term: absent
+            5: "hash",                      # short doc: length norm boost
+        }
+        df = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        out = bm25_topk(df, ["hash", "stream", "vector"], k=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+        got = [(r.id, r.score, r.rank) for r in out.collect()]
+
+        # brute force with the identical formula + rounding discipline
+        toks = {i: t.split() for i, t in corpus.items()}
+        n, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+        dfreq = {
+            t: sum(1 for v in toks.values() if t in v)
+            for t in ("hash", "stream", "vector")
+        }
+        scores = {}
+        for i, v in toks.items():
+            s = 0
+            for t, dfp in dfreq.items():
+                tf = v.count(t)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5))
+                part = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl))) * idf
+                # emulate round-half-up to 9 then exact sum (decimal)
+                s += round(part * 1e9) / 1e9
+            if s:
+                scores[i] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        want = [(i, round(s, 6), r + 1) for r, (i, s) in enumerate(want)]
+        assert got == want
+        assert 4 not in {i for i, _, _ in got}
