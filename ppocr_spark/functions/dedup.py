@@ -313,7 +313,29 @@ def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("id", "bk.band", "bk.key")
 
 
-def _band_join(banded: DataFrame) -> DataFrame:
+def _band_join(banded: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Equi-self-join on (band, key): candidate pairs = same-bucket rows.
+
+    ``max_bucket`` is the production skew valve: a bucket with m members
+    contributes m²/2 candidate pairs IN ONE TASK (join keys cannot be
+    split by AQE), and at corpus scale hot boilerplate shingles create
+    buckets with 10^5+ members — 10^10 pairs behind a single key. With
+    the cap set, buckets larger than ``max_bucket`` are EXCLUDED from
+    pair generation (the standard recall trade in large-scale LSH dedup
+    pipelines): their members are overwhelmingly exact duplicates /
+    boilerplate that the exact-dedup pass upstream already groups, and a
+    true near-dup pair inside a dropped bucket is still found via any of
+    its other ``bands-1`` band keys. Default None = exact semantics
+    (every bucket joined), which is what every oracle checks."""
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count("*").alias("__m")
+        )
+        banded = (
+            banded.join(sizes, ["band", "key"])
+            .filter(F.col("__m") <= max_bucket)
+            .drop("__m")
+        )
     return (
         banded.alias("x")
         .join(
@@ -334,12 +356,14 @@ def minhash_lsh_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash: signature of k hashes
     split into `bands` bands of k/bands rows; docs sharing any full band
-    land in the same bucket. Join is per-bucket → sub-quadratic."""
+    land in the same bucket. Join is per-bucket → sub-quadratic.
+    ``max_bucket``: skew valve for hot buckets (see ``_band_join``)."""
     sig = _gram_sig_table(df, k, n, text_col, id_col)
-    return _band_join(_banded(sig, k, bands))
+    return _band_join(_banded(sig, k, bands), max_bucket)
 
 
 def minhash_dedup_pairs(
@@ -350,11 +374,13 @@ def minhash_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by true n-gram Jaccard (candidates only —
-    the verify join touches a tiny fraction of the corpus)."""
+    the verify join touches a tiny fraction of the corpus).
+    ``max_bucket``: skew valve for hot buckets (see ``_band_join``)."""
     tbl = _gram_sig_table(df, k, n, text_col, id_col)
-    cands = _band_join(_banded(tbl, k, bands))
+    cands = _band_join(_banded(tbl, k, bands), max_bucket)
     grams = tbl.select("id", F.col("grams").alias("gs"))
     return (
         cands.join(grams.withColumnRenamed("id", "a")

@@ -881,3 +881,26 @@ class TestBM25:
         want = [(i, round(s, 6), r + 1) for r, (i, s) in enumerate(want)]
         assert got == want
         assert 4 not in {i for i, _, _ in got}
+
+
+class TestBandBucketCap:
+    def test_max_bucket_suppresses_hot_buckets_only(self, spark):
+        from ppocr_spark.functions.dedup import minhash_lsh_candidates
+
+        hot = [(i, "spark spark spark boilerplate footer text here")
+               for i in range(100, 120)]  # 20 identical docs: hot buckets
+        near = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+        ]
+        df = spark.createDataFrame(hot + near, "doc_id long, text string")
+        full = {(r.a, r.b) for r in minhash_lsh_candidates(df).collect()}
+        capped = {
+            (r.a, r.b)
+            for r in minhash_lsh_candidates(df, max_bucket=5).collect()
+        }
+        # default: exact semantics — hot-group pairs all present
+        assert (100, 101) in full and (1, 2) in full
+        # capped: the 20-member buckets are excluded, small buckets kept
+        assert capped and all(a < 100 for a, _ in capped)
+        assert (1, 2) in capped
