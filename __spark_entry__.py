@@ -1181,7 +1181,8 @@ comp AS (
 ref AS (
   SELECT cl, list(c ORDER BY pos) AS cent FROM (
     SELECT cl, pos,
-           (sum(CAST(val AS DECIMAL(27,7)))::DOUBLE / count(*)) AS c
+           (sum(CAST(round(val::DOUBLE, 7) AS DECIMAL(27,7)))::DOUBLE
+            / count(*)) AS c
     FROM comp GROUP BY cl, pos
   ) GROUP BY cl
 ),
@@ -1221,6 +1222,135 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# list_reduce = strict left fold, matching Spark's F.aggregate evaluation
+# order bit-for-bit (list_sum may regroup and land on the other side of a
+# round-6 boundary when the distance VALUE is exported)
+_KM_D_OF = (
+    "list_reduce(list_transform(range(1, 65), j -> "
+    "(e.embedding[j]::DOUBLE - {c}[j]) * "
+    "(e.embedding[j]::DOUBLE - {c}[j])), (a, b) -> a + b)"
+)
+
+
+def _kmeans_cte(iters: int = 2) -> str:
+    """CTE chain replaying kmeans_fit_assign bit-for-bit: per iteration,
+    argmin assignment (ties → lowest cluster), decimal-exact means,
+    empty clusters coalescing to the PREVIOUS iteration's centroid.
+    Ends with a CTE ``full_{iters}`` holding the final centroid table."""
+    from ppocr_spark.functions.similarity import _ivf_init
+
+    init = _ivf_init(64, 8, seed=7, scale=0.125)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(init)
+    )
+    parts = [f"full_0(cl, cent) AS (VALUES {vals})"]
+    for it in range(1, iters + 1):
+        prev = f"full_{it - 1}"
+        parts.append(f"""
+a_{it} AS (
+  SELECT vec_id, embedding, cl FROM (
+    SELECT e.vec_id, e.embedding, f.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_D_OF.format(c='f.cent')}, f.cl)
+             AS rn
+    FROM embeddings e CROSS JOIN {prev} f
+  ) WHERE rn = 1
+),
+m_{it} AS (
+  SELECT cl, list(c ORDER BY pos) AS cent FROM (
+    SELECT cl, pos,
+           (sum(CAST(round(val::DOUBLE, 7) AS DECIMAL(27,7)))::DOUBLE
+            / count(*)) AS c
+    FROM (SELECT cl, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS val FROM a_{it})
+    GROUP BY cl, pos
+  ) GROUP BY cl
+),
+full_{it} AS (
+  SELECT p.cl, coalesce(m.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN m_{it} m ON p.cl = m.cl
+)""")
+    return ", ".join(parts)
+
+
+def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic k-means (library
+    similarity.kmeans_fit_assign): 2 Lloyd rounds, decimal-exact means,
+    literal seeded init; output = final (vec_id, cluster, sq_dist).
+    Oracle unrolls both iterations in SQL and must agree bit-for-bit."""
+    from ppocr_spark.functions.similarity import kmeans_fit_assign
+
+    e = _load(spark, sf_dir, "embeddings")
+    assignment, _ = kmeans_fit_assign(e, n_centroids=8, iters=2, dim=64)
+    return assignment.withColumnRenamed("id", "vec_id").orderBy("vec_id")
+
+
+def _embedding_kmeans_sql() -> str:
+    return f"""
+WITH {_kmeans_cte(2)}
+SELECT vec_id, cluster, round(d, 6) AS sq_dist FROM (
+  SELECT e.vec_id, f.cl AS cluster,
+         {_KM_D_OF.format(c='f.cent')} AS d,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_KM_D_OF.format(c='f.cent')}, f.cl)
+           AS rn
+  FROM embeddings e CROSS JOIN full_2 f
+) WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (library similarity.semantic_dedup):
+    k-means cells → within-cell cosine pairs only → connected
+    components → keep-one. Oracle replays the k-means chain, the
+    within-cell pair search, and recursive reachability."""
+    from ppocr_spark.functions.similarity import semantic_dedup
+
+    e = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, threshold=0.4, n_centroids=8, iters=2, dim=64
+    ).orderBy("vec_id")
+
+
+def _dedup_semantic_sql() -> str:
+    return f"""
+WITH RECURSIVE {_kmeans_cte(2)},
+asg AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, f.cl AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_D_OF.format(c='f.cent')}, f.cl)
+             AS rn
+    FROM embeddings e CROSS JOIN full_2 f
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM asg x JOIN asg y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(x.embedding::DOUBLE[],
+                               x.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(y.embedding::DOUBLE[],
+                               y.embedding::DOUBLE[]))) >= 0.4
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS node, u AS lab FROM edges
+  UNION
+  SELECT e2.v, r.lab FROM reach r JOIN edges e2 ON e2.u = r.node
+), cc AS (
+  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT v.vec_id,
+       coalesce(cc.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = coalesce(cc.cluster_id, v.vec_id) AS keep
+FROM embeddings v LEFT JOIN cc ON cc.node = v.vec_id
+ORDER BY v.vec_id
 """
 
 
@@ -2350,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "token_shards": _token_shards,
         "text_bm25_topk": _bm25_topk,
+        "embedding_kmeans": _embedding_kmeans,
+        "dedup_semantic": _dedup_semantic,
     }
 
 
@@ -2418,4 +2550,6 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(),
         "token_shards": _token_shards_sql(),
         "text_bm25_topk": _bm25_topk_sql(),
+        "embedding_kmeans": _embedding_kmeans_sql(),
+        "dedup_semantic": _dedup_semantic_sql(),
     }

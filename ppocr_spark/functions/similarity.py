@@ -298,9 +298,14 @@ def ivf_topk(
         "cl", F.posexplode("nv").alias("pos", "val")
     )
     sums = comp.groupBy("cl", "pos").agg(
-        # decimal sum: exact & order-independent across partials (float
-        # sums would diverge from the sequential oracle)
-        F.sum(F.col("val").cast("decimal(27,7)")).alias("s"),
+        # round-THEN-cast: round(double, 7) pins the value both engines
+        # agree on before the decimal conversion (a bare float→decimal
+        # cast leaves the 7th-digit rounding to engine-specific
+        # float-repr rules — the sums drift at ~1e-7/row); the decimal
+        # sum itself is exact & order-independent across partials
+        F.sum(
+            F.round(F.col("val").cast("double"), 7).cast("decimal(27,7)")
+        ).alias("s"),
         F.count("*").alias("n"),
     )
     refined = (
@@ -441,4 +446,138 @@ def lsh_topk(
             F.round("cosine", 6).alias("cosine"),
             "rank",
         )
+    )
+
+
+def kmeans_fit_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    init_scale: float = 0.125,
+):
+    """Deterministic distributed k-means (Lloyd) over an embedding
+    column: seeded literal init centroids, then ``iters`` rounds of
+    (argmin assignment, per-dimension DECIMAL-exact means). Returns
+    ``(assignment_df, centroids)`` where the assignment is
+    (id, cluster, sq_dist) under the FINAL centroids.
+
+    Determinism contract (what lets a SQL oracle replay it bit-for-bit):
+    distances are left-fold sums in dimension order (``_sq_dist``), ties
+    break to the lowest cluster index, per-cluster means are decimal
+    sums divided once in double, and an emptied cluster keeps its
+    previous centroid. Identical on any partitioning / cluster size.
+
+    Scale shape (the ``ivf_topk`` skeleton, iterated): each round is one
+    slim groupBy over (cluster, dim-position) — map-side partial
+    aggregation, shuffle of ≤ n_centroids×dim rows — plus a driver sync
+    of the centroid table (bounded by n_centroids×dim, like IVF's).
+    Assignment re-derives from the source column each round: at corpus
+    scale persist the slim (id, vector) projection before calling. Plan
+    literals bound n_centroids to a coarse quantizer (≤ a few hundred);
+    a fine quantizer should rank via a broadcast join instead."""
+    init = _ivf_init(dim, n_centroids, seed, init_scale)
+    c0 = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = [list(c) for c in init]
+    for _ in range(iters):
+        assigned = c0.select(
+            "id", "v",
+            _nearest_centroid(
+                F.col("v"), [_sq_dist(F.col("v"), c) for c in cents]
+            ).alias("cl"),
+        )
+        sums = (
+            assigned.select("cl", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cl", "pos")
+            .agg(
+                # round-then-cast — see ivf_topk's Lloyd step
+                F.sum(
+                    F.round(F.col("val").cast("double"), 7)
+                    .cast("decimal(27,7)")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        refined = (
+            sums.select(
+                "cl", "pos",
+                (F.col("s").cast("double") / F.col("n")).alias("c"),
+            )
+            .groupBy("cl")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cent")
+            )
+        )
+        got = {r["cl"]: r["cent"] for r in refined.collect()}
+        cents = [list(got.get(i, cents[i])) for i in range(n_centroids)]
+    dists = [_sq_dist(F.col("v"), c) for c in cents]
+    assignment = c0.select(
+        F.col("id"),
+        _nearest_centroid(F.col("v"), dists).alias("cluster"),
+        F.round(F.array_min(F.array(*dists)), 6).alias("sq_dist"),
+    )
+    return assignment, cents
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-partition the embedding
+    space, find cosine-similar pairs ONLY within a cluster, then keep one
+    representative per connected similarity group →
+    (id, cluster_id, keep).
+
+    The cluster equi-join is the scale device (the SemDeDup observation:
+    semantic dups co-locate in embedding-space cells, so the pair search
+    is per-cell ~ (n/k)² instead of n²). Caveat inherited from the
+    method: a dup pair straddling two cells is missed — recall is traded
+    for the k× cost cut; the LSH path (``lsh_near_dup_pairs``) is the
+    recall-bounded alternative."""
+    assignment, _ = kmeans_fit_assign(
+        emb, n_centroids, iters, dim, id_col, vec_col, seed
+    )
+    from ppocr_spark import cache
+
+    e = cache.track(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        ).join(assignment.select("id", "cluster"), "id")
+    )
+    pairs = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            (
+                _dot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nrm") * F.col("y.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    from ppocr_spark.functions.dedup import dedup_representatives
+
+    return (
+        dedup_representatives(pairs, emb, id_col=id_col)
+        .withColumnRenamed("doc_id", id_col)
     )

@@ -904,3 +904,48 @@ class TestBandBucketCap:
         # capped: the 20-member buckets are excluded, small buckets kept
         assert capped and all(a < 100 for a, _ in capped)
         assert (1, 2) in capped
+
+
+class TestKMeansSemantic:
+    def test_kmeans_layout_independent_and_improves(self, spark):
+        from pyspark.sql import functions as F
+
+        from ppocr_spark.functions.similarity import kmeans_fit_assign
+
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        a1, c1 = kmeans_fit_assign(e, n_centroids=8, iters=2, dim=64)
+        a2, c2 = kmeans_fit_assign(
+            e.repartition(11), n_centroids=8, iters=2, dim=64
+        )
+        assert c1 == c2  # decimal-exact means: layout-independent
+        r1 = sorted(map(tuple, a1.collect()))
+        assert r1 == sorted(map(tuple, a2.collect()))
+        # more Lloyd rounds must not increase total distortion
+        def cost(it):
+            a, _ = kmeans_fit_assign(e, n_centroids=8, iters=it, dim=64)
+            return a.agg(F.sum("sq_dist")).collect()[0][0]
+
+        assert cost(2) <= cost(1) <= cost(0) + 1e-9
+
+    def test_semantic_dedup_finds_planted_dup(self, spark):
+        import numpy as np
+
+        from ppocr_spark.functions.similarity import semantic_dedup
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((30, 64)).astype(np.float32)
+        base[9] = base[4] + rng.standard_normal(64).astype(np.float32) * 0.01
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.vec_id: (r.cluster_id, r.keep)
+               for r in semantic_dedup(emb, threshold=0.9).collect()}
+        from ppocr_spark import cache
+
+        cache.release_all()
+        assert len(out) == 30
+        # the planted near-copy lands in 4's cluster and is dropped
+        assert out[9] == (4, False) and out[4] == (4, True)
+        # everyone else is a singleton keeper
+        assert all(v == (i, True) for i, v in out.items() if i not in (4, 9))
