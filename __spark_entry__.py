@@ -2149,6 +2149,45 @@ FROM sc ORDER BY dscore DESC, id ASC LIMIT 15
 """
 
 
+def _tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (library search.tfidf_topk_terms):
+    top-3 terms by (tf/dl)·ln(N/df), rounded scores rank with term-asc
+    ties. One corpus shuffle + a vocabulary-bounded df table."""
+    from ppocr_spark.functions.search import tfidf_topk_terms
+
+    d = _load(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, k=3).orderBy("id", "rank")
+
+
+def _tfidf_terms_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, {_DUCK_TOKS} AS toks FROM documents
+), dd AS (
+  SELECT id, len(toks)::DOUBLE AS dl, toks FROM d
+), nd AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM dd
+), tf AS (
+  SELECT id, dl, term, count(*)::DOUBLE AS tfv
+  FROM (SELECT id, dl, unnest(toks) AS term FROM dd)
+  GROUP BY id, dl, term
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT id, term, tfv::BIGINT AS tfc,
+         round((tfv / dl) * ln(n_docs / df), 9) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT id, term, tfc, score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT id, term, tfc AS tf, score, rnk::INT AS rank
+FROM ranked WHERE rnk <= 3 ORDER BY id, rank
+"""
+
+
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (library text.pii_scrub/pii_counts): per-row JVM
     regexp chain over the Java∩RE2 pattern subset. The corpus text carries
@@ -2482,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _bm25_topk,
         "embedding_kmeans": _embedding_kmeans,
         "dedup_semantic": _dedup_semantic,
+        "text_tfidf_terms": _tfidf_terms,
     }
 
 
@@ -2552,4 +2592,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_topk": _bm25_topk_sql(),
         "embedding_kmeans": _embedding_kmeans_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
+        "text_tfidf_terms": _tfidf_terms_sql(),
     }

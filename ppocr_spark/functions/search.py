@@ -130,3 +130,69 @@ def bm25_topk(
         F.round(F.col("dscore").cast("double"), 6).alias("score"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf → (id, term, tf, score,
+    rank) — the keyword/topic-mining pass of a corpus pipeline.
+
+    tf-idf(t, d) = (tf / dl) * ln(N / df_t) with raw counts, natural log,
+    ties → term ascending. ``min_df`` drops hapax noise before ranking.
+
+    Scale shape: one shuffle builds the (doc, term) count table from the
+    exploded token stream (map-side partial aggregation absorbs the
+    explosion), the per-term document-frequency table derives from the
+    SAME table (one more bounded shuffle on term — vocabulary-sized, not
+    corpus-sized), and the re-join of idf onto the counts is an equi-join
+    on term. The final top-k is a per-document window — partitions
+    bounded by a document's distinct-term count. No driver-side state,
+    no broadcast of anything unbounded (vocabularies outgrow broadcast).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).select("id", "toks", F.size("toks").cast("double").alias("dl"))
+    n_docs = F.broadcast(
+        base.agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    tf = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    ).filter(F.col("df") >= float(min_df))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("long").alias("tf_count"),
+            F.round(
+                (F.col("tf") / F.col("dl"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id",
+            "term",
+            F.col("tf_count").alias("tf"),
+            "score",
+            "rank",
+        )
+    )

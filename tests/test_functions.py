@@ -949,3 +949,27 @@ class TestKMeansSemantic:
         assert out[9] == (4, False) and out[4] == (4, True)
         # everyone else is a singleton keeper
         assert all(v == (i, True) for i, v in out.items() if i not in (4, 9))
+
+
+class TestTfIdf:
+    def test_keywords_and_min_df(self, spark):
+        from ppocr_spark.functions.search import tfidf_topk_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple apple apple common common"),
+                (2, "banana banana common common common"),
+                (3, "cherry common common unique"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_topk_terms(df, k=2).collect()
+        top1 = {r.id: r.term for r in out if r.rank == 1}
+        # the distinctive term wins over the corpus-wide one
+        assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+        # 'common' appears in all docs: idf = ln(1) = 0
+        assert all(r.score == 0.0 for r in out if r.term == "common")
+        # min_df prunes terms below the document-frequency floor
+        pruned = tfidf_topk_terms(df, k=2, min_df=2).collect()
+        assert all(r.term != "cherry" and r.term != "unique"
+                   for r in pruned)
