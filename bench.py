@@ -88,6 +88,10 @@ def main():
         "dedup_embedding_clusters",
         "chunk_documents",
         "token_shards",
+        "text_bm25_topk",
+        "text_tfidf_terms",
+        "embedding_kmeans",
+        "dedup_semantic",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
