@@ -254,26 +254,26 @@ def ngram_jaccard_pairs(
     )
 
 
-def _gram_sig_table(
-    df: DataFrame, k: int, n: int, text_col: str, id_col: str
+def gram_signature_rows(
+    df: DataFrame,
+    k: int,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Persisted slim table (id, grams, sig).
-
-    Two deliberate scale choices: (1) grams are projected to a column
-    BEFORE the k minhash lambdas so the n-gram pipeline runs once per row,
-    not k times (Catalyst does not CSE across lambda bodies); (2) the table
-    is persisted via ``cache.track`` (released by ``cache.release_all``
-    after the consuming action, so long sessions don't accumulate dead
-    cache), because LSH self-joins its derivation — without a
-    materialization Spark recomputes text→grams→sig on BOTH sides of the
-    band join and again in the verify join. The persisted footprint is the
-    signature projection only (~100 bytes + grams per doc), not the corpus.
-    """
-    slim = _spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    )
-    tbl = (
-        slim.select("id", tokens(F.col("t")).alias("toks"))
+    """(id, grams, sig) — THE MinHash signature chain: tokens → ≥n-token
+    filter → distinct word n-grams → k-permutation signature. Shared by
+    the batch sig table (``_gram_sig_table``) and the streaming detector
+    (``streaming.stream.stream_dedup_near``) so both paths band
+    identically — a change here changes both or neither. Each stage is
+    projected to a materialized column before the next so the n-gram
+    pipeline runs ONCE per row (Catalyst does not CSE across lambda
+    bodies; inlining the chain into the k minhash lambdas evaluates it
+    k times)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+        )
         .filter(F.size("toks") >= n)
         .select(
             "id",
@@ -285,7 +285,26 @@ def _gram_sig_table(
             "id", "grams", minhash_from_grams(F.col("grams"), k).alias("sig")
         )
     )
-    return cache.track(tbl)
+
+
+def _gram_sig_table(
+    df: DataFrame, k: int, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Persisted slim table (id, grams, sig).
+
+    Persisted via ``cache.track`` (released by ``cache.release_all``
+    after the consuming action, so long sessions don't accumulate dead
+    cache), because LSH self-joins its derivation — without a
+    materialization Spark recomputes text→grams→sig on BOTH sides of the
+    band join and again in the verify join. The persisted footprint is the
+    signature projection only (~100 bytes + grams per doc), not the corpus.
+    """
+    slim = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
+    return cache.track(
+        gram_signature_rows(slim, k, n, text_col="t", id_col="id")
+    )
 
 
 def band_key_structs(sig: Column, k: int, bands: int) -> Column:
@@ -323,10 +342,14 @@ def _band_join(banded: DataFrame, max_bucket: int | None = None) -> DataFrame:
     the cap set, buckets larger than ``max_bucket`` are EXCLUDED from
     pair generation (the standard recall trade in large-scale LSH dedup
     pipelines): their members are overwhelmingly exact duplicates /
-    boilerplate that the exact-dedup pass upstream already groups, and a
-    true near-dup pair inside a dropped bucket is still found via any of
-    its other ``bands-1`` band keys. Default None = exact semantics
-    (every bucket joined), which is what every oracle checks."""
+    boilerplate that the exact-dedup pass upstream already groups. The
+    recall loss is PROBABILISTIC, not recoverable: a pair whose only
+    collision was in the dropped bucket is lost unless one of the other
+    ``bands-1`` independent band keys ALSO collides — likely for
+    high-Jaccard pairs, increasingly unlikely near the threshold (that
+    chance is the banding S-curve itself). Default None = exact
+    semantics (every bucket joined), which is what every oracle
+    checks."""
     if max_bucket is not None:
         sizes = banded.groupBy("band", "key").agg(
             F.count("*").alias("__m")

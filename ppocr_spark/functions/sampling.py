@@ -218,8 +218,13 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # tokenize ONCE into a materialized column — the regex split chain is
+    # the dominant per-row cost, and Catalyst does not share the
+    # subexpression across the filter / sequence bound / slice uses
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n = F.size(F.col("__toks"))
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
         # keep a start iff the previous window did not already reach the
@@ -227,10 +232,9 @@ def chunk_documents(
         lambda s: (s == 0) | (s - stride + chunk_tokens < n),
     )
     return (
-        df.filter(n > 0)
-        .select(
+        base.select(
             F.col(id_col),
-            toks.alias("__toks"),
+            F.col("__toks"),
             F.posexplode(starts).alias("chunk_idx", "__start"),
         )
         .select(

@@ -255,6 +255,47 @@ def _nearest_centroid(vec: Column, cents: list[Column]) -> Column:
     return F.array_min(arr)["i"]
 
 
+def _lloyd_refine(
+    vecs: DataFrame, prev: list, vec_col: str = "nv", cl_col: str = "cl"
+) -> list:
+    """One distributed Lloyd refinement shared by ``ivf_topk`` and
+    ``kmeans_fit_assign``: per-(cluster, dim-position) DECIMAL-exact
+    means over ``vecs`` (rows already carry their assignment in
+    ``cl_col``), clusters that received no rows keeping their ``prev``
+    centroid. The round-THEN-cast rule is parity-critical: round(double,
+    7) pins the value both engines agree on before the decimal
+    conversion (a bare float→decimal cast leaves the 7th-digit rounding
+    to engine-specific float-repr rules — sums drift at ~1e-7/row); the
+    decimal sum itself is exact & order-independent across partials.
+    Driver sync is bounded by the centroid table (n_centroids × dim)."""
+    sums = (
+        vecs.select(cl_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(cl_col, "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("val").cast("double"), 7)
+                .cast("decimal(27,7)")
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    refined = (
+        sums.select(
+            cl_col, "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("c"),
+        )
+        .groupBy(cl_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+    )
+    got = {r[cl_col]: r["cent"] for r in refined.collect()}
+    return [list(got.get(i, prev[i])) for i in range(len(prev))]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -294,36 +335,8 @@ def ivf_topk(
             F.col("nv"), [_sq_dist(F.col("nv"), c) for c in init]
         ).alias("cl"),
     )
-    comp = assigned.select(
-        "cl", F.posexplode("nv").alias("pos", "val")
-    )
-    sums = comp.groupBy("cl", "pos").agg(
-        # round-THEN-cast: round(double, 7) pins the value both engines
-        # agree on before the decimal conversion (a bare float→decimal
-        # cast leaves the 7th-digit rounding to engine-specific
-        # float-repr rules — the sums drift at ~1e-7/row); the decimal
-        # sum itself is exact & order-independent across partials
-        F.sum(
-            F.round(F.col("val").cast("double"), 7).cast("decimal(27,7)")
-        ).alias("s"),
-        F.count("*").alias("n"),
-    )
-    refined = (
-        sums.select(
-            "cl", "pos",
-            (F.col("s").cast("double") / F.col("n")).alias("c"),
-        )
-        .groupBy("cl")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cent")
-        )
-    )
-    cents = {r["cl"]: r["cent"] for r in refined.collect()}
     # empty clusters keep their init centroid (mirrored in the oracle)
-    full = [cents.get(i, init[i]) for i in range(n_centroids)]
+    full = _lloyd_refine(assigned, init)
 
     inv = c0.select(
         "nid", "nv",
@@ -489,33 +502,7 @@ def kmeans_fit_assign(
                 F.col("v"), [_sq_dist(F.col("v"), c) for c in cents]
             ).alias("cl"),
         )
-        sums = (
-            assigned.select("cl", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cl", "pos")
-            .agg(
-                # round-then-cast — see ivf_topk's Lloyd step
-                F.sum(
-                    F.round(F.col("val").cast("double"), 7)
-                    .cast("decimal(27,7)")
-                ).alias("s"),
-                F.count("*").alias("n"),
-            )
-        )
-        refined = (
-            sums.select(
-                "cl", "pos",
-                (F.col("s").cast("double") / F.col("n")).alias("c"),
-            )
-            .groupBy("cl")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("cent")
-            )
-        )
-        got = {r["cl"]: r["cent"] for r in refined.collect()}
-        cents = [list(got.get(i, cents[i])) for i in range(n_centroids)]
+        cents = _lloyd_refine(assigned, cents, vec_col="v")
     dists = [_sq_dist(F.col("v"), c) for c in cents]
     assignment = c0.select(
         F.col("id"),

@@ -318,27 +318,44 @@ def stream_dedup_near(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
 ):
-    """Streaming NEAR-dup candidate detection — the online twin of the
-    batch MinHash+LSH stage (``dedup.minhash_lsh_candidates``): documents
-    arriving as (doc_id, text) files are banded with EXACTLY the batch
-    key construction (``dedup.band_key_structs`` over the same
-    tokens→distinct n-grams→minhash chain, all JVM expressions), and a
-    custom stateful operator (``applyInPandasWithState`` keyed by
-    (band, key)) remembers the first document seen per bucket.
+    """Streaming NEAR-dup SCREEN — the online first-arrival companion of
+    the batch MinHash+LSH stage: documents arriving as (doc_id, text)
+    files are banded with EXACTLY the batch key construction
+    (``dedup.gram_signature_rows`` → ``dedup.band_key_structs`` — one
+    shared chain, so the emitted (doc_id, band, key) rows equal the batch
+    ``_banded`` table row-for-row), and a custom stateful operator
+    (``applyInPandasWithState`` keyed by (band, key)) remembers the first
+    document seen per bucket.
 
     Output: one row per (document, band) observation —
     (doc_id, band, key, keeper, is_first) where ``keeper`` is the bucket's
     first-arrival doc_id (min doc_id inside a single micro-batch, earlier
     batch wins across batches, surviving restarts via the checkpointed
-    state store). A document is a near-dup CANDIDATE iff any of its rows
-    has ``is_first = false`` — exactly the batch band-join candidate set,
-    to be verified downstream by the batch Jaccard stage (same
-    candidates→verify split as the batch path).
+    state store). A document is flagged iff any of its rows has
+    ``is_first = false``.
+
+    Semantics vs the batch path — the flagged SET equals the batch
+    band-join candidate set (a doc collides with some earlier doc iff it
+    shares a bucket), but the candidate PAIRS are the keeper-star subset:
+    a later arrival is paired with its bucket's retained first-arrival
+    only, never with other non-keeper members (storing every member would
+    make state corpus-sized). That is the ingest-screen contract — "is
+    this new doc similar to something already kept?" — and downstream
+    verification should check flagged docs against their keepers; the
+    exhaustive pair list (including non-keeper×non-keeper pairs) is the
+    batch stage's job.
 
     Bounded state: a processing-time timeout evicts buckets untouched for
     ``state_ttl_ms`` — state ~ (distinct buckets in the TTL horizon), not
     corpus size, which is what lets this run forever at 100 TB ingest.
     Docs with fewer than ``n`` tokens emit no bands (the batch rule).
+
+    Termination: with ``available_now=True`` (drain mode) the TTL is
+    disabled (``NoTimeout``) so the query terminates once the available
+    files are processed — with a processing-time timeout configured,
+    Structured Streaming keeps scheduling timeout-check batches and an
+    availableNow query NEVER self-terminates. A continuous deployment
+    (``available_now=False``) gets the TTL eviction.
     """
     import pandas as pd
 
@@ -349,11 +366,9 @@ def stream_dedup_near(
         GroupStateTimeout,
     )
 
-    from ppocr_spark.functions.dedup import band_key_structs
-    from ppocr_spark.functions.text import (
-        minhash_from_grams,
-        ngrams_from_tokens,
-        tokens,
+    from ppocr_spark.functions.dedup import (
+        band_key_structs,
+        gram_signature_rows,
     )
 
     out_schema = T.StructType.fromDDL(
@@ -379,7 +394,8 @@ def stream_dedup_near(
             ids.extend(pdf["doc_id"].tolist())
         keeper = state.get[0] if state.exists else min(ids)
         state.update((keeper,))
-        state.setTimeoutDuration(state_ttl_ms)
+        if not available_now:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             [
                 {"doc_id": d, "band": band, "key": bkey,
@@ -388,10 +404,6 @@ def stream_dedup_near(
             ]
         )
 
-    toks = tokens(F.col("text"))
-    sig = minhash_from_grams(
-        F.array_distinct(ngrams_from_tokens(toks, n)), k
-    )
     stream = (
         spark.readStream.schema(
             T.StructType.fromDDL("doc_id string, text string")
@@ -400,9 +412,10 @@ def stream_dedup_near(
         .parquet(documents_dir)
     )
     banded = (
-        stream.filter(F.size(toks) >= n)
+        gram_signature_rows(stream, k, n)  # the batch chain, verbatim
         .select(
-            "doc_id", F.explode(band_key_structs(sig, k, bands)).alias("bk")
+            F.col("id").alias("doc_id"),
+            F.explode(band_key_structs(F.col("sig"), k, bands)).alias("bk"),
         )
         .select("doc_id", "bk.band", "bk.key")
     )
@@ -411,7 +424,11 @@ def stream_dedup_near(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if available_now
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     writer = (
         flagged.writeStream.outputMode("append")

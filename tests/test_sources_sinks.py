@@ -581,31 +581,19 @@ class TestStreamingNearDedup:
         the batch _banded table for the same documents."""
         from ppocr_spark.streaming.stream import stream_dedup_near
 
-        import time
-
-        def drain(q, want_rows, timeout_s=240):
-            # ProcessingTimeTimeout keeps scheduling timeout-check
-            # batches, so availableNow never self-terminates: poll the
-            # sink for the expected row count, then stop the query.
-            deadline = time.time() + timeout_s
-            while time.time() < deadline:
-                try:
-                    if spark.read.parquet(out).count() >= want_rows:
-                        break
-                except Exception:
-                    pass
-                time.sleep(1)
-            q.stop()
-            q.awaitTermination(60)
+        def drain(q):
+            # drain mode disables the TTL (NoTimeout), so availableNow
+            # self-terminates once the available files are processed —
+            # pinned here: a ProcessingTimeTimeout query never would
+            assert q.awaitTermination(240)
 
         src = tmp_path / "feed"
         src.mkdir()
         out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
         self._drop(spark, src, "0001", ["a1", "a2", "b1", "e1"])
-        # a1/a2/b1 emit 4 bands each; e1 emits none
-        drain(stream_dedup_near(spark, f"{src}/*", out, ckpt), 12)
+        drain(stream_dedup_near(spark, f"{src}/*", out, ckpt))
         self._drop(spark, src, "0002", ["c1", "d1"])
-        drain(stream_dedup_near(spark, f"{src}/*", out, ckpt), 20)
+        drain(stream_dedup_near(spark, f"{src}/*", out, ckpt))
 
         rows = spark.read.parquet(out).collect()
         by_doc: dict = {}
