@@ -1,0 +1,88 @@
+"""Repo-wide physical-plan hygiene audit.
+
+Builds every ``__spark_entry__.queries()`` plan at sf0.001 and flags
+scale-hostile nodes: BroadcastNestedLoopJoin, CartesianProduct, and
+BatchEvalPython (row-at-a-time Python). Exits non-zero on any flag
+outside the whitelist below, so a new query with an accidental
+nested-loop join fails loudly instead of hiding among 65 green values.
+
+Whitelisted flags (each deliberate, each documented at the source):
+
+- 1-row constant attach: ``text_bm25_topk`` / ``text_tfidf_terms`` /
+  ``clean_corpus_stats`` crossJoin a single aggregated stats row onto
+  the stream — Spark plans a BroadcastNestedLoopJoin whose build side is
+  ONE row, i.e. a map, not a quadratic join.
+- labeled baselines: ``dedup_embedding_cosine`` and
+  ``ann_topk_bruteforce`` are the documented all-pairs / brute-force
+  recall baselines the LSH/IVF paths are checked against; their
+  nested-loop shape is the point, and their docstrings say so.
+
+Run: python tools/plan_audit.py   (~2 min)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
+
+WHITELIST: dict[str, set[str]] = {
+    "text_bm25_topk": {"BroadcastNestedLoopJoin"},
+    "text_tfidf_terms": {"BroadcastNestedLoopJoin"},
+    "clean_corpus_stats": {"BroadcastNestedLoopJoin"},
+    "dedup_embedding_cosine": {"BroadcastNestedLoopJoin"},
+    "ann_topk_bruteforce": {"BroadcastNestedLoopJoin"},
+}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from ppocr_spark import cache
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("plan-audit")
+        .getOrCreate()
+    )
+    sf_dir = os.environ.get("PLAN_AUDIT_SF_DIR", "/root/testdata/sf0.001")
+    failures: list[str] = []
+    for name, fn in entry.queries().items():
+        try:
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            hits = {m for m in FLAGS if m in plan}
+        except Exception as ex:  # plan construction itself failed
+            failures.append(f"{name}: ERROR {type(ex).__name__}: {ex}")
+            cache.release_all()
+            continue
+        unexpected = hits - WHITELIST.get(name, set())
+        status = "ok"
+        if unexpected:
+            failures.append(f"{name}: {sorted(unexpected)}")
+            status = "FLAGGED " + ",".join(sorted(unexpected))
+        elif hits:
+            status = "ok (whitelisted " + ",".join(sorted(hits)) + ")"
+        print(f"{status:44s} {name}", flush=True)
+        cache.release_all()
+    if failures:
+        print(f"\n{len(failures)} PLAN FAILURES:")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print("\nall plans clean (whitelist applied)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
