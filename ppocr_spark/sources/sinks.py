@@ -86,12 +86,50 @@ def write_results(results: DataFrame, path: str, partition_cols=("bucket",)):
     w.parquet(path)
 
 
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    shard_tokens: int,
+    bucket_hex: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Export sink for the packing stage: lay the corpus out as
+    ~``shard_tokens``-token training shards (``sampling.token_shards``
+    assignment — deterministic md5 order, documents never split) and
+    write ONE parquet file per shard directory
+    (``out_dir/shard_id=.../``), carrying (id, shard_pos, n_toks, text).
+
+    One-file-per-shard comes from ``repartition(shard_id)`` before the
+    partitioned write — each shard's rows land in a single task, so a
+    shard is one contiguous file a trainer streams in ``shard_pos``
+    order, not a directory of fragments. Reruns are idempotent: dynamic
+    partition overwrite replaces each shard directory atomically (the
+    bucket-resume device, checkpoint.py)."""
+    from ppocr_spark.functions.sampling import token_shards
+
+    shards = token_shards(
+        docs, shard_tokens, bucket_hex, text_col=text_col, id_col=id_col
+    )
+    rows = docs.select(
+        F.col(id_col), F.col(text_col).alias("text")
+    ).join(shards, id_col)
+    (
+        rows.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+
+
 __all__ = [
     "SUCCESS_CODES",
     "ensure_ascii_json",
     "error_envelope",
     "response_envelope",
     "write_results",
+    "write_training_shards",
 ]
 
 

@@ -635,3 +635,40 @@ class TestStreamingNearDedup:
         want = {(r.id, r.band, r.key) for r in _banded(static, 8, 4).collect()}
         got = {(r.doc_id, r.band, r.key) for r in rows}
         assert got == want
+
+
+class TestTrainingShardSink:
+    def test_one_file_per_shard_and_idempotent(self, spark, tmp_path):
+        import glob
+
+        from ppocr_spark.functions.sampling import token_shards
+        from ppocr_spark.sources.sinks import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * (5 + i % 23))) for i in range(200)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / "shards")
+        write_training_shards(df, out, shard_tokens=150)
+        dirs = glob.glob(f"{out}/shard_id=*")
+        assert dirs
+        for d in dirs:
+            files = glob.glob(f"{d}/*.parquet")
+            assert len(files) == 1, d  # one contiguous file per shard
+        back = spark.read.parquet(out)
+        assert back.count() == 200
+        # assignment matches the library op exactly
+        want = {
+            (r.doc_id, r.shard_id, r.shard_pos, r.n_toks)
+            for r in token_shards(df, 150).collect()
+        }
+        got = {
+            (r.doc_id, r.shard_id, r.shard_pos, r.n_toks)
+            for r in back.collect()
+        }
+        assert got == want
+        # rerun converges to the same layout (dynamic overwrite)
+        write_training_shards(df, out, shard_tokens=150)
+        assert spark.read.parquet(out).count() == 200
+        for d in glob.glob(f"{out}/shard_id=*"):
+            assert len(glob.glob(f"{d}/*.parquet")) == 1, d
