@@ -503,11 +503,25 @@ def kmeans_fit_assign(
             ).alias("cl"),
         )
         cents = _lloyd_refine(assigned, cents, vec_col="v")
-    dists = [_sq_dist(F.col("v"), c) for c in cents]
+    # one (dist, idx) struct array: array_min's lexicographic order is
+    # exactly the (min distance, lowest index) rule, and computing the
+    # distances once serves both output columns (the _nearest_centroid +
+    # array_min pair would fold every centroid distance twice per row)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("v"), c).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
     assignment = c0.select(
         F.col("id"),
-        _nearest_centroid(F.col("v"), dists).alias("cluster"),
-        F.round(F.array_min(F.array(*dists)), 6).alias("sq_dist"),
+        best["i"].alias("cluster"),
+        F.round(best["d"], 6).alias("sq_dist"),
     )
     return assignment, cents
 
