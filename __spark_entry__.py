@@ -905,8 +905,8 @@ spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
 SELECT (SELECT count(*) FROM documents) AS n_raw,
        (SELECT count(*) FROM gated) AS n_gated,
        (SELECT count(*) FROM corpus) AS n_after_exact,
-       (SELECT sum(len(t)) FROM corpus) AS total_tokens,
-       (SELECT coalesce(sum(e - s), 0) FROM spans) AS dup_span_tokens
+       (SELECT sum(len(t))::BIGINT FROM corpus) AS total_tokens,
+       (SELECT coalesce(sum(e - s), 0)::BIGINT FROM spans) AS dup_span_tokens
 """
 
 

@@ -113,15 +113,26 @@ def main():
         if name == "ocr_extract_spans":
             ocr_sec = best
 
-    # K5 stage attribution (AutoLogger analog) from a WARM instrumented
-    # pass run after the timed loop, so per-stage shares reflect the same
+    # K5 stage attribution (AutoLogger analog) from WARM instrumented
+    # passes run after the timed loop, so per-stage shares reflect the same
     # steady-state regime as the headline rate (not the cold warmup).
-    stage_metrics = make_stage_metrics(spark)
-    extract_documents(
-        docs_df, media_df, PPOCRConfig(cls=True, use_angle_cls=True),
-        broadcast_media=True, metrics=stage_metrics,
-    ).count()
-    stage_ms = snapshot_stage_metrics(stage_metrics)
+    # Best-of-K per stage: a single instrumented pass on this shared host
+    # can inflate one stage 2-3x (BENCH_r03 recorded cls_ms 38.7 s vs the
+    # 12-13 s kernel truth — an interleaved old-vs-HEAD cls A/B measured
+    # 0.98x, so that spike was co-tenant load, not code). Per-stage minima
+    # across K passes are the comparable-across-rounds numbers; the raw
+    # passes ship alongside so outliers are visible.
+    stage_passes = []
+    for _ in range(K):
+        stage_metrics = make_stage_metrics(spark)
+        extract_documents(
+            docs_df, media_df, PPOCRConfig(cls=True, use_angle_cls=True),
+            broadcast_media=True, metrics=stage_metrics,
+        ).count()
+        stage_passes.append(snapshot_stage_metrics(stage_metrics))
+    stage_ms = {
+        k: min(p[k] for p in stage_passes) for k in stage_passes[0]
+    }
 
     total = round(sum(timings[n] for n in headline), 3)
     out = {
@@ -142,6 +153,7 @@ def main():
         if ocr_sec
         else None,
         "stage_ms": stage_ms,
+        "stage_ms_passes": stage_passes,
     }
     print(json.dumps(out))
     spark.stop()

@@ -63,9 +63,19 @@ def main():
             ddf = con.sql(os_[name])
             drows = ddf.fetchall()
             dcols = [d[0] for d in ddf.description]
+            dtypes = [str(t) for t in ddf.types]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            continue
+        # a typed value-hash (the driver's) can never match HUGEINT against
+        # any Spark type — sum() over integers must be cast ::BIGINT in the
+        # oracle SQL (this exact class failed clean_corpus_stats in r3)
+        huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+        if huge:
+            failures.append((name, f"HUGEINT oracle columns {huge}"))
+            print(f"FAIL {name}: oracle emits HUGEINT columns {huge} "
+                  "(cast ::BIGINT)")
             continue
         if sorted(scols) != sorted(dcols):
             failures.append((name, f"cols {scols} vs {dcols}"))
