@@ -91,6 +91,7 @@ def main():
         "text_bm25_topk",
         "text_tfidf_terms",
         "embedding_kmeans",
+        "embedding_kmeans_fine",
         "dedup_semantic",
     ]
 

@@ -251,10 +251,33 @@ def chunk_documents(
     )
 
 
+# auto bucket sizing target: keep every window partition at or below this
+# many rows (a single reducer sorts one bucket — ~4M slim rows is a
+# comfortable in-memory sort at executor scale)
+TOKEN_SHARD_ROWS_PER_BUCKET = 1 << 22
+
+
+def derive_bucket_hex(n_rows: int) -> int:
+    """Smallest md5-prefix hex width keeping every ``token_shards``
+    window bucket at ~``n_rows / 16^hex <= TOKEN_SHARD_ROWS_PER_BUCKET``
+    rows; capped at 8 (16^8 ≈ 4.3e9 buckets — ample through 10^12+
+    docs, where this returns 5: ~10^6 buckets of ~10^6 rows)."""
+    import math
+
+    if n_rows <= TOKEN_SHARD_ROWS_PER_BUCKET:
+        return 1
+    return max(
+        1,
+        min(8, math.ceil(
+            math.log(n_rows / TOKEN_SHARD_ROWS_PER_BUCKET, 16)
+        )),
+    )
+
+
 def token_shards(
     df: DataFrame,
     shard_tokens: int,
-    bucket_hex: int = 1,
+    bucket_hex: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -266,12 +289,21 @@ def token_shards(
     document. shard_id = (bucket, floor(cumsum_before / shard_tokens)).
 
     Scale path: the order is md5-bucketed FIRST (``16**bucket_hex``
-    macro-buckets) and both windows partition by bucket — window
-    partitions are ~N/buckets rows, there is no global sort, and the
-    layout is reproducible on any cluster size (same md5 order, same
-    shards). Two bounded shuffles total (bucket cumsum + shard
-    row-number). Returns (id, shard_id, shard_pos, n_toks).
+    macro-buckets) and both windows partition by bucket. There is no
+    GLOBAL sort, but each bucket IS one window partition — one reducer
+    task sorts ~N/16^bucket_hex rows, which is the operator's real
+    bound. ``bucket_hex=None`` (default) derives the smallest hex width
+    that keeps that bound ≤ ``TOKEN_SHARD_ROWS_PER_BUCKET`` (~4M rows)
+    from one count() of the input — at 10^12 docs that is bucket_hex=5
+    (~10^6 buckets of ~10^6 rows), where the round-3 default of 1 put
+    N/16 rows behind single reducers (straggler/OOM at corpus scale).
+    Pass an explicit ``bucket_hex`` for a reproducible layout across
+    differently-sized inputs (the shard layout is a function of
+    (corpus, bucket_hex)). Two bounded shuffles total (bucket cumsum +
+    shard row-number). Returns (id, shard_id, shard_pos, n_toks).
     """
+    if bucket_hex is None:
+        bucket_hex = derive_bucket_hex(df.count())
     h = _id_hash(F.col(id_col), "shard")
     base = df.select(
         F.col(id_col),

@@ -9,9 +9,13 @@
   signatures); exact re-rank within candidates. At 100 TB the bucket join
   replaces the all-pairs scan — cost ~ corpus/2^bits per query per table.
 
-Hyperplanes are derived from a seeded RNG on the driver and inlined as
-literals (they are tiny: tables x bits x dim floats) — the broadcast-
-variable pattern without shipping numpy state.
+Hyperplanes are derived from a seeded RNG on the driver, quantized to
+integers (round(w·10⁶)), and ride to executors in the signature UDF's
+closure (they are tiny: tables x bits x dim) — the broadcast-variable
+pattern without shipping numpy state. Signatures are computed as ONE
+float64 matmul per Arrow batch over integer-valued operands — exact
+(< 2^53), so bucket ids are bit-deterministic across engines and batch
+shapes; the DuckDB oracles evaluate the same integers.
 """
 
 from __future__ import annotations
@@ -92,32 +96,29 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list:
     return rng.standard_normal((tables, bits, dim)).round(6).tolist()
 
 
-def _signature(vec: Column, planes: list) -> Column:
-    """Bucket id for one table: sign bits of `bits` projections."""
-    acc = F.lit(0)
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(w)) for w in plane]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda a, z: a + z,
-        )
-        acc = acc + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return acc
+def _q6(x: float) -> int:
+    """round(x * 1e6) half away from zero — the shared integer
+    quantization rule (Spark ``round``, DuckDB ``round``, and this
+    driver-side helper all agree)."""
+    import math
+
+    return (int(math.floor(x * 1_000_000 + 0.5)) if x >= 0
+            else int(math.ceil(x * 1_000_000 - 0.5)))
 
 
 def signature_sql_duckdb(planes: list, vec_expr: str = "embedding") -> str:
-    """DuckDB expression computing the SAME bucket id as ``_signature``
-    for one table — generated from the SAME hyperplane literals (the
-    dual-dialect single-source pattern), so the gate value-checks bucket
-    assignment itself instead of a rows-only count."""
+    """DuckDB expression computing the SAME bucket id as the batched
+    Spark signature — generated from the SAME quantized hyperplane
+    integers (the dual-dialect single-source pattern), so the gate
+    value-checks bucket assignment itself instead of a rows-only count.
+    The projection is integer math on integer-valued doubles (exact:
+    every intermediate < 2^53), so the sign — and therefore the bucket —
+    is bit-deterministic across engines and summation orders."""
+    qvec = f"list_transform({vec_expr}, x -> round(x::DOUBLE * 1000000))"
     terms = []
     for i, plane in enumerate(planes):
-        lits = ", ".join(repr(float(w)) for w in plane)
-        proj = f"list_dot_product({vec_expr}::DOUBLE[], [{lits}])"
+        lits = ", ".join(str(_q6(w)) for w in plane)
+        proj = f"list_dot_product({qvec}, [{lits}]::DOUBLE[])"
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -137,25 +138,64 @@ def _exploded_keys(
     downstream joins are hash/sort-merge equi-joins Catalyst can plan —
     an OR-of-per-table-equalities condition has no extractable equi-keys
     and degrades to BroadcastNestedLoopJoin/CartesianProduct (every O(n²)
-    pair evaluated), which is what this shape replaces."""
-    tables = len(planes)
-    extra_names = df.select(*extra).columns
-    return df.select(
-        *extra,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _signature(F.col(vec_col), planes[t]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(*extra_names, "tb.tbl", "tb.bucket")
+    pair evaluated), which is what this shape replaces.
+
+    Signature computation is ONE Arrow-batched matmul for all
+    tables × bits projections (the round-3 plans evaluated
+    tables × bits × dim interpreted HOF multiply-adds per row — the
+    suite's largest constant-factor waste; the matmul is the 10-100×
+    batched-kernel fix). Determinism is the fine-quantizer integer
+    contract: embeddings and plane literals quantize to round(·×10⁶)
+    int64, the projection is exact under float64 matmul (intermediates
+    < 2^53, bound enforced), so sign bits — and buckets — are
+    bit-identical across engines, batch shapes and summation orders.
+    The DuckDB twin (``signature_sql_duckdb``) evaluates the same
+    integers. No shuffle: signatures are a map-side pass."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    tables, bits = len(planes), len(planes[0])
+    P = np.asarray(
+        [[[_q6(w) for w in plane] for plane in table] for table in planes],
+        dtype=np.float64,
+    ).reshape(tables * bits, -1)
+    max_p = np.abs(P).max()
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    pre = df.select(*extra, _quantized(F.col(vec_col)).alias("__vq"))
+    extra_names = [f.name for f in pre.schema.fields[:-1]]
+    out_schema = StructType(
+        list(pre.schema.fields[:-1])
+        + [StructField("buckets", ArrayType(IntegerType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["__vq"]), dtype=np.float64)
+            if V.size and np.abs(V).max() * max_p * V.shape[1] >= 2.0**53:
+                raise ValueError(
+                    "LSH signature exactness bound exceeded: "
+                    "dim * |x_q| * |w_q| >= 2^53"
+                )
+            proj = V @ P.T
+            b = (proj > 0).astype(np.int64).reshape(len(pdf), tables, bits)
+            buckets = (b * weights).sum(axis=2).astype(np.int32)
+            out = pdf.drop(columns=["__vq"])
+            out["buckets"] = list(buckets)
+            yield out
+
+    keyed = pre.mapInPandas(gen, schema=out_schema)
+    return keyed.select(
+        *extra_names, F.posexplode("buckets").alias("tbl", "bucket")
+    )
 
 
 def lsh_near_dup_pairs(
@@ -524,6 +564,246 @@ def kmeans_fit_assign(
         F.round(best["d"], 6).alias("sq_dist"),
     )
     return assignment, cents
+
+
+# ---------------------------------------------------------------------------
+# fine-grained quantizer path (k ~ 10^3-10^5): broadcast centroid MATRIX +
+# Arrow-batched matmul assignment instead of plan literals
+# ---------------------------------------------------------------------------
+
+QUANT = 1_000_000
+
+
+def _quantized(vec: Column, quant: int = QUANT) -> Column:
+    """int64 quantization ``round(x * quant)`` — the fine-path exactness
+    device: all downstream distance math is INTEGER math (exact under
+    float64 matmul while every intermediate stays < 2^53), so argmin
+    assignment is bit-deterministic across engines, partitionings and
+    summation orders with no decimal/fold-order choreography. Spark
+    ``round`` and DuckDB ``round`` both round half away from zero on
+    doubles, so the quantization itself is cross-engine identical."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * quant, 0).cast("long")
+    )
+
+
+# |coordinate| bound for the exactness proof: with quant=1e6 the dot-product
+# partials are <= dim * (B*quant)^2, which must stay < 2^53 for float64
+# integer exactness — dim=64 gives B <= ~11.8; real embedding columns are
+# O(1) (the fixture max is 0.58). Enforced inside the assignment UDF.
+_FINE_COORD_BOUND = 11.0 * QUANT
+
+
+def _fine_assign(
+    df: DataFrame,
+    cents_q: list,
+    carry_vec: bool,
+    id_type: str = "long",
+) -> DataFrame:
+    """Arrow-batched argmin assignment of quantized rows ``(id, vq)``
+    against a broadcast k×dim int64 centroid matrix.
+
+    This is the fine-quantizer replacement for ``_nearest_centroid``'s
+    plan literals: the centroid table rides to executors as a closure
+    array (a broadcast variable in cluster mode — ~50 MB at k=10^5,
+    dim=64), and each Arrow batch computes ``‖x‖² + ‖c‖² − 2·x@Cᵀ`` as
+    one BLAS matmul — the 10-100× batched-kernel win over per-row
+    interpreted HOF folds, with zero expression-tree growth in k.
+    Every operand is an integer-valued float64 < 2^53, so the distance
+    is EXACT and ``argmin`` (first minimum = lowest cluster index)
+    reproduces the coarse path's (dist, idx) tie rule bit-for-bit.
+    No shuffle: assignment is a map-side pass."""
+    import pandas as pd
+
+    C = np.asarray(cents_q, dtype=np.float64)
+    nc = (C * C).sum(axis=1)
+
+    out_vec = ", vq array<long>" if carry_vec else ""
+    schema = f"id {id_type}, cluster int, dist_q long{out_vec}"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["vq"]), dtype=np.float64)
+            if V.size and np.abs(V).max() > _FINE_COORD_BOUND:
+                raise ValueError(
+                    "fine-quantizer exactness bound exceeded: |coord| > "
+                    f"{_FINE_COORD_BOUND} after quantization"
+                )
+            nx = (V * V).sum(axis=1)
+            dist = nx[:, None] + nc[None, :] - 2.0 * (V @ C.T)
+            cl = dist.argmin(axis=1)
+            out = {
+                "id": pdf["id"],
+                "cluster": cl.astype("int32"),
+                "dist_q": dist[np.arange(len(cl)), cl].astype("int64"),
+            }
+            if carry_vec:
+                out["vq"] = pdf["vq"]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _lloyd_refine_q(assigned: DataFrame, prev_q: list) -> list:
+    """Integer Lloyd refinement: per-(cluster, dim-position) int64 sums
+    (exact, order-independent), centroid update ``(2s + n) div (2n)`` —
+    round-half-up-then-truncate-toward-zero, the SAME integer expression
+    Spark ``div`` and DuckDB ``//`` both evaluate (verified: both
+    truncate toward zero). Empty clusters keep their previous centroid.
+    Driver sync is the centroid table only (k × dim int64)."""
+    sums = (
+        assigned.select("cluster", F.posexplode("vq").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    upd = (
+        sums.select(
+            "cluster", "pos",
+            F.expr("(2 * s + n) div (2 * n)").alias("c"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st["c"],
+            ).alias("cent")
+        )
+    )
+    got = {r["cluster"]: r["cent"] for r in upd.collect()}
+    return [list(got.get(i, prev_q[i])) for i in range(len(prev_q))]
+
+
+def init_centroids_q(
+    dim: int, n_centroids: int, seed: int = 7,
+    init_scale: float = 0.125, quant: int = QUANT,
+) -> list:
+    """Seeded integer init centroids — the single source shared by
+    ``kmeans_fine`` and its DuckDB oracle (the oracle inlines THESE
+    integers, so there is no cross-engine rounding step at all)."""
+    init = _ivf_init(dim, n_centroids, seed, init_scale)
+    return [
+        [int(np.floor(x * quant + 0.5)) if x >= 0
+         else int(np.ceil(x * quant - 0.5)) for x in c]
+        for c in init
+    ]
+
+
+def kmeans_fine(
+    emb: DataFrame,
+    n_centroids: int = 256,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    init_scale: float = 0.125,
+    quant: int = QUANT,
+):
+    """Fine-grained distributed k-means (k up to ~10^4-10^5 — SemDeDup's
+    actual regime): the ``kmeans_fit_assign`` skeleton with the two
+    coarse-path bottlenecks replaced —
+
+    - assignment: broadcast centroid MATRIX + one matmul per Arrow batch
+      (``_fine_assign``) instead of k plan-literal distance folds (the
+      expression tree no longer grows with k, and the kernel is BLAS);
+    - determinism: INTEGER distance contract (``_quantized``) instead of
+      decimal fold choreography — exact at any k, any partitioning.
+
+    Returns ``(assignment_df, cents_q)``: assignment is
+    (id, cluster, dist_q) under the FINAL centroids with ``dist_q`` the
+    exact integer squared distance in quant² units; ``cents_q`` the
+    final integer centroid table.
+
+    Scale shape: per iteration one map-side assignment pass + one slim
+    (cluster, pos) aggregate (map-side combine; shuffle ≤ k×dim rows) +
+    a k×dim driver sync (~50 MB at k=10^5 — bounded, and an Iceberg
+    checkpoint row at corpus scale). The per-iteration corpus scans
+    re-read the source: persist the slim (id, vq) projection upstream
+    when iterating at scale."""
+    cents_q = init_centroids_q(dim, n_centroids, seed, init_scale, quant)
+    c0 = emb.select(
+        F.col(id_col).alias("id"),
+        _quantized(F.col(vec_col), quant).alias("vq"),
+    )
+    id_type = dict(emb.dtypes)[id_col]
+    for _ in range(iters):
+        assigned = _fine_assign(c0, cents_q, carry_vec=True, id_type=id_type)
+        cents_q = _lloyd_refine_q(assigned, cents_q)
+    final = _fine_assign(c0, cents_q, carry_vec=False, id_type=id_type)
+    return final, cents_q
+
+
+def semantic_dedup_fine(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 256,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_cell: int | None = None,
+    quant: int = QUANT,
+) -> DataFrame:
+    """SemDeDup at its real operating point: ``kmeans_fine`` cells
+    (k ≫ 100) + within-cell cosine pairs + keep-one — the scale-honest
+    replacement for ``semantic_dedup``'s coarse-k envelope.
+
+    Per-cell cost bound: cells are disjoint, so the pair stage costs
+    Σ m_i² over cell sizes m_i — expected (n/k)·n for balanced cells.
+    ``max_cell`` is the skew valve (the ``dedup._band_join.max_bucket``
+    pattern): cells larger than ``max_cell`` are EXCLUDED from pair
+    generation (their rows survive as singleton keeps), capping any
+    single join task at max_cell² candidate pairs. The recall trade is
+    the standard SemDeDup one — an oversized cell is embedding-space
+    boilerplate whose members exact/LSH dedup upstream already groups.
+    Default None = exact semantics (what the oracle checks)."""
+    assignment, _ = kmeans_fine(
+        emb, n_centroids, iters, dim, id_col, vec_col, seed,
+        quant=quant,
+    )
+    from ppocr_spark import cache
+
+    e = cache.track(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        ).join(assignment.select("id", "cluster"), "id")
+    )
+    pairs_src = e
+    if max_cell is not None:
+        sizes = e.groupBy("cluster").agg(F.count("*").alias("__m"))
+        pairs_src = (
+            e.join(F.broadcast(sizes), "cluster")
+            .filter(F.col("__m") <= max_cell)
+            .drop("__m")
+        )
+    pairs = (
+        pairs_src.alias("x")
+        .join(
+            pairs_src.alias("y"),
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            (
+                _dot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nrm") * F.col("y.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    from ppocr_spark.functions.dedup import dedup_representatives
+
+    return (
+        dedup_representatives(pairs, emb, id_col=id_col)
+        .withColumnRenamed("doc_id", id_col)
+    )
 
 
 def semantic_dedup(

@@ -90,7 +90,7 @@ def write_training_shards(
     docs: DataFrame,
     out_dir: str,
     shard_tokens: int,
-    bucket_hex: int = 1,
+    bucket_hex: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:

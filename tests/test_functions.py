@@ -835,6 +835,61 @@ class TestChunkingAndShards:
                 want.append((i, f"{bkt}:{idx}", pos[idx], n))
         assert a == sorted(want)
 
+    def test_token_shards_bucket_hex_values(self, spark):
+        """Brute-force parity at >=2 explicit bucket_hex values: the
+        per-bucket window bound is 16^bucket_hex-way, and the layout is
+        a documented function of (corpus, bucket_hex)."""
+        import hashlib
+
+        from ppocr_spark.functions.sampling import token_shards
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["x"] * (5 + i % 37))) for i in range(300)],
+            "doc_id long, text string",
+        )
+        for hexw in (1, 2):
+            got = sorted(
+                map(tuple, token_shards(df, 200, bucket_hex=hexw).collect())
+            )
+            per_bucket: dict = {}
+            for i in range(300):
+                h = hashlib.md5(f"shard:{i}".encode()).hexdigest()
+                per_bucket.setdefault(h[:hexw], []).append(
+                    (h, i, 5 + i % 37)
+                )
+            want = []
+            for bkt, rows_ in per_bucket.items():
+                rows_.sort()
+                cum, pos = 0, {}
+                for h, i, n in rows_:
+                    idx = cum // 200
+                    cum += n
+                    pos[idx] = pos.get(idx, 0) + 1
+                    want.append((i, f"{bkt}:{idx}", pos[idx], n))
+            assert got == sorted(want), f"bucket_hex={hexw}"
+        # wider buckets => at least as many shards (finer partitioning)
+        n1 = len({r[1] for r in map(
+            tuple, token_shards(df, 200, bucket_hex=1).collect())})
+        n2 = len({r[1] for r in map(
+            tuple, token_shards(df, 200, bucket_hex=2).collect())})
+        assert n2 >= n1
+
+    def test_token_shards_auto_bucket_hex(self):
+        """The None default derives the smallest hex width keeping a
+        bucket <= TOKEN_SHARD_ROWS_PER_BUCKET rows."""
+        from ppocr_spark.functions.sampling import (
+            TOKEN_SHARD_ROWS_PER_BUCKET as R,
+            derive_bucket_hex as derive,
+        )
+
+        assert derive(300) == 1
+        assert derive(R) == 1
+        assert derive(R + 1) == 1  # ceil(log16(~1)) == 1
+        assert derive(16 * R + 1) == 2
+        assert derive(10**12) == 5  # the 10^12-doc regime in the docstring
+        assert derive(10**15) == 7
+        assert derive(10**16) == 8  # capped
+
 
 class TestBM25:
     def test_matches_brute_force_and_plan(self, spark):
@@ -949,6 +1004,96 @@ class TestKMeansSemantic:
         assert out[9] == (4, False) and out[4] == (4, True)
         # everyone else is a singleton keeper
         assert all(v == (i, True) for i, v in out.items() if i not in (4, 9))
+
+
+class TestKMeansFine:
+    def test_matches_coarse_contract_and_layout_independent(self, spark):
+        """kmeans_fine's integer contract: bit-identical across
+        partitionings, argmin ties to lowest cluster, and the broadcast
+        matmul assignment agrees with a per-row integer replica."""
+        import numpy as np
+
+        from ppocr_spark.functions.similarity import (
+            QUANT,
+            init_centroids_q,
+            kmeans_fine,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        a1, c1 = kmeans_fine(e, n_centroids=128, iters=2, dim=64)
+        a2, c2 = kmeans_fine(
+            e.repartition(13), n_centroids=128, iters=2, dim=64
+        )
+        assert c1 == c2  # integer math: layout-independent
+        r1 = sorted(map(tuple, a1.collect()))
+        assert r1 == sorted(map(tuple, a2.collect()))
+
+        # independent integer replica (no matmul, per-row loops)
+        rows = e.collect()
+        V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        q = V * QUANT
+        Vq = np.where(q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)).astype(
+            np.int64
+        )
+        C = np.array(init_centroids_q(64, 128), dtype=np.int64)
+        for _ in range(2):
+            d = ((Vq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)
+            for i in range(128):
+                m = cl == i
+                if m.any():
+                    s = Vq[m].sum(axis=0)
+                    n = int(m.sum())
+                    # (2s+n) div (2n): truncate toward zero, like both
+                    # engines' integer division
+                    C[i] = np.fix((2 * s + n) / (2 * n)).astype(np.int64)
+        d = ((Vq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)
+        expect = sorted(
+            (int(r["vec_id"]), int(c), int(dd[c]))
+            for r, c, dd in zip(rows, cl, d)
+        )
+        assert r1 == expect
+
+    def test_semantic_fine_max_cell_valve(self, spark):
+        """max_cell excludes oversized cells from pair generation (their
+        rows become singleton keeps); small cells still dedup."""
+        import numpy as np
+
+        from ppocr_spark import cache
+        from ppocr_spark.functions.similarity import semantic_dedup_fine
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((40, 64)).astype(np.float32)
+        # a planted near-copy pair (small cell)
+        base[9] = base[4] + rng.standard_normal(64).astype(np.float32) * 0.01
+        # a hot cell: 12 near-copies of one vector
+        for i in range(20, 32):
+            base[i] = base[19] + (
+                rng.standard_normal(64).astype(np.float32) * 0.01
+            )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        exact = {r.vec_id: r.keep
+                 for r in semantic_dedup_fine(
+                     emb, threshold=0.9, n_centroids=16, iters=2
+                 ).collect()}
+        cache.release_all()
+        capped = {r.vec_id: r.keep
+                  for r in semantic_dedup_fine(
+                      emb, threshold=0.9, n_centroids=16, iters=2,
+                      max_cell=4,
+                  ).collect()}
+        cache.release_all()
+        # exact: hot group collapses to one keeper; planted pair dedups
+        assert sum(not exact[i] for i in range(19, 32)) >= 11
+        assert exact[9] is False and exact[4] is True
+        # capped: the oversized cell is excluded -> its rows all kept;
+        # the small planted pair still dedups
+        assert all(capped[i] for i in range(19, 32))
+        assert capped[9] is False and capped[4] is True
 
 
 class TestTfIdf:

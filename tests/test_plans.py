@@ -237,6 +237,43 @@ class TestLshEquiJoinPlans:
         assert "ReusedExchange" in plan
 
 
+class TestFineQuantizerPlans:
+    """Round-4 pins: the fine-quantizer path (VERDICT r3 #4). Assignment
+    must be a map-side Arrow pass (no join at all — the centroid matrix
+    rides as a closure/broadcast variable), and the SemDeDup within-cell
+    pair join must be an EQUI-join on the cluster id, never a nested
+    loop."""
+
+    def test_kmeans_fine_assignment_no_join(self, spark, sf_dir):
+        from ppocr_spark.functions.similarity import kmeans_fine
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assignment, _ = kmeans_fine(e, n_centroids=128, iters=1, dim=64)
+        plan = _plan(assignment)
+        # pure map-side assignment: scan → quantize → MapInPandas, no
+        # join/shuffle of the corpus (the gate query's orderBy adds a
+        # presentation Exchange on top; the operator itself has none)
+        for op in ("Join", "CartesianProduct", "Exchange"):
+            assert op not in plan, op
+        assert "MapInPandas" in plan
+
+    def test_semantic_fine_pairs_equi_join(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        from ppocr_spark import cache
+
+        df = entry.queries()["dedup_semantic"](spark, sf_dir)
+        plan = _plan(df)
+        cache.release_all()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+
+
 class TestSubstringDedupPlans:
     """The positional-shingle ops must stay equi-join + partial-agg shaped:
     a plan that evaluates corpus×corpus (or corpus×probe) pairs would be

@@ -156,6 +156,26 @@ class TestPiiScrub:
             "<EMAIL> via <IP> tel <PHONE>",
             (1, 1, 1),
         ),
+        # round-4 broadened formats (ADVICE: the +CC-DDD-DDDD-only pattern
+        # under-redacted common shapes)
+        (
+            "us +1-555-123-4567 or (555) 123-4567",
+            "us <PHONE> or <PHONE>",
+            (0, 2, 0),
+        ),
+        (
+            "dotted 555.123.4567 dashed 555-123-4567 spaced 555 123 4567",
+            "dotted <PHONE> dashed <PHONE> spaced <PHONE>",
+            (0, 3, 0),
+        ),
+        # NOT phones: bare digit runs, dates, embedded versions untouched
+        # (v1.2.3.4 has no word boundary after the 'v', so the IPv4
+        # pattern leaves it too)
+        (
+            "order 5551234567 on 2026-08-18 v1.2.3.4",
+            "order 5551234567 on 2026-08-18 v1.2.3.4",
+            (0, 0, 0),
+        ),
     ]
 
     def test_golden_scrub_and_counts(self, spark):
