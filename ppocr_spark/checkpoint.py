@@ -215,6 +215,57 @@ def _bucket_file_stats(spark: SparkSession, res_path: str) -> dict[int, tuple[in
     return out
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+_COMPACT_STAGING = "_compact_staging"
+_COMPACT_TRASH = "_compact_trash"
+_COMPACT_JOURNAL = "_compact_journal"
+
+
+def recover_compaction(spark: SparkSession, out_dir: str) -> int:
+    """Finish (or roll back) a compaction wave interrupted mid-swap.
+
+    The journal directory holds one empty marker file per bucket whose
+    swap was in flight; markers are created only AFTER that wave's
+    staged copy is fully written and row-count-verified, so every
+    journaled bucket has a complete copy in staging (and/or its original
+    in trash). For each journaled bucket missing from ``results/``, the
+    staged copy is renamed in (or the trashed original restored).
+    Returns the number of buckets repaired; cleans up staging/trash/
+    journal. No-op when no journal exists."""
+    fs, jvm = _hadoop_fs(spark, out_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+    jdir = P(os.path.join(out_dir, _COMPACT_JOURNAL))
+    repaired = 0
+    if fs.exists(jdir):
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if not name.startswith("bucket="):
+                continue
+            res = P(os.path.join(out_dir, "results", name))
+            stg = P(os.path.join(out_dir, _COMPACT_STAGING, name))
+            trash = P(os.path.join(out_dir, _COMPACT_TRASH, name))
+            if not fs.exists(res):
+                if fs.exists(stg):
+                    fs.rename(stg, res)
+                elif fs.exists(trash):
+                    fs.rename(trash, res)
+                else:  # pragma: no cover - would mean external deletion
+                    raise RuntimeError(
+                        f"compaction recovery: no copy of {name} found"
+                    )
+                repaired += 1
+    for d in (_COMPACT_STAGING, _COMPACT_TRASH, _COMPACT_JOURNAL):
+        p = P(os.path.join(out_dir, d))
+        if fs.exists(p):
+            fs.delete(p, True)
+    return repaired
+
+
 def compact_results(
     spark: SparkSession,
     out_dir: str,
@@ -230,28 +281,33 @@ def compact_results(
     (and object-store LIST amplification) far above the data cost.
 
     Mechanics and safety:
-    - Buckets already at or under their target file count are untouched
-      (their partitions are not in the write, and dynamic partition
-      overwrite only replaces partitions present in the output).
+    - Buckets already at or under their target file count are untouched.
     - Work proceeds in driver-bounded WAVES of ≤ ``wave_bytes`` so the
-      re-pack never needs the whole sink resident: each wave is
-      localCheckpoint-ed (Spark refuses to overwrite a path it is
-      concurrently reading from; the checkpoint cuts that lineage) and
-      then atomically replaces only its own bucket partitions.
-    - Idempotent and kill-safe BY CONTENT: a re-pack writes the identical
-      rows, so a kill between wave commits leaves every bucket holding
-      the same data (some compacted, some not); re-running converges.
+      re-pack never needs the whole sink resident.
+    - KILL-SAFE BY COPIES, not by trust in the committer: a dynamic
+      partition overwrite deletes each existing ``bucket=N`` directory
+      before renaming staged files into place — a crash inside that
+      commit would permanently lose a bucket of non-re-derivable
+      extraction output. So each wave instead (1) writes its re-pack to
+      a sibling ``_compact_staging`` path, (2) VERIFIES per-bucket row
+      counts staged-vs-source, (3) journals the wave's buckets (one
+      marker per bucket), then (4) swaps directories bucket-by-bucket
+      (rename original → trash, rename staged → results). At every
+      instant every bucket has ≥1 complete copy on disk; a kill at any
+      point is repaired by ``recover_compaction`` (run automatically on
+      the next call), which completes or rolls back the journaled swaps.
     - File-count targeting uses hash slots per bucket + repartitionByRange
       on (bucket, slot): ~one (bucket, slot) key per output file from
       sampled range boundaries — approximate (±1 file per bucket), which
       is the right trade against an exact per-bucket shuffle loop.
 
     Returns {"buckets_compacted": n, "waves": w, "files_before": a,
-    "files_after": b}.
+    "files_after": b, "recovered": r}.
     """
     import math
 
     res_path = os.path.join(out_dir, "results")
+    recovered = recover_compaction(spark, out_dir)
     before = _bucket_file_stats(spark, res_path)
     need = {
         b: max(1, math.ceil(size / target_bytes))
@@ -261,7 +317,8 @@ def compact_results(
     if not need:
         return {"buckets_compacted": 0, "waves": 0,
                 "files_before": sum(n for n, _ in before.values()),
-                "files_after": sum(n for n, _ in before.values())}
+                "files_after": sum(n for n, _ in before.values()),
+                "recovered": recovered}
 
     # greedy waves by bytes (driver-side, bounded by n_buckets)
     waves: list[list[int]] = [[]]
@@ -274,6 +331,11 @@ def compact_results(
         waves[-1].append(b)
         acc += size
 
+    fs, jvm = _hadoop_fs(spark, out_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+    staging = os.path.join(out_dir, _COMPACT_STAGING)
+    trash = os.path.join(out_dir, _COMPACT_TRASH)
+    journal = os.path.join(out_dir, _COMPACT_JOURNAL)
     for wave in waves:
         slots = spark.createDataFrame(
             [(b, need[b]) for b in wave], "bucket int, n_slots int"
@@ -288,14 +350,48 @@ def compact_results(
             .drop("n_slots")
         )
         total = sum(need[b] for b in wave)
-        packed = (
-            df.repartitionByRange(total, "bucket", "slot")
-            .drop("slot")
-            .localCheckpoint()  # cut lineage: we overwrite the input path
+        packed = df.repartitionByRange(total, "bucket", "slot").drop("slot")
+        # (1) stage the re-pack beside the sink — the source stays intact
+        if fs.exists(P(staging)):
+            fs.delete(P(staging), True)
+        packed.write.mode("overwrite").partitionBy("bucket").parquet(
+            staging
         )
-        packed.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket").parquet(res_path)
+        # (2) verify per-bucket row counts staged-vs-source before any
+        # destructive step (parquet footer counts — metadata-cheap)
+        src_n = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(res_path)
+            .filter(F.col("bucket").isin(wave))
+            .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        stg_n = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(staging)
+            .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        bad = {b for b in wave if src_n.get(b) != stg_n.get(b)}
+        if bad:
+            fs.delete(P(staging), True)  # sink untouched — safe abort
+            raise RuntimeError(
+                f"compaction verify failed for buckets {sorted(bad)}: "
+                f"staged counts != source counts"
+            )
+        # (3) journal the wave, (4) swap bucket-by-bucket — both copies
+        # exist until the moment the staged one is renamed into place
+        fs.mkdirs(P(journal))
+        fs.mkdirs(P(trash))
+        for b in wave:
+            fs.createNewFile(P(os.path.join(journal, f"bucket={b}")))
+        for b in wave:
+            name = f"bucket={b}"
+            fs.rename(P(os.path.join(res_path, name)),
+                      P(os.path.join(trash, name)))
+            fs.rename(P(os.path.join(staging, name)),
+                      P(os.path.join(res_path, name)))
+        for d in (staging, trash, journal):
+            if fs.exists(P(d)):
+                fs.delete(P(d), True)
 
     after = _bucket_file_stats(spark, res_path)
     return {
@@ -303,4 +399,5 @@ def compact_results(
         "waves": len(waves),
         "files_before": sum(n for n, _ in before.values()),
         "files_after": sum(n for n, _ in after.values()),
+        "recovered": recovered,
     }

@@ -124,6 +124,51 @@ class TestCompaction:
         again = compact_results(spark, out, target_bytes=1 << 30)
         assert again["buckets_compacted"] == 0
 
+    def test_kill_mid_swap_is_recovered(self, spark, tmp_path):
+        """Simulate every kill point of the journaled swap and assert the
+        next compact_results call restores a complete sink first."""
+        import shutil
+        import os as _os
+
+        from ppocr_spark.checkpoint import compact_results
+
+        out = str(tmp_path / "sink")
+        self._write_fragmented(spark, out, buckets=3)
+        orig = {
+            (r.doc_id, r.bucket, r.payload)
+            for r in spark.read.parquet(f"{out}/results").collect()
+        }
+        res0 = f"{out}/results/bucket=0"
+        res1 = f"{out}/results/bucket=1"
+
+        # kill point A: staged + journaled, original moved to trash, staged
+        # copy NOT yet renamed in (bucket missing from results/)
+        _os.makedirs(f"{out}/_compact_journal", exist_ok=True)
+        open(f"{out}/_compact_journal/bucket=0", "w").close()
+        _os.makedirs(f"{out}/_compact_staging", exist_ok=True)
+        shutil.move(res0, f"{out}/_compact_staging/bucket=0")
+        stats = compact_results(spark, out, target_bytes=1 << 30)
+        assert stats["recovered"] == 1
+        got = {
+            (r.doc_id, r.bucket, r.payload)
+            for r in spark.read.parquet(f"{out}/results").collect()
+        }
+        assert got == orig  # nothing lost, compaction completed
+
+        # kill point B: journaled, original renamed to trash, no staged
+        # copy reached disk for that bucket -> original restored
+        _os.makedirs(f"{out}/_compact_journal", exist_ok=True)
+        open(f"{out}/_compact_journal/bucket=1", "w").close()
+        _os.makedirs(f"{out}/_compact_trash", exist_ok=True)
+        shutil.move(res1, f"{out}/_compact_trash/bucket=1")
+        stats = compact_results(spark, out, target_bytes=1 << 30)
+        assert stats["recovered"] == 1
+        got = {
+            (r.doc_id, r.bucket, r.payload)
+            for r in spark.read.parquet(f"{out}/results").collect()
+        }
+        assert got == orig
+
     def test_untouched_buckets_keep_their_files(self, spark, tmp_path):
         import os as _os
 
