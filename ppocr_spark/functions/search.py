@@ -72,8 +72,13 @@ def bm25_topk(
     )
 
     # per-(doc, term) counts — tokens filtered to the query terms BEFORE
-    # the explode/shuffle, so the aggregated stream is tiny
-    tf = (
+    # the explode/shuffle, so the aggregated stream is tiny. tf feeds BOTH
+    # dfreq and the scored join below: persist it (cache.track, released
+    # by the caller via release_all) or the corpus tokenize/explode/agg
+    # chain re-runs once per derived side
+    from ppocr_spark import cache
+
+    tf = cache.track(
         base.select(
             "id",
             "dl",
@@ -160,7 +165,10 @@ def tfidf_topk_terms(
     n_docs = F.broadcast(
         base.agg(F.count("*").cast("double").alias("n_docs"))
     )
-    tf = (
+    # tf feeds dfreq AND the scored re-join: persist (see bm25_topk)
+    from ppocr_spark import cache
+
+    tf = cache.track(
         base.select("id", "dl", F.explode("toks").alias("term"))
         .groupBy("id", "dl", "term")
         .agg(F.count("*").cast("double").alias("tf"))

@@ -307,7 +307,20 @@ def winnowing_fingerprint(
 # inside an earlier placeholder.
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+# phones: alternatives ordered longest-first (both engines try
+# alternatives left to right at each position) —
+#   +CC 10-digit        +1-555-123-4567 / +1 (555) 123-4567 / +15551234567
+#   +CC-DDD-DDDD        +44-555-0199 (short intl, the round-3 form)
+#   (DDD) DDD-DDDD      (555) 123-4567
+#   DDD-DDD-DDDD        555-123-4567 / 555.123.4567 / 555 123 4567
+# Bare 10-digit runs without separators are deliberately NOT matched
+# (indistinguishable from ids/quantities — precision over recall there).
+PII_PHONE = (
+    r"\+\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"
+    r"|\+\d{1,3}-\d{3}-\d{4}\b"
+    r"|\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}\b"
+    r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+)
 PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
 
 PII_PATTERNS = (
