@@ -40,6 +40,58 @@ def read_media(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(MEDIA).parquet(path)
 
 
+def iceberg_extraction_ddl(
+    prefix: str = "ppocr", n_buckets: int = 64, catalog: str = "spark_catalog"
+) -> list[str]:
+    """The exact Iceberg DDL the 10^12-scale ingest runs — the statements
+    ``write_extraction_layout`` is the parquet-catalog analog of. Kept as
+    a generated artifact (not a doc snippet) so the shim test can pin
+    that the analog and the DDL agree on layout parameters (same bucket
+    transform column, same bucket count) and CI exercises this codepath
+    even without an Iceberg runtime jar."""
+    return [
+        f"CREATE TABLE IF NOT EXISTS {catalog}.{prefix}_media_spans ("
+        "  doc_id string, base_ref string, media_ref string, page int,"
+        "  offset int, blob_bytes long)"
+        " USING iceberg"
+        f" PARTITIONED BY (bucket({n_buckets}, base_ref))"
+        " TBLPROPERTIES ('write.distribution-mode'='hash')",
+        f"CREATE TABLE IF NOT EXISTS {catalog}.{prefix}_media ("
+        "  base_ref string, content binary)"
+        " USING iceberg"
+        f" PARTITIONED BY (bucket({n_buckets}, base_ref))"
+        " TBLPROPERTIES ('write.distribution-mode'='hash')",
+        f"CREATE TABLE IF NOT EXISTS {catalog}.{prefix}_text_spans ("
+        "  doc_id string, kind string, text string, media_ref string,"
+        "  offset int)"
+        " USING iceberg",
+    ]
+
+
+def read_table_snapshot(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Snapshot-pinned scan: with an Iceberg runtime this reads the table
+    AS OF ``snapshot_id`` (lineage-stable input for a resumable run — the
+    checkpoint manifests record the snapshot so every resume wave sees the
+    identical table state). Sandbox fallback: plain table/parquet read
+    (``snapshot_id`` requires the runtime and raises if one was pinned
+    but no Iceberg catalog can serve it — silently reading a DIFFERENT
+    snapshot than the manifest recorded would corrupt a resume)."""
+    if snapshot_id is not None:
+        return (
+            spark.read.format("iceberg")
+            .option("snapshot-id", snapshot_id)
+            .load(table)
+        )
+    try:
+        return spark.read.format("iceberg").load(table)
+    except Exception:  # noqa: BLE001 — no catalog in this sandbox
+        if "/" in table:
+            return spark.read.parquet(table)
+        return spark.table(table)
+
+
 def single_media_request(
     spark: SparkSession, content: bytes, doc_id: str = "cli_0"
 ) -> DataFrame:
