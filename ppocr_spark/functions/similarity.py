@@ -224,7 +224,11 @@ def lsh_near_dup_pairs(
     identical subtree, which Spark deduplicates via ReusedExchange (one
     signature pass, not two). Cosine is computed AFTER
     ``dropDuplicates(a, b)`` so multi-table collisions don't repeat the
-    dot product."""
+    dot product (interleaved A/B'd against score-before-dedup: dedup
+    first wins 1.19× at the gate's threshold=0.4 operating point, where
+    most candidates survive the filter; the candidate-dedup shuffle does
+    carry vectors, but the LSH explode already shuffles the same vectors
+    into the join, so the byte bound is unchanged at tables × corpus)."""
     planes = _hyperplanes(dim, bits, tables, seed)
     keys = _exploded_keys(
         emb,
@@ -450,8 +454,11 @@ def lsh_topk(
     OR-of-bucket-equalities against every query (the
     BroadcastNestedLoopJoin shape this replaces). Bucket pruning is real:
     a corpus row only meets the queries sharing its bucket. Cosine runs
-    AFTER ``dropDuplicates`` so multi-table collisions cost one dot
-    product."""
+    BEFORE the (qid, nid) dedup: a multi-table collision recomputes one
+    dim-length dot product, but both downstream shuffles (candidate
+    dedup + per-query top-k window) then carry slim (qid, nid, cosine)
+    rows instead of two vectors per row — the scale trade; duplicates
+    carry identical cosines so ``first`` is deterministic."""
     planes = _hyperplanes(dim, bits, tables, seed)
     c = _exploded_keys(
         corpus,
@@ -478,14 +485,14 @@ def lsh_topk(
     scored = (
         c.join(q, ["tbl", "bucket"])
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", "qv", "nv", "qn", "nn")
-        .dropDuplicates(["qid", "nid"])
         .select(
             "qid",
             "nid",
             (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
             .alias("cosine"),
         )
+        .groupBy("qid", "nid")
+        .agg(F.first("cosine").alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("nid").asc()
