@@ -726,13 +726,19 @@ def kmeans_fine(
     Scale shape: per iteration one map-side assignment pass + one slim
     (cluster, pos) aggregate (map-side combine; shuffle ≤ k×dim rows) +
     a k×dim driver sync (~50 MB at k=10^5 — bounded, and an Iceberg
-    checkpoint row at corpus scale). The per-iteration corpus scans
-    re-read the source: persist the slim (id, vq) projection upstream
-    when iterating at scale."""
+    checkpoint row at corpus scale). The slim (id, vq) projection is
+    persisted (``cache.track`` — released by the caller's
+    ``release_all``): iteration 1's refine action populates it, so
+    iterations 2..N and the final assignment read the quantized column
+    instead of re-scanning and re-quantizing the source each pass."""
+    from ppocr_spark import cache
+
     cents_q = init_centroids_q(dim, n_centroids, seed, init_scale, quant)
-    c0 = emb.select(
-        F.col(id_col).alias("id"),
-        _quantized(F.col(vec_col), quant).alias("vq"),
+    c0 = cache.track(
+        emb.select(
+            F.col(id_col).alias("id"),
+            _quantized(F.col(vec_col), quant).alias("vq"),
+        )
     )
     id_type = dict(emb.dtypes)[id_col]
     for _ in range(iters):
