@@ -2089,6 +2089,32 @@ def _sample_stratified_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {conds} ORDER BY doc_id"
 
 
+def _sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group document cap / domain balancing (library
+    sampling.source_cap, scale path): groups over the cap are hash-
+    downsampled to ~cap rows via a broadcast per-group threshold —
+    zero sorts, no per-group window. Grouped on ``lang`` (skewed in the
+    fixture: en 218 vs 64-75 for the rest) with cap=100 so the gate
+    exercises BOTH branches: en filtered, every other group passing
+    whole through the ``n <= cap`` arm."""
+    from ppocr_spark.functions.sampling import source_cap
+
+    d = _load(spark, sf_dir, "documents")
+    return source_cap(
+        d.select("doc_id", "lang"), cap=100, group_col="lang"
+    ).orderBy("doc_id")
+
+
+def _sample_source_cap_sql() -> str:
+    h4 = "substr(md5(concat('cap:', doc_id::VARCHAR)), 1, 4)"
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang FROM documents d JOIN counts c USING (lang)
+WHERE c.n <= 100 OR {h4} < lower(lpad(hex((100 * 65536) // c.n), 4, '0'))
+ORDER BY d.doc_id
+"""
+
+
 _TOKEN_BUDGETS = {"en": 6000, "de": 2000, "zh": 999999}
 
 
@@ -2566,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _sample_split,
         "sample_stratified": _sample_stratified,
         "sample_token_budget": _sample_token_budget,
+        "sample_source_cap": _sample_source_cap,
         "pii_scrub": _pii_scrub,
         "dedup_embedding_clusters": _emb_clusters,
         "quality_model_step": _quality_model_step,
@@ -2690,6 +2717,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": _sample_split_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_token_budget": _sample_token_budget_sql(),
+        "sample_source_cap": _sample_source_cap_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "dedup_embedding_clusters": _emb_clusters_sql(),
         "quality_model_step": _quality_model_step_sql(),

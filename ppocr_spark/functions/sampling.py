@@ -329,3 +329,57 @@ def token_shards(
     return cum.withColumn("shard_pos", F.row_number().over(wp)).select(
         id_col, "shard_id", "shard_pos", "n_toks"
     )
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    exact: bool = False,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-source document cap (domain balancing): downsample every
+    ``group_col`` group to ~``cap`` rows so no single domain dominates a
+    training mix — the standard web-pipeline balancing step (C4 /
+    RefinedWeb-style per-domain caps). Groups at or under ``cap`` pass
+    through whole. Deterministic: selection is keyed on md5(id) like
+    every sampler here — same rows survive on any cluster size, any
+    partitioning, any run.
+
+    Scale path (``exact=False``, default): one slim ``groupBy(group)``
+    count (map-side combined), broadcast back, and a map-side filter
+    ``h4 < hex((cap * 65536) div n)`` — keeps an EXPECTED ``cap`` rows
+    per group (binomial around cap, like any hash sampler) with ZERO
+    sorts and no per-group window: a 10^9-doc hot domain costs the same
+    as a small one. The threshold is integer math both engines truncate
+    identically (Spark ``div``, DuckDB ``//``), rendered as a
+    fixed-width lowercase hex string so the comparison is the module's
+    shared hex-ordering trick.
+
+    ``exact=True`` keeps EXACTLY ``cap`` rows (the first ``cap`` in
+    md5 order) via a per-group row_number window — one reducer sorts
+    each group, so reserve it for group cardinalities a single task can
+    sort (~10^7); the default path is the 100 TB shape.
+    """
+    h4 = F.substring(_id_hash(F.col(id_col), salt), 1, HEX_W)
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            h4.asc(), F.col(id_col).asc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.expr(f"({int(cap)} * 65536) div __n")), HEX_W, "0"
+        )
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter((F.col("__n") <= cap) | (h4 < thr))
+        .drop("__n")
+    )

@@ -349,3 +349,43 @@ class TestTokenBudgetProperty:
             assert got == naive(docs, budget)
 
         prop()
+
+
+class TestSourceCap:
+    def test_exact_keeps_exactly_cap_in_md5_order(self, spark):
+        df = _docs(spark, 90)  # 30 docs per lang
+        from ppocr_spark.functions.sampling import source_cap
+
+        out = source_cap(df, cap=10, group_col="lang", exact=True)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.lang, []).append(r.doc_id)
+        # exactly cap per group, and exactly the first cap ids in
+        # (md5, id) order — the naive single-machine replay
+        for g in ("en", "de", "fr"):
+            ids = [i for i in range(90) if ["en", "de", "fr"][i % 3] == g]
+            ids.sort(key=lambda i: (_h4("cap", str(i)), i))
+            assert sorted(got[g]) == sorted(ids[:10])
+
+    def test_sampled_pass_through_and_downsample(self, spark):
+        df = _docs(spark, 90)
+        from ppocr_spark.functions.sampling import source_cap
+
+        # cap above every group size: identity
+        assert source_cap(df, cap=40, group_col="lang").count() == 90
+        # cap below: every group lands near cap (expected-cap semantics)
+        out = source_cap(df, cap=10, group_col="lang")
+        sizes = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert set(sizes) == {"en", "de", "fr"}
+        for n in sizes.values():
+            assert 3 <= n <= 20  # binomial(30, 1/3) well inside [3, 20]
+        # determinism: same rows on a different partitioning
+        again = source_cap(df.repartition(7), cap=10, group_col="lang")
+        assert sorted(r.doc_id for r in again.collect()) == sorted(
+            r.doc_id for r in out.collect()
+        )
