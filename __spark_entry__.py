@@ -2443,6 +2443,46 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiers (library text.quality_tiers): corpus
+    split into equal-mass tiers by unigram-LM logprob — tier 0 is the
+    high-perplexity "tail", the top tier the "head" a training mix
+    upsamples. Boundaries are one slim exact-percentile aggregate
+    attached as a 1-row broadcast constant (no global sort); Spark
+    percentile and DuckDB quantile_cont interpolate identically over the
+    same decimal-exact scores, so tiers match bit-for-bit."""
+    from ppocr_spark.functions.text import quality_tiers
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        quality_tiers(d, n_tiers=3)
+        .select(F.col("id").alias("doc_id"), "n_toks", "logprob", "tier")
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_TIERS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE + count(*)::DOUBLE AS denom FROM vocab),
+lp AS (
+  SELECT doc_id,
+         round(ln((c + 1)::DOUBLE / denom), 9)::DECIMAL(28,9) AS lp
+  FROM toks JOIN vocab USING (tok), tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_toks,
+         round(sum(lp)::DOUBLE / count(*), 6) AS logprob
+  FROM lp GROUP BY doc_id),
+b AS (SELECT quantile_cont(logprob, {1 / 3!r}) AS b0,
+             quantile_cont(logprob, {2 / 3!r}) AS b1 FROM scored)
+SELECT doc_id, n_toks, logprob,
+       (CASE WHEN logprob <= b0 THEN 0
+             WHEN logprob <= b1 THEN 1
+             ELSE 2 END)::INT AS tier
+FROM scored CROSS JOIN b ORDER BY doc_id
+"""
+
+
 def _substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup applied as a transformation (library
     dedup.substring_rewrite): every maximal duplicated 12-token span is
@@ -2598,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_step": _quality_model_step,
         "dedup_substring_rewrite": _substring_rewrite,
         "text_unigram_logprob": _unigram_logprob,
+        "text_quality_tiers": _quality_tiers,
         "chunk_documents": _chunk_documents,
         "token_shards": _token_shards,
         "text_bm25_topk": _bm25_topk,
@@ -2723,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_model_step": _quality_model_step_sql(),
         "dedup_substring_rewrite": _SUBSTRING_REWRITE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "text_quality_tiers": _QUALITY_TIERS_SQL,
         "chunk_documents": _chunk_documents_sql(),
         "token_shards": _token_shards_sql(),
         "text_bm25_topk": _bm25_topk_sql(),

@@ -405,3 +405,46 @@ def unigram_logprob(
             F.sum("lp").cast("double") / F.count("*"), 6
         ).alias("logprob"),
     )
+
+
+def quality_tiers(
+    docs: DataFrame,
+    n_tiers: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality tiering: split the corpus into ``n_tiers``
+    equal-mass tiers by unigram-LM score (tier 0 = lowest logprob =
+    highest perplexity = CCNet's "tail"; the top tier is its "head").
+    Training mixes sample head/middle/tail at different rates — this is
+    the bucketing step that makes that possible.
+
+    Scale shape: scoring is ``unigram_logprob`` (its two bounded
+    shuffles); tier BOUNDARIES are one slim exact-percentile aggregate
+    over a single double per document (the only extra pass), attached
+    back as a 1-row broadcast constant — no global sort of the corpus,
+    no per-tier window. Tier assignment is a map-side comparison chain.
+
+    Determinism: scores are the decimal-exact rounded logprobs;
+    Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate
+    identically ((n-1)·p linear interpolation over the same doubles), so
+    boundaries — and therefore tiers — match the oracle bit-for-bit.
+    Returns (id, n_toks, logprob, tier).
+    """
+    scored = unigram_logprob(docs, text_col, id_col)
+    ps = [i / n_tiers for i in range(1, n_tiers)]
+    bounds = scored.agg(
+        F.percentile("logprob", F.array(*[F.lit(p) for p in ps])).alias(
+            "__b"
+        )
+    )
+    tier = F.lit(n_tiers - 1)
+    for i in range(n_tiers - 2, -1, -1):
+        tier = F.when(
+            F.col("logprob") <= F.col("__b")[i], F.lit(i)
+        ).otherwise(tier)
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .withColumn("tier", tier)
+        .drop("__b")
+    )

@@ -389,3 +389,28 @@ class TestSourceCap:
         assert sorted(r.doc_id for r in again.collect()) == sorted(
             r.doc_id for r in out.collect()
         )
+
+
+class TestQualityTiers:
+    def test_equal_mass_monotone_deterministic(self, spark):
+        df = _docs(spark, 120)
+        from ppocr_spark.functions.text import quality_tiers
+
+        out = quality_tiers(df, n_tiers=3).collect()
+        # every doc gets a tier; masses are ~equal (exact thirds up to
+        # ties at the boundaries)
+        assert len(out) == 120
+        sizes = [sum(1 for r in out if r.tier == t) for t in range(3)]
+        assert sum(sizes) == 120
+        assert all(20 <= s <= 60 for s in sizes), sizes
+        # monotone: sorting by logprob never decreases the tier
+        by_lp = sorted(out, key=lambda r: r.logprob)
+        tiers = [r.tier for r in by_lp]
+        assert tiers == sorted(tiers)
+        # partitioning-independence (boundaries come from an exact
+        # percentile over decimal-exact scores)
+        again = {
+            r.id: r.tier
+            for r in quality_tiers(df.repartition(7), n_tiers=3).collect()
+        }
+        assert again == {r.id: r.tier for r in out}
