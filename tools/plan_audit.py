@@ -9,7 +9,8 @@ nested-loop join fails loudly instead of hiding among 65 green values.
 Whitelisted flags (each deliberate, each documented at the source):
 
 - 1-row constant attach: ``text_bm25_topk`` / ``text_tfidf_terms`` /
-  ``clean_corpus_stats`` crossJoin a single aggregated stats row onto
+  ``clean_corpus_stats`` / ``text_quality_tiers`` crossJoin a single
+  aggregated stats row (tier boundaries, corpus totals) onto
   the stream — Spark plans a BroadcastNestedLoopJoin whose build side is
   ONE row, i.e. a map, not a quadratic join.
 - labeled baselines: ``dedup_embedding_cosine`` and
@@ -33,6 +34,7 @@ WHITELIST: dict[str, set[str]] = {
     "text_bm25_topk": {"BroadcastNestedLoopJoin"},
     "text_tfidf_terms": {"BroadcastNestedLoopJoin"},
     "clean_corpus_stats": {"BroadcastNestedLoopJoin"},
+    "text_quality_tiers": {"BroadcastNestedLoopJoin"},
     "dedup_embedding_cosine": {"BroadcastNestedLoopJoin"},
     "ann_topk_bruteforce": {"BroadcastNestedLoopJoin"},
 }
