@@ -93,6 +93,8 @@ def main():
         "embedding_kmeans",
         "embedding_kmeans_fine",
         "dedup_semantic",
+        "sample_source_cap",
+        "text_quality_tiers",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
