@@ -2443,6 +2443,28 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming exact dedup run END-TO-END through the real
+    streaming machinery (library streaming.stream_distinct_content:
+    file-source readStream → dropDuplicatesWithinWatermark state →
+    availableNow drain → memory sink) over the static fixture. Output
+    columns are functions of CONTENT only, so the value set is
+    independent of arrival order / file splits / batch boundaries and a
+    plain DISTINCT oracle hash-matches it — streaming gets a
+    value-checked gate row, not just a rows-only one."""
+    from ppocr_spark.streaming.stream import stream_distinct_content
+
+    return stream_distinct_content(
+        spark, f"{sf_dir}/documents.parquet"
+    ).orderBy("content_key")
+
+
+_STREAM_DEDUP_EXACT_SQL = """
+SELECT DISTINCT md5(text) AS content_key, n_chars
+FROM documents ORDER BY content_key
+"""
+
+
 def _quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality tiers (library text.quality_tiers): corpus
     split into equal-mass tiers by unigram-LM logprob — tier 0 is the
@@ -2639,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_rewrite": _substring_rewrite,
         "text_unigram_logprob": _unigram_logprob,
         "text_quality_tiers": _quality_tiers,
+        "stream_dedup_exact": _stream_dedup_exact,
         "chunk_documents": _chunk_documents,
         "token_shards": _token_shards,
         "text_bm25_topk": _bm25_topk,
@@ -2765,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_rewrite": _SUBSTRING_REWRITE_SQL,
         "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "text_quality_tiers": _QUALITY_TIERS_SQL,
+        "stream_dedup_exact": _STREAM_DEDUP_EXACT_SQL,
         "chunk_documents": _chunk_documents_sql(),
         "token_shards": _token_shards_sql(),
         "text_bm25_topk": _bm25_topk_sql(),

@@ -439,3 +439,96 @@ def stream_dedup_near(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_distinct_content(
+    spark: SparkSession,
+    documents_path: str,
+    query_name: str | None = None,
+    watermark: str = "87600 hours",
+) -> DataFrame:
+    """Run the ``stream_dedup_exact`` machinery end-to-end over a static
+    parquet fixture and return its DETERMINISTIC result as a batch
+    DataFrame — the gate-facing streaming query (most stateful streaming
+    is only rows-checkable; this one is value-checkable because every
+    output column is a function of the CONTENT, not of arrival order).
+
+    Shape: file-source ``readStream`` over the documents table →
+    project to content-determined columns (md5(text), n_chars) BEFORE
+    the stateful operator → ``dropDuplicatesWithinWatermark`` (the same
+    bounded-state dedup as ``stream_dedup_exact``; the horizon here is
+    deliberately larger than the fixture's event-time span so no
+    duplicate can straddle it and the result is exactly DISTINCT) →
+    ``availableNow`` trigger draining the backlog in bounded batches →
+    memory sink. Whichever physical row survives per content key, the
+    emitted (content_key, n_chars) pair is identical — arrival order,
+    file split, and batch boundaries cannot change the value set, which
+    is what lets a DuckDB twin hash-match it.
+
+    Event time is synthesized deterministically from doc_id (the fixture
+    carries no ingest timestamp); at ingest scale the real column and a
+    finite watermark bound the state exactly as in
+    ``stream_dedup_exact``."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if query_name is None:
+        # memory-sink names must be unique per active session; the name
+        # never affects the result set
+        query_name = f"sdc_{uuid.uuid4().hex[:12]}"
+
+    # the file source lists a DIRECTORY; when handed a bare parquet file
+    # (the fixture layout), stage a symlink dir in front of it
+    if os.path.isfile(documents_path):
+        d = tempfile.mkdtemp(prefix="stream_gate_src_")
+        os.symlink(
+            os.path.abspath(documents_path),
+            os.path.join(d, os.path.basename(documents_path)),
+        )
+        documents_path = d
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documents_path)
+    )
+    # event-time base is a fixed MODERN epoch: with base 0 the state
+    # store computes doc_id=0's dedup-state expiry as a non-positive
+    # timestamp and silently treats the row as already expired
+    # (observed: 499/500 rows emitted) — any base far from the epoch
+    # boundary is safe, and the value is pinned so results stay
+    # deterministic
+    deduped = (
+        stream.select(
+            F.md5("text").alias("content_key"),
+            "n_chars",
+            F.timestamp_seconds(
+                F.col("doc_id") % 86400 + 1_600_000_000
+            ).alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+        .drop("ts")
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

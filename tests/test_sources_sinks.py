@@ -722,3 +722,41 @@ class TestTrainingShardSink:
         assert spark.read.parquet(out).count() == 200
         for d in glob.glob(f"{out}/shard_id=*"):
             assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+
+class TestStreamDistinctContent:
+    def test_dedups_across_file_splits_deterministically(
+        self, spark, tmp_path
+    ):
+        """The gate-facing streaming query: duplicates spread across
+        SEPARATE files (separate micro-batches under
+        maxFilesPerTrigger=1) still collapse to one content row, and the
+        emitted value set is independent of which physical copy
+        survives."""
+        from ppocr_spark.streaming.stream import stream_distinct_content
+
+        rows1 = [(0, "alpha beta", "en", "s0", 10),
+                 (1, "gamma", "en", "s0", 5)]
+        rows2 = [(2, "alpha beta", "de", "s1", 10),  # dup of doc 0
+                 (3, "delta", "en", "s0", 5)]
+        schema = ("doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        src = tmp_path / "docs"
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+            str(src / "a")
+        )
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+            str(src / "b")
+        )
+        out = stream_distinct_content(spark, f"{src}/*/")
+        got = sorted(
+            (r.content_key, r.n_chars) for r in out.collect()
+        )
+        assert len(got) == 3  # 4 rows, one cross-file duplicate
+        import hashlib
+
+        exp = sorted(
+            (hashlib.md5(t.encode()).hexdigest(), n)
+            for t, n in {("alpha beta", 10), ("gamma", 5), ("delta", 5)}
+        )
+        assert got == exp
