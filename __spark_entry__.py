@@ -1395,6 +1395,67 @@ SELECT vec_id, cluster, dist_q::BIGINT AS dist_q FROM (
 """
 
 
+def _ann_ivf_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-quantizer IVF top-k (library similarity.ivf_topk_fine,
+    k-means cells at k=256 ≫ the coarse plan-literal envelope): broadcast
+    integer centroid matrix + one matmul per Arrow batch for corpus
+    assignment AND query multi-probe; disjoint cells need no candidate
+    dedup. The oracle replays the integer k-means chain, the corpus
+    inversion, the top-n_probe probe ranking and the exact cosine
+    re-rank."""
+    from ppocr_spark.functions.similarity import ivf_topk_fine
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk_fine(
+        e, q, k=5, n_centroids=256, iters=2, n_probe=8, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _ann_ivf_fine_sql() -> str:
+    return f"""
+WITH {_kmeans_fine_cte(256, 2)},
+inv AS (
+  SELECT vec_id AS nid, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KMF_D_OF.format(c='c.cent')}, c.cl)
+             AS rn
+    FROM e6 e CROSS JOIN cq_2 c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KMF_D_OF.format(c='c.cent')}, c.cl)
+             AS rn
+    FROM e6 e CROSS JOIN cq_2 c
+    WHERE e.vec_id < 8
+  ) WHERE rn <= 8
+),
+cand AS (
+  SELECT p.qid, i.nid,
+         list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(n.embedding::DOUBLE[],
+                                n.embedding::DOUBLE[]))) AS cosine
+  FROM probes p
+  JOIN inv i ON i.cl = p.cl AND i.nid <> p.qid
+  JOIN embeddings q ON q.vec_id = p.qid
+  JOIN embeddings n ON n.vec_id = i.nid
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       round(cosine, 6) AS cosine, rank FROM (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nid) AS rank
+  FROM cand
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at its real operating point (library
     similarity.semantic_dedup_fine): fine-quantizer k-means cells
@@ -2667,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _bm25_topk,
         "embedding_kmeans": _embedding_kmeans,
         "embedding_kmeans_fine": _embedding_kmeans_fine,
+        "ann_topk_ivf_fine": _ann_ivf_fine,
         "dedup_semantic": _dedup_semantic,
         "text_tfidf_terms": _tfidf_terms,
         "clean_corpus_stats": _clean_corpus_stats,
@@ -2794,6 +2856,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_topk": _bm25_topk_sql(),
         "embedding_kmeans": _embedding_kmeans_sql(),
         "embedding_kmeans_fine": _embedding_kmeans_fine_sql(),
+        "ann_topk_ivf_fine": _ann_ivf_fine_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "text_tfidf_terms": _tfidf_terms_sql(),
     }

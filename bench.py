@@ -95,6 +95,7 @@ def main():
         "dedup_semantic",
         "sample_source_cap",
         "text_quality_tiers",
+        "ann_topk_ivf_fine",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

@@ -365,10 +365,10 @@ def ivf_topk(
 
     Scale envelope: centroids are inlined as plan literals, which is the
     right shape for a COARSE quantizer (tens to a few hundred
-    centroids — expression size grows with n_centroids × dim). A
-    fine-grained quantizer (10^4+ cells) should instead keep the
-    centroid table as a broadcast DataFrame and rank via a join — same
-    relational skeleton, no plan blow-up."""
+    centroids — expression size grows with n_centroids × dim). For a
+    fine-grained quantizer (10^4+ cells) use ``ivf_topk_fine``: the same
+    relational skeleton with the centroid table as a broadcast integer
+    matrix and one matmul per Arrow batch — no plan blow-up."""
     init = _ivf_init(dim, n_centroids, seed, init_scale)
     c0 = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
@@ -746,6 +746,128 @@ def kmeans_fine(
         cents_q = _lloyd_refine_q(assigned, cents_q)
     final = _fine_assign(c0, cents_q, carry_vec=False, id_type=id_type)
     return final, cents_q
+
+
+def _fine_probe(
+    df: DataFrame, cents_q: list, n_probe: int, id_type: str = "long"
+) -> DataFrame:
+    """Per-row top-``n_probe`` nearest cells against the broadcast
+    integer centroid matrix — the multi-probe twin of ``_fine_assign``
+    (same one-matmul-per-Arrow-batch kernel, same integer exactness, so
+    the probe list is bit-deterministic; ties break to the lowest
+    cluster index via a stable argsort, matching the oracle's
+    ``ORDER BY dist, cl``). Returns (id, cells array<int>)."""
+    import pandas as pd
+
+    C = np.asarray(cents_q, dtype=np.float64)
+    nc = (C * C).sum(axis=1)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["vq"]), dtype=np.float64)
+            if V.size and np.abs(V).max() > _FINE_COORD_BOUND:
+                raise ValueError(
+                    "fine-quantizer exactness bound exceeded: |coord| > "
+                    f"{_FINE_COORD_BOUND} after quantization"
+                )
+            nx = (V * V).sum(axis=1)
+            dist = nx[:, None] + nc[None, :] - 2.0 * (V @ C.T)
+            order = np.argsort(dist, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "cells": [r.astype("int32") for r in order],
+            })
+
+    return df.mapInPandas(
+        gen, schema=f"id {id_type}, cells array<int>"
+    )
+
+
+def ivf_topk_fine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 256,
+    iters: int = 2,
+    n_probe: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    init_scale: float = 0.125,
+    quant: int = QUANT,
+) -> DataFrame:
+    """IVF top-k at fine-quantizer scale (cells ~ 10^4-10^5 — the regime
+    the coarse ``ivf_topk``'s plan-literal centroids can't reach): the
+    same relational skeleton (fit → invert corpus → multi-probe →
+    exact re-rank) with every centroid interaction through the broadcast
+    integer matrix + one BLAS matmul per Arrow batch (``_fine_assign`` /
+    ``_fine_probe``) — the expression tree is independent of
+    n_centroids, and cell ids are bit-deterministic (integer distance
+    contract), so the DuckDB oracle replays the whole chain.
+
+    No candidate dedup is needed: inverted cells are DISJOINT (each
+    corpus row lives in exactly one cell), so a query meeting n_probe
+    cells sees each neighbor at most once — one fewer shuffle than
+    ``lsh_topk``, whose overlapping tables require it. Candidate volume
+    per query is ~n_probe/n_centroids of the corpus."""
+    assignment, cents_q = kmeans_fine(
+        corpus, n_centroids, iters, dim, id_col, vec_col, seed,
+        init_scale, quant,
+    )
+    inv = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
+    ).join(
+        assignment.select(
+            F.col("id").alias("nid"), F.col("cluster").alias("cl")
+        ),
+        "nid",
+    )
+    id_type = dict(queries.dtypes)[id_col]
+    q0 = queries.select(
+        F.col(id_col).alias("id"),
+        _quantized(F.col(vec_col), quant).alias("vq"),
+    )
+    qd = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+        .join(
+            _fine_probe(q0, cents_q, n_probe, id_type).select(
+                F.col("id").alias("qid"), "cells"
+            ),
+            "qid",
+        )
+        .select("qid", "qv", "qn", F.explode("cells").alias("cl"))
+    )
+    scored = (
+        inv.join(F.broadcast(qd), "cl")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid", "nid",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
 
 
 def semantic_dedup_fine(

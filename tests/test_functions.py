@@ -204,6 +204,30 @@ class TestSimilarity:
         recall = len(brute & approx) / len(brute)
         assert recall >= 0.5  # small corpus, generous tables → decent recall
 
+    def test_ivf_fine_recall_vs_brute(self, emb):
+        from ppocr_spark import cache
+        from ppocr_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk_fine,
+        )
+
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, q, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_fine(
+                emb, q, k=3, n_centroids=16, iters=1, n_probe=8, dim=16
+            ).collect()
+        }
+        cache.release_all()
+        # probing half the cells on a tiny corpus: most true neighbors
+        # fall in a probed cell
+        assert len(brute & approx) / len(brute) >= 0.5
+
+
 
 class TestText:
     def test_features(self, docs):

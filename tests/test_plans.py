@@ -257,6 +257,27 @@ class TestFineQuantizerPlans:
             assert op not in plan, op
         assert "MapInPandas" in plan
 
+    def test_ivf_fine_probe_equi_join(self, spark, sf_dir):
+        """ivf_topk_fine: the candidate join must be an equi-join on the
+        cell id (broadcast/hash/sort-merge), never a nested loop; probe
+        assignment is Arrow map-side (MapInPandas present)."""
+        from ppocr_spark import cache
+        from ppocr_spark.functions.similarity import ivf_topk_fine
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(e.vec_id < 4)
+        df = ivf_topk_fine(e, q, k=3, n_centroids=64, iters=1, n_probe=4)
+        plan = _plan(df)
+        cache.release_all()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "MapInPandas" in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+
     def test_semantic_fine_pairs_equi_join(self, spark, sf_dir):
         import __spark_entry__ as entry
 
