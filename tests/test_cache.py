@@ -27,12 +27,19 @@ class TestCacheHygiene:
     def test_loop_leaves_no_cached_rdds(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+        from ppocr_spark.functions.search import bm25_topk
+        from ppocr_spark.functions.similarity import kmeans_fine
+
         for _ in range(3):
             minhash_dedup_pairs(docs, threshold=0.4).collect()
             simhash_near_pairs(docs, max_hamming=8).collect()
             lsh_near_dup_pairs(
                 emb, threshold=0.4, bits=6, tables=4, dim=64
             ).collect()
+            # round-4 persist sites: bm25's tf table, kmeans_fine's
+            # quantized projection
+            bm25_topk(docs, ["table", "scan"], k=3).collect()
+            kmeans_fine(emb, n_centroids=16, iters=1, dim=64)[0].collect()
             cache.release_all()
             assert _n_cached(spark) == 0
 
