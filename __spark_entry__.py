@@ -2613,7 +2613,7 @@ cut AS (
                                    AND i - 1 < coalesce(sp.ee, [])[j])) = 0
          ] AS kept
   FROM toks d LEFT JOIN sp USING (doc_id))
-SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
        (len(t) - len(kept))::BIGINT AS n_removed
 FROM cut ORDER BY doc_id
 """
@@ -2702,15 +2702,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: CORRECTNESS_r03 recorded driver rows for
-    # exactly the FIRST 50 registry entries (the registry grew past the
-    # driver's snapshot/window). The entries with no driver row yet —
-    # everything from layout_nms through text_tfidf_terms below — plus the
-    # r3 hash-fail fix (clean_corpus_stats) and the round-4 additions are
-    # therefore FIRST, so whatever window the driver checks covers them;
-    # the long-driver-green TPC-H/taxonomy block sits at the end.
+    # EXPLICIT ROTATION POLICY (documented per ADVICE r4): the external
+    # driver snapshots a ~50-entry window from the head of this registry,
+    # while tools/check_oracles.py always verifies ALL entries locally.
+    # Entries are ordered by rounds-since-last-driver-check, descending:
+    #   1. any entry whose last driver row was red (fix must re-verify);
+    #   2. entries with no driver row in the previous round (stalest);
+    #   3. new entries added this round (never driver-checked);
+    #   4. entries driver-green last round, oldest coverage first.
+    # Union of CORRECTNESS_r04 + r05 windows covers all entries; every
+    # entry has a driver-green row no older than one round.
     return {
-        # --- round-4 must-check: no driver row yet (VERDICT r3 missing #1)
+        # --- red in r4 (fixed: oracle NULL-vs-'' on fully-cut docs) ---
+        "dedup_substring_rewrite": _substring_rewrite,
+        # --- no driver row in r4 (last checked r3) ---
+        "audio_features": _audio_features,
+        "video_metadata": _video_metadata,
+        "video_features": _video_features,
+        "video_frame_sample": _video_frame_sample,
+        "html_strip_tags": _html_strip,
+        "html_main_content": _html_main,
+        "table_cell_match": _table_cell_match,
+        "table_html": _table_html,
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_region_revenue": _q5,
+        "top_customers_window": _top_customers,
+        "events_daily": _events_daily,
+        "events_windowed": _events_windowed,
+        "events_percentiles": _events_percentiles,
+        "distinct_event_types": _distinct_event_types,
+        "orders_case_projection": _orders_case,
+        "semi_anti_join": _semi_anti_join,
+        "set_ops_nations": _set_ops,
+        "rollup_revenue": _rollup_revenue,
+        # --- new in round 5 (never driver-checked) ---
+        # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
         "sample_stratified": _sample_stratified,
@@ -2719,7 +2746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "dedup_embedding_clusters": _emb_clusters,
         "quality_model_step": _quality_model_step,
-        "dedup_substring_rewrite": _substring_rewrite,
         "text_unigram_logprob": _unigram_logprob,
         "text_quality_tiers": _quality_tiers,
         "stream_dedup_exact": _stream_dedup_exact,
@@ -2732,7 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "text_tfidf_terms": _tfidf_terms,
         "clean_corpus_stats": _clean_corpus_stats,
-        # --- r3-green surface ---
+        # --- driver-green in r4 AND earlier rounds (freshest coverage) ---
         "span_explode_reassemble": _span_explode,
         "status_code_taxonomy": _status_taxonomy,
         "base64_status_taxonomy": _base64_taxonomy,
@@ -2762,27 +2788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _image_metadata,
         "image_features": _image_features,
         "audio_metadata": _audio_metadata,
-        "audio_features": _audio_features,
-        "video_metadata": _video_metadata,
-        "video_features": _video_features,
-        "video_frame_sample": _video_frame_sample,
-        "html_strip_tags": _html_strip,
-        "html_main_content": _html_main,
-        "table_cell_match": _table_cell_match,
-        "table_html": _table_html,
-        # --- longest-driver-green block (r1-r3), checked last ---
-        "q1_pricing_summary": _q1,
-        "q3_shipping_priority": _q3,
-        "q5_region_revenue": _q5,
-        "top_customers_window": _top_customers,
-        "events_daily": _events_daily,
-        "events_windowed": _events_windowed,
-        "events_percentiles": _events_percentiles,
-        "distinct_event_types": _distinct_event_types,
-        "orders_case_projection": _orders_case,
-        "semi_anti_join": _semi_anti_join,
-        "set_ops_nations": _set_ops,
-        "rollup_revenue": _rollup_revenue,
     }
 
 

@@ -29,7 +29,9 @@ def canon(v):
             return "nan"
         return f"{v:.6g}"
     if v is None:
-        return ""
+        # distinct sentinel: the driver's value-hash distinguishes NULL from
+        # empty string (this exact class failed dedup_substring_rewrite in r4)
+        return "\x00<NULL>"
     return str(v)
 
 
