@@ -226,6 +226,21 @@ _COMPACT_TRASH = "_compact_trash"
 _COMPACT_JOURNAL = "_compact_journal"
 
 
+def _rename_or_raise(fs, src, dst, what: str) -> None:
+    """Hadoop FileSystem.rename signals most failures (dest exists,
+    missing parent, cross-volume race) by returning False, not raising.
+    An unchecked rename followed by cleanup can delete the only surviving
+    copy of a bucket — so every swap/recovery rename goes through here
+    and raises BEFORE any destructive step, leaving journal/staging/
+    trash intact for recover_compaction."""
+    if not fs.rename(src, dst):
+        raise RuntimeError(
+            f"compaction rename failed ({what}): {src} -> {dst}; "
+            "journal/staging/trash left intact — rerun compact_results "
+            "to recover"
+        )
+
+
 def recover_compaction(spark: SparkSession, out_dir: str) -> int:
     """Finish (or roll back) a compaction wave interrupted mid-swap.
 
@@ -251,14 +266,26 @@ def recover_compaction(spark: SparkSession, out_dir: str) -> int:
             trash = P(os.path.join(out_dir, _COMPACT_TRASH, name))
             if not fs.exists(res):
                 if fs.exists(stg):
-                    fs.rename(stg, res)
+                    _rename_or_raise(fs, stg, res, f"recover {name} staged")
                 elif fs.exists(trash):
-                    fs.rename(trash, res)
+                    _rename_or_raise(fs, trash, res,
+                                     f"recover {name} trashed")
                 else:  # pragma: no cover - would mean external deletion
                     raise RuntimeError(
                         f"compaction recovery: no copy of {name} found"
                     )
                 repaired += 1
+        # cleanup only after verifying every journaled bucket is present
+        # in results/ — a failed repair raised above and kept all copies
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if name.startswith("bucket=") and not fs.exists(
+                P(os.path.join(out_dir, "results", name))
+            ):  # pragma: no cover - unreachable unless repair raced
+                raise RuntimeError(
+                    f"compaction recovery: {name} still missing after "
+                    "repair; keeping journal/staging/trash"
+                )
     for d in (_COMPACT_STAGING, _COMPACT_TRASH, _COMPACT_JOURNAL):
         p = P(os.path.join(out_dir, d))
         if fs.exists(p):
@@ -385,10 +412,22 @@ def compact_results(
             fs.createNewFile(P(os.path.join(journal, f"bucket={b}")))
         for b in wave:
             name = f"bucket={b}"
-            fs.rename(P(os.path.join(res_path, name)),
-                      P(os.path.join(trash, name)))
-            fs.rename(P(os.path.join(staging, name)),
-                      P(os.path.join(res_path, name)))
+            _rename_or_raise(fs, P(os.path.join(res_path, name)),
+                             P(os.path.join(trash, name)),
+                             f"swap-out {name}")
+            _rename_or_raise(fs, P(os.path.join(staging, name)),
+                             P(os.path.join(res_path, name)),
+                             f"swap-in {name}")
+        # cleanup only after verifying every swapped bucket landed —
+        # a failed rename raised above with all copies still on disk
+        missing = [b for b in wave
+                   if not fs.exists(P(os.path.join(res_path,
+                                                   f"bucket={b}")))]
+        if missing:  # pragma: no cover - unreachable unless swap raced
+            raise RuntimeError(
+                f"compaction swap: buckets {missing} missing from "
+                "results after rename; keeping journal/staging/trash"
+            )
         for d in (staging, trash, journal):
             if fs.exists(P(d)):
                 fs.delete(P(d), True)

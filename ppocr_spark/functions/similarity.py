@@ -20,6 +20,8 @@ shapes; the DuckDB oracles evaluate the same integers.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, Window
@@ -594,11 +596,22 @@ def _quantized(vec: Column, quant: int = QUANT) -> Column:
     )
 
 
-# |coordinate| bound for the exactness proof: with quant=1e6 the dot-product
-# partials are <= dim * (B*quant)^2, which must stay < 2^53 for float64
-# integer exactness — dim=64 gives B <= ~11.8; real embedding columns are
-# O(1) (the fixture max is 0.58). Enforced inside the assignment UDF.
-_FINE_COORD_BOUND = 11.0 * QUANT
+# |coordinate| bound for the exactness proof. The ASSEMBLED distance
+# nx + nc - 2*x@c (not just each partial) must be exactly representable:
+# every intermediate is an integer of magnitude <= 4*dim*B^2, so requiring
+# 4*dim*B^2 < 2^53 makes norms, matmul partials AND the final sum exact in
+# float64. At dim=64 that gives B <= ~5.9e6 quantized (~5.9 in original
+# units; real embedding columns are O(1) — the fixture max is 0.58, 10x
+# headroom). The old 11*QUANT bound only covered each term and admitted a
+# band (5.9e6, 11e6] where dist_q could silently lose bits. Enforced
+# dim-aware inside the assignment UDF.
+
+
+def _fine_coord_bound(dim: int) -> float:
+    return math.floor(math.sqrt(2.0**53 / (4.0 * max(dim, 1))))
+
+
+_FINE_COORD_BOUND = _fine_coord_bound(64)  # fixture dim, for tests/docs
 
 
 def _fine_assign(
@@ -624,6 +637,11 @@ def _fine_assign(
 
     C = np.asarray(cents_q, dtype=np.float64)
     nc = (C * C).sum(axis=1)
+    bound = _fine_coord_bound(C.shape[1] if C.ndim == 2 else 1)
+    if C.size and np.abs(C).max() > bound:
+        raise ValueError(
+            f"fine-quantizer exactness bound exceeded: |centroid| > {bound}"
+        )
 
     out_vec = ", vq array<long>" if carry_vec else ""
     schema = f"id {id_type}, cluster int, dist_q long{out_vec}"
@@ -633,10 +651,10 @@ def _fine_assign(
             if len(pdf) == 0:
                 continue
             V = np.array(list(pdf["vq"]), dtype=np.float64)
-            if V.size and np.abs(V).max() > _FINE_COORD_BOUND:
+            if V.size and np.abs(V).max() > bound:
                 raise ValueError(
                     "fine-quantizer exactness bound exceeded: |coord| > "
-                    f"{_FINE_COORD_BOUND} after quantization"
+                    f"{bound} after quantization"
                 )
             nx = (V * V).sum(axis=1)
             dist = nx[:, None] + nc[None, :] - 2.0 * (V @ C.T)
@@ -761,16 +779,21 @@ def _fine_probe(
 
     C = np.asarray(cents_q, dtype=np.float64)
     nc = (C * C).sum(axis=1)
+    bound = _fine_coord_bound(C.shape[1] if C.ndim == 2 else 1)
+    if C.size and np.abs(C).max() > bound:
+        raise ValueError(
+            f"fine-quantizer exactness bound exceeded: |centroid| > {bound}"
+        )
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(list(pdf["vq"]), dtype=np.float64)
-            if V.size and np.abs(V).max() > _FINE_COORD_BOUND:
+            if V.size and np.abs(V).max() > bound:
                 raise ValueError(
                     "fine-quantizer exactness bound exceeded: |coord| > "
-                    f"{_FINE_COORD_BOUND} after quantization"
+                    f"{bound} after quantization"
                 )
             nx = (V * V).sum(axis=1)
             dist = nx[:, None] + nc[None, :] - 2.0 * (V @ C.T)

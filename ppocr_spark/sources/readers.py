@@ -28,12 +28,31 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     catalog when the path is a table identifier and the runtime has the
     Iceberg extension; falls back to parquet (same schema, same plan shape
     minus snapshot pruning)."""
-    if "/" not in path and "." in path:
-        try:
-            return spark.read.format("iceberg").load(path)
-        except Exception:  # noqa: BLE001 — no catalog in this sandbox
-            pass
+    if "/" not in path and "." in path and _iceberg_available(spark):
+        return spark.read.format("iceberg").load(path)
     return spark.read.schema(DOCUMENTS).parquet(path)
+
+
+_ICEBERG_PROBE: dict[int, bool] = {}
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    """Probe ONCE per JVM for the Iceberg Spark runtime class and branch
+    on that, instead of a bare ``except Exception`` around the read —
+    a broad catch would also swallow genuine Iceberg errors (corrupt
+    metadata, auth, bad table name) and silently fall back to reading a
+    DIFFERENT dataset than intended (ADVICE r4). With the runtime
+    present, real read failures now propagate."""
+    key = id(spark._jvm)
+    if key not in _ICEBERG_PROBE:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.IcebergSource"
+            )
+            _ICEBERG_PROBE[key] = True
+        except Exception:  # noqa: BLE001 — ClassNotFound via py4j
+            _ICEBERG_PROBE[key] = False
+    return _ICEBERG_PROBE[key]
 
 
 def read_media(spark: SparkSession, path: str) -> DataFrame:
@@ -79,17 +98,23 @@ def read_table_snapshot(
     but no Iceberg catalog can serve it — silently reading a DIFFERENT
     snapshot than the manifest recorded would corrupt a resume)."""
     if snapshot_id is not None:
+        if not _iceberg_available(spark):
+            raise RuntimeError(
+                f"snapshot-pinned read of {table!r} (snapshot "
+                f"{snapshot_id}) requires the Iceberg runtime; refusing "
+                "the parquet fallback — it would silently read a "
+                "different table state than the manifest recorded"
+            )
         return (
             spark.read.format("iceberg")
             .option("snapshot-id", snapshot_id)
             .load(table)
         )
-    try:
+    if _iceberg_available(spark):
         return spark.read.format("iceberg").load(table)
-    except Exception:  # noqa: BLE001 — no catalog in this sandbox
-        if "/" in table:
-            return spark.read.parquet(table)
-        return spark.table(table)
+    if "/" in table:
+        return spark.read.parquet(table)
+    return spark.table(table)
 
 
 def single_media_request(

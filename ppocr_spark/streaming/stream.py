@@ -476,20 +476,27 @@ def stream_distinct_content(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    import shutil
+
     if query_name is None:
         # memory-sink names must be unique per active session; the name
         # never affects the result set
         query_name = f"sdc_{uuid.uuid4().hex[:12]}"
 
+    # every staged resource is torn down before returning (repeated
+    # gate/bench runs must not accumulate tempdirs or memory-sink tables)
+    staged_src = None
+    ckpt = None
+
     # the file source lists a DIRECTORY; when handed a bare parquet file
     # (the fixture layout), stage a symlink dir in front of it
     if os.path.isfile(documents_path):
-        d = tempfile.mkdtemp(prefix="stream_gate_src_")
+        staged_src = tempfile.mkdtemp(prefix="stream_gate_src_")
         os.symlink(
             os.path.abspath(documents_path),
-            os.path.join(d, os.path.basename(documents_path)),
+            os.path.join(staged_src, os.path.basename(documents_path)),
         )
-        documents_path = d
+        documents_path = staged_src
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -521,14 +528,24 @@ def stream_distinct_content(
         .dropDuplicatesWithinWatermark(["content_key"])
         .drop("ts")
     )
-    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    try:
+        ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize off the memory sink (tiny: one row per distinct
+        # content key) so the sink table can be dropped before returning
+        result = spark.table(query_name)
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        spark.catalog.dropTempView(query_name)
+        for d in (staged_src, ckpt):
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)

@@ -191,3 +191,42 @@ class TestCompaction:
             f for f in _os.listdir(solo_dir) if f.endswith(".parquet")
         )
         assert files_after == files_before
+
+    def test_failed_rename_raises_before_any_cleanup(self, tmp_path):
+        """HDFS FileSystem.rename signals many failures by returning False
+        (dest exists from a concurrent compactor, missing parent) — an
+        unchecked swap would then delete trash+staging, destroying the
+        only complete copies. Every swap/recovery rename must go through
+        _rename_or_raise, which raises on a False return."""
+        import pytest
+
+        from ppocr_spark.checkpoint import _rename_or_raise
+
+        class FalseRenameFS:
+            deleted = []
+
+            def rename(self, src, dst):
+                return False
+
+            def delete(self, p, rec):  # pragma: no cover - must not run
+                self.deleted.append(p)
+
+        fs = FalseRenameFS()
+        with pytest.raises(RuntimeError, match="rename failed"):
+            _rename_or_raise(fs, "a", "b", "swap-out bucket=0")
+        assert fs.deleted == []
+
+    def test_swap_and_recovery_renames_are_all_checked(self):
+        """Source-level invariant: no bare fs.rename( remains in
+        checkpoint.py outside _rename_or_raise itself."""
+        import inspect
+
+        import ppocr_spark.checkpoint as cp
+
+        src = inspect.getsource(cp)
+        bare = [
+            ln for ln in src.splitlines()
+            if "fs.rename(" in ln and "_rename_or_raise" not in ln
+            and "if not fs.rename" not in ln
+        ]
+        assert bare == [], f"unchecked renames: {bare}"

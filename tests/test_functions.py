@@ -1120,6 +1120,53 @@ class TestKMeansFine:
         assert capped[9] is False and capped[4] is True
 
 
+
+class TestFineCoordBound:
+    def test_full_expression_exactness_band(self, spark):
+        """4*dim*B^2 < 2^53: the bound must protect the ASSEMBLED distance
+        nx + nc - 2*x@c, not just each partial. Coordinates in the band
+        (5.93e6, 11e6] — admitted by the old per-term bound — must now be
+        rejected, because float64 loses integer exactness there."""
+        import numpy as np
+        import pytest
+
+        from ppocr_spark.functions.similarity import (
+            _fine_assign,
+            _fine_coord_bound,
+        )
+
+        B = _fine_coord_bound(64)
+        # the bound itself satisfies the proof, one step above violates it
+        assert 4 * 64 * B * B < 2**53
+        assert 4 * 64 * (B + 1) * (B + 1) >= 2**53
+        # witness of actual bit loss in the old band: an assembled distance
+        # above 2^53 is not exactly representable
+        x = np.float64(11e6)
+        dist = 64 * (2.0 * x) ** 2  # worst case |x - c| = 2B per dim
+        assert dist > 2**53 and (dist + 1.0) == dist  # bits already lost
+
+        df = spark.createDataFrame(
+            [(1, [7_000_000] * 64)], "id long, vq array<long>"
+        )
+        cents = [[0] * 64]
+        with pytest.raises(Exception, match="exactness bound"):
+            _fine_assign(df, cents, carry_vec=False).collect()
+        # centroids in the band are rejected eagerly, before any job runs
+        with pytest.raises(ValueError, match="centroid"):
+            _fine_assign(df, [[7_000_000] * 64], carry_vec=False)
+
+    def test_in_bound_coordinates_still_assign(self, spark):
+        from ppocr_spark.functions.similarity import _fine_assign
+
+        df = spark.createDataFrame(
+            [(1, [5_000_000] * 64), (2, [-5_000_000] * 64)],
+            "id long, vq array<long>",
+        )
+        cents = [[5_000_000] * 64, [-5_000_000] * 64]
+        got = {r["id"]: (r["cluster"], r["dist_q"])
+               for r in _fine_assign(df, cents, carry_vec=False).collect()}
+        assert got == {1: (0, 0), 2: (1, 0)}
+
 class TestTfIdf:
     def test_keywords_and_min_df(self, spark):
         from ppocr_spark.functions.search import tfidf_topk_terms

@@ -195,6 +195,51 @@ class TestPiiScrub:
             assert r.clean == want_clean, self.CASES[r.i][0]
             assert (r.e, r.p, r.ip) == want_counts, self.CASES[r.i][0]
 
+    def test_phone_recall_over_documented_family(self, spark):
+        """Recall pin (VERDICT r4 #8): enumerate EVERY format in the
+        documented phone family (the PII_PHONE comment in text.py) as a
+        cross-product of its parameters, and require each to redact to
+        exactly one <PHONE>. A future pattern edit that silently narrows
+        any branch of the family fails here with the literal that
+        regressed."""
+        family = []
+        # +CC 10-digit: CC len 1-3, sep in {-, ., space, none}, optional
+        # parens on the area code (paren form documented with space/dash)
+        for cc in ("1", "44", "353"):
+            for sep in ("-", ".", " ", ""):
+                family.append(f"+{cc}{sep}555{sep}123{sep}4567")
+            for sep in ("-", " "):
+                family.append(f"+{cc}{sep}(555){sep}123{sep}4567")
+            family.append(f"+{cc} (555) 123-4567")
+        # +CC-DDD-DDDD (short intl, the round-3 form)
+        for cc in ("1", "44", "353"):
+            family.append(f"+{cc}-555-0199")
+        # (DDD) DDD-DDDD with sep in {-, ., space} after the parens
+        for sep in ("-", ".", " "):
+            family.append(f"(555){sep}123{sep}4567")
+        family.append("(555) 123-4567")
+        # DDD-DDD-DDDD with sep in {-, ., space} (bare runs excluded by
+        # design: precision over recall)
+        for sep in ("-", ".", " "):
+            family.append(f"555{sep}123{sep}4567")
+
+        df = spark.createDataFrame(
+            [(i, f"call {p} now") for i, p in enumerate(family)],
+            "i long, t string",
+        )
+        c = pii_counts(F.col("t"))
+        out = df.select(
+            "i", pii_scrub(F.col("t")).alias("clean"),
+            c["n_phones"].alias("p"),
+        ).collect()
+        misses = [
+            (family[r.i], r.clean)
+            for r in out
+            if r.p != 1 or "<PHONE>" not in r.clean
+            or any(ch.isdigit() for ch in r.clean)
+        ]
+        assert misses == [], f"family members not fully redacted: {misses}"
+
     def test_jvm_only_no_python_udf(self, spark):
         df = spark.createDataFrame([(1, "x@y.io")], "i long, t string")
         plan = (

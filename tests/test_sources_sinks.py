@@ -446,7 +446,15 @@ class TestIcebergScope:
                 "travel actually pinning file sets, (3) bucket(N, col) "
                 "partition-transform pruning at scan time, (4) "
                 "manifest-level min/max file skipping, (5) schema "
-                "evolution. The parquet fallback carries all gates."
+                "evolution, (6) snapshot EXPIRY interacting with pinned "
+                "manifests (a resume pinned to an expired snapshot must "
+                "fail loudly, not read current state), (7) hidden-"
+                "partition evolution (bucket count changes mid-table: "
+                "old files keep the old transform — scan planning must "
+                "union both layouts), (8) runtime-present error "
+                "propagation through _iceberg_available's True branch "
+                "(corrupt metadata/auth must raise, never parquet-"
+                "fallback). The parquet fallback carries all gates."
             )
         # real runtime present: create a table, write, snapshot-read back
         spark.sql(
@@ -760,3 +768,27 @@ class TestStreamDistinctContent:
             for t, n in {("alpha beta", 10), ("gamma", 5), ("delta", 5)}
         )
         assert got == exp
+
+    def test_cleans_up_tempdirs_and_memory_table(self, spark, tmp_path):
+        """Repeated gate/bench runs must not accumulate checkpoint/staging
+        tempdirs or memory-sink tables (ADVICE r4): after the call returns,
+        no stream_gate_* dir remains and the sink view is dropped — while
+        the returned DataFrame stays usable."""
+        import glob
+        import tempfile
+
+        from ppocr_spark.streaming.stream import stream_distinct_content
+
+        rows = [(0, "alpha", "en", "s0", 5), (1, "alpha", "en", "s1", 5)]
+        schema = ("doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        pq = tmp_path / "docs.parquet"
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(pq)
+
+        tmp = tempfile.gettempdir()
+        before = set(glob.glob(f"{tmp}/stream_gate_*"))
+        tables_before = {t.name for t in spark.catalog.listTables()}
+        out = stream_distinct_content(spark, str(pq), query_name="sdc_t")
+        assert set(glob.glob(f"{tmp}/stream_gate_*")) == before
+        assert {t.name for t in spark.catalog.listTables()} == tables_before
+        assert out.count() == 1  # survives the cleanup (materialized)
