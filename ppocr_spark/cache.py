@@ -47,3 +47,32 @@ def release_all(blocking: bool = False) -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+def track_if_large(
+    src: DataFrame, derived: DataFrame, threshold_bytes: int = 256 << 20
+) -> DataFrame:
+    """Persist ``derived`` only when ``src``'s optimizer size estimate
+    exceeds ``threshold_bytes``.
+
+    The persist-vs-recompute tradeoff flips with scale: when the source
+    scan is small, materializing the intermediate (cache write barrier +
+    lost pipelining) costs more than recomputing its subtree per consumer
+    — measured 1.3-1.5x slower for bm25/tfidf at sf0.1 in interleaved
+    A/B. When the source is a multi-TB corpus, recomputation means a
+    second full scan and the persist (of a much slimmer aggregate) wins
+    by construction. Catalyst's ``sizeInBytes`` for a parquet scan is the
+    file-size sum — exactly the second-scan cost being avoided."""
+    try:
+        size = int(
+            src._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .toString()
+        )
+    except Exception:  # stats unavailable: persist (the scale-safe side)
+        size = threshold_bytes + 1
+    if size > threshold_bytes:
+        return track(derived)
+    return derived

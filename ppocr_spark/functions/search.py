@@ -73,12 +73,15 @@ def bm25_topk(
 
     # per-(doc, term) counts — tokens filtered to the query terms BEFORE
     # the explode/shuffle, so the aggregated stream is tiny. tf feeds BOTH
-    # dfreq and the scored join below: persist it (cache.track, released
-    # by the caller via release_all) or the corpus tokenize/explode/agg
-    # chain re-runs once per derived side
+    # dfreq and the scored join below; whether to persist it depends on
+    # scale (track_if_large): against a multi-TB corpus the persist saves
+    # a second full scan, but at bench scale it LOSES to recomputation
+    # (interleaved A/B at sf0.1: 1.35 s persisted vs 0.89 s recomputed —
+    # the cache barrier costs more than re-running the slim subtree)
     from ppocr_spark import cache
 
-    tf = cache.track(
+    tf = cache.track_if_large(
+        docs,
         base.select(
             "id",
             "dl",
@@ -87,7 +90,7 @@ def bm25_topk(
             ).alias("term"),
         )
         .groupBy("id", "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(F.count("*").cast("double").alias("tf")),
     )
 
     # per-term document frequency: ≤ |query| rows — broadcast
@@ -165,13 +168,16 @@ def tfidf_topk_terms(
     n_docs = F.broadcast(
         base.agg(F.count("*").cast("double").alias("n_docs"))
     )
-    # tf feeds dfreq AND the scored re-join: persist (see bm25_topk)
+    # tf feeds dfreq AND the scored re-join: persist only at scale
+    # (track_if_large — see bm25_topk; A/B at sf0.1: 1.26 s recomputed
+    # vs 1.64 s persisted)
     from ppocr_spark import cache
 
-    tf = cache.track(
+    tf = cache.track_if_large(
+        docs,
         base.select("id", "dl", F.explode("toks").alias("term"))
         .groupBy("id", "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(F.count("*").cast("double").alias("tf")),
     )
     dfreq = tf.groupBy("term").agg(
         F.count("*").cast("double").alias("df")

@@ -55,3 +55,20 @@ class TestCacheHygiene:
         got = sorted((r["a"], r["b"]) for r in pairs2.collect())
         assert got == expected
         assert _n_cached(spark) == 0
+
+    def test_track_if_large_is_size_gated(self, spark, sf_dir):
+        """track_if_large persists only above the source-size threshold:
+        at bench scale the persist LOSES to recomputation (A/B'd r5), at
+        corpus scale it saves a second full scan."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        derived = docs.groupBy("lang").count()
+        # small source, default threshold: pass-through, nothing cached
+        out = cache.track_if_large(docs, derived)
+        assert out is derived
+        assert _n_cached(spark) == 0
+        # threshold 0: persists and registers for release
+        out2 = cache.track_if_large(docs, derived, threshold_bytes=0)
+        out2.collect()
+        assert _n_cached(spark) == 1
+        cache.release_all()
+        assert _n_cached(spark) == 0
