@@ -63,16 +63,22 @@ def track_if_large(
     second full scan and the persist (of a much slimmer aggregate) wins
     by construction. Catalyst's ``sizeInBytes`` for a parquet scan is the
     file-size sum — exactly the second-scan cost being avoided."""
+    if plan_size_bytes(src, default=threshold_bytes + 1) > threshold_bytes:
+        return track(derived)
+    return derived
+
+
+def plan_size_bytes(df: DataFrame, default: int = 1 << 62) -> int:
+    """Catalyst's optimizer size estimate for ``df`` (for a parquet scan:
+    the file-size sum after partition pruning). ``default`` is returned
+    when stats are unavailable — callers pick the scale-safe side."""
     try:
-        size = int(
-            src._jdf.queryExecution()
+        return int(
+            df._jdf.queryExecution()
             .optimizedPlan()
             .stats()
             .sizeInBytes()
             .toString()
         )
-    except Exception:  # stats unavailable: persist (the scale-safe side)
-        size = threshold_bytes + 1
-    if size > threshold_bytes:
-        return track(derived)
-    return derived
+    except Exception:  # noqa: BLE001 — py4j/stats failure
+        return default

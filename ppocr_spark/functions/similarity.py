@@ -808,6 +808,13 @@ def _fine_probe(
     )
 
 
+# query-side broadcast budget for ivf_topk_fine: the exploded probe rows
+# (|queries| x n_probe, each carrying the float64 vector) must fit
+# comfortably in every executor — above this the join falls back to a
+# shuffle equi-join on the cell id
+_BROADCAST_QUERY_BYTES = 64 << 20
+
+
 def ivf_topk_fine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -869,8 +876,19 @@ def ivf_topk_fine(
         )
         .select("qid", "qv", "qn", F.explode("cells").alias("cl"))
     )
+    # join-strategy auto-select (mirrors ocr_media_spans' media-path
+    # gate): a probe/batch-sized query set rides as a broadcast hash
+    # join — zero shuffle of the corpus-sized inverted side; a
+    # corpus-sized query set (offline all-pairs kNN) would OOM every
+    # executor as a broadcast, so it takes a shuffle equi-join on the
+    # cell id instead (both sides exchange-partitioned on cl; candidate
+    # volume per cell stays ~|corpus|/n_centroids x n_probe).
+    from ppocr_spark.cache import plan_size_bytes
+
+    q_bytes = plan_size_bytes(queries, default=1 << 62) * max(n_probe, 1)
+    probe_side = F.broadcast(qd) if q_bytes <= _BROADCAST_QUERY_BYTES else qd
     scored = (
-        inv.join(F.broadcast(qd), "cl")
+        inv.join(probe_side, "cl")
         .filter(F.col("nid") != F.col("qid"))
         .select(
             "qid", "nid",

@@ -278,6 +278,44 @@ class TestFineQuantizerPlans:
             or "ShuffledHashJoin" in plan
         )
 
+    def test_ivf_fine_join_strategy_auto_selects(self, spark, sf_dir):
+        """ivf_topk_fine gates the query-side broadcast by query-set size
+        (VERDICT r4 #6): a probe-sized query set broadcasts, a
+        corpus-sized one takes a shuffle equi-join on cl — no BNLJ or
+        Cartesian in either shape."""
+        import ppocr_spark.functions.similarity as sim
+        from ppocr_spark import cache
+        from ppocr_spark.functions.similarity import ivf_topk_fine
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        # small query set: broadcast hash join on cl
+        small = ivf_topk_fine(
+            e, e.filter(e.vec_id < 4), k=3, n_centroids=64, iters=1,
+            n_probe=4,
+        )
+        plan_small = _plan(small)
+        cache.release_all()
+        assert "BroadcastHashJoin" in plan_small
+        assert "BroadcastNestedLoopJoin" not in plan_small
+        assert "CartesianProduct" not in plan_small
+
+        # corpus-sized query set (force the gate with a tiny budget):
+        # exchange + non-broadcast equi-join
+        old = sim._BROADCAST_QUERY_BYTES
+        sim._BROADCAST_QUERY_BYTES = 0
+        try:
+            big = ivf_topk_fine(
+                e, e, k=3, n_centroids=64, iters=1, n_probe=4
+            )
+            plan_big = _plan(big)
+        finally:
+            sim._BROADCAST_QUERY_BYTES = old
+            cache.release_all()
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        assert "BroadcastNestedLoopJoin" not in plan_big
+        assert "CartesianProduct" not in plan_big
+
     def test_semantic_fine_pairs_equi_join(self, spark, sf_dir):
         import __spark_entry__ as entry
 
