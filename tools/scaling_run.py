@@ -92,8 +92,10 @@ def main():
 
     if "--one" in sys.argv:
         # quiet-window probe: ONE level at SPARK_GRAFT_CPUS (default 32).
-        # CLAUDE.md discipline: believe pair numbers only in a window where
-        # this probe clears ~550 docs/s at 32 cores on the 12800-doc corpus.
+        # CLAUDE.md discipline (bar recalibrated in round 4 after
+        # cost-ordered waves lifted true-quiet local[32] to ~791): believe
+        # pair numbers only in a window where this probe clears >=700
+        # docs/s at 32 cores on the 12800-doc corpus.
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run_level(cores, n_docs)))
         return
