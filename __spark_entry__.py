@@ -2283,6 +2283,93 @@ FROM c ORDER BY doc_id
 """
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (library sampling.pack_sequences):
+    concatenate the token stream in md5-bucketed deterministic order and
+    cut every 128 tokens, splitting documents across boundaries (the
+    zero-padding complement of token_shards). Pure integer window math —
+    the DuckDB twin replays it bit-for-bit."""
+    from ppocr_spark.functions.sampling import pack_sequences
+
+    d = _load(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=128, bucket_hex=1).orderBy("doc_id")
+
+
+_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS n_toks,
+         md5(concat('pack:', doc_id::VARCHAR)) AS h
+  FROM documents
+), f AS (SELECT * FROM t WHERE n_toks > 0),
+c AS (
+  SELECT doc_id, n_toks, substr(h, 1, 1) AS bkt,
+         ((sum(n_toks) OVER (PARTITION BY substr(h, 1, 1)
+                             ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING)) - n_toks)::BIGINT
+           AS start
+  FROM f
+)
+SELECT doc_id, n_toks,
+       concat(bkt, ':', (start // 128)::VARCHAR) AS seq_first,
+       concat(bkt, ':', ((start + n_toks - 1) // 128)::VARCHAR) AS seq_last,
+       (start % 128)::BIGINT AS offset_in_first,
+       ((start + n_toks - 1) // 128 - start // 128 + 1)::BIGINT AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
+def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (library
+    text.gopher_repetition): per-document top-token / top-2-gram /
+    duplicate-2-gram fractions in integer parts-per-million plus pass
+    flags — exact integer DIV, no float round() to reconcile."""
+    from ppocr_spark.functions.text import gopher_repetition
+
+    d = _load(spark, sf_dir, "documents")
+    return gopher_repetition(d).orderBy("doc_id")
+
+
+_GOPHER_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+tc AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id, tok
+),
+ta AS (SELECT doc_id, max(c)::BIGINT AS top_tok, sum(c)::BIGINT AS n_toks
+       FROM tc GROUP BY doc_id),
+gc AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 2
+                      THEN list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])
+                      ELSE [] END) AS g
+        FROM t) GROUP BY doc_id, g
+),
+ga AS (SELECT doc_id, max(c)::BIGINT AS top_2gram,
+              sum(c)::BIGINT AS n_2grams,
+              count(*)::BIGINT AS n_2grams_distinct
+       FROM gc GROUP BY doc_id),
+j AS (
+  SELECT ta.doc_id, ta.n_toks,
+         (1000000 * top_tok)::BIGINT AS tt,
+         coalesce((2000000 * top_2gram)::BIGINT, 0) AS t2,
+         coalesce((1000000 * (n_2grams - n_2grams_distinct))::BIGINT, 0)
+           AS d2,
+         coalesce(n_2grams, 1)::BIGINT AS n2
+  FROM ta LEFT JOIN ga USING (doc_id)
+)
+SELECT doc_id, n_toks,
+       (tt // n_toks)::BIGINT AS top_token_ppm,
+       (t2 // n_toks)::BIGINT AS top_2gram_ppm,
+       (d2 // n2)::BIGINT AS dup_2gram_ppm,
+       (tt // n_toks) <= 300000 AS ok_top_token,
+       (t2 // n_toks) <= 200000 AS ok_top_2gram,
+       (d2 // n2) <= 600000 AS ok_dup_2gram
+FROM j ORDER BY doc_id
+"""
+
+
 _BM25_TERMS = ["hash", "stream", "vector"]
 
 
@@ -2737,6 +2824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_nations": _set_ops,
         "rollup_revenue": _rollup_revenue,
         # --- new in round 5 (never driver-checked) ---
+        "pack_sequences": _pack_sequences,
+        "text_gopher_repetition": _gopher_repetition,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -2858,6 +2947,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_exact": _STREAM_DEDUP_EXACT_SQL,
         "chunk_documents": _chunk_documents_sql(),
         "token_shards": _token_shards_sql(),
+        "pack_sequences": _PACK_SEQUENCES_SQL,
+        "text_gopher_repetition": _GOPHER_REPETITION_SQL,
         "text_bm25_topk": _bm25_topk_sql(),
         "embedding_kmeans": _embedding_kmeans_sql(),
         "embedding_kmeans_fine": _embedding_kmeans_fine_sql(),

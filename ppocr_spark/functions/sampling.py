@@ -383,3 +383,62 @@ def source_cap(
         .filter((F.col("__n") <= cap) | (h4 < thr))
         .drop("__n")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    bucket_hex: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the token stream in a
+    deterministic order and cut every ``seq_len`` tokens, SPLITTING
+    documents across sequence boundaries (zero padding — the complement
+    of ``token_shards``, which never splits). Emits, per document, where
+    its tokens land: (id, n_toks, seq_first, seq_last, offset_in_first,
+    n_seqs) with sequence ids namespaced by layout bucket.
+
+    Scale path is token_shards' device: md5-bucketed layout first, one
+    window cumsum per bucket (no global sort; reducer bound =
+    rows-per-bucket, auto-derived via ``derive_bucket_hex``). Pure
+    integer window math — bit-identical in the DuckDB twin. Documents
+    with zero tokens are dropped (they occupy no sequence positions)."""
+    if bucket_hex is None:
+        bucket_hex = derive_bucket_hex(df.count())
+    h = _id_hash(F.col(id_col), "pack")
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_toks"),
+        h.alias("h"),
+        F.substring(h, 1, bucket_hex).alias("bkt"),
+    ).filter(F.col("n_toks") > 0)
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        id_col,
+        "n_toks",
+        "bkt",
+        (F.sum("n_toks").over(wb) - F.col("n_toks")).alias("start"),
+    )
+    return cum.select(
+        id_col,
+        "n_toks",
+        F.concat_ws(
+            ":", F.col("bkt"), F.floor(F.col("start") / seq_len)
+        ).alias("seq_first"),
+        F.concat_ws(
+            ":",
+            F.col("bkt"),
+            F.floor((F.col("start") + F.col("n_toks") - 1) / seq_len),
+        ).alias("seq_last"),
+        (F.col("start") % seq_len).alias("offset_in_first"),
+        (
+            F.floor((F.col("start") + F.col("n_toks") - 1) / seq_len)
+            - F.floor(F.col("start") / seq_len)
+            + 1
+        ).cast("long").alias("n_seqs"),
+    )

@@ -448,3 +448,121 @@ def quality_tiers(
         .withColumn("tier", tier)
         .drop("__b")
     )
+
+
+# --- Gopher-style repetition filters (Rae et al. 2021, table A1) -----------
+#
+# The Gopher corpus rules flag documents whose content is dominated by
+# repeated fragments. The paper's line/paragraph rules need line structure;
+# over a whitespace token stream the operative family is the n-gram one,
+# expressed here as token-count fractions:
+#   frac_top_token  — occurrences of the most frequent token / n_toks
+#   frac_top_2gram  — tokens covered by the most frequent 2-gram / n_toks
+#                     (count x 2, the paper's "fraction of characters in
+#                     the most common n-gram" in token units)
+#   frac_dup_2gram  — repeated 2-gram INSTANCES / all 2-gram instances
+#                     (instances beyond each gram's first occurrence)
+# Thresholds follow the paper's shape (top-2gram 0.20); the top-token and
+# dup-2gram cuts are calibrated loose (0.30 / 0.60) since token fractions
+# run higher than character fractions.
+
+GOPHER_TOP_TOKEN_MAX = 0.30
+GOPHER_TOP_2GRAM_MAX = 0.20
+GOPHER_DUP_2GRAM_MAX = 0.60
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition metrics + pass flags.
+
+    Scale shape: two explode→partial-agg chains (tokens, 2-grams), each
+    one shuffle keyed by (doc, gram) with map-side combine absorbing the
+    explosion, reduced to one row per document and equi-joined back on
+    the id. Max/sum over exact integer counts, fractions rounded to 6 —
+    order- and partition-independent, so the DuckDB twin hash-matches.
+    Documents with fewer than 2 tokens get 0.0 for both 2-gram metrics
+    (same branch in the oracle)."""
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    tok_counts = (
+        base.select("id", F.explode("t").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max("c").cast("long").alias("top_tok"),
+            F.sum("c").cast("long").alias("n_toks"),
+        )
+    )
+    # guard: Spark's sequence(0, n) DESCENDS for n < 0, so a 1-token doc
+    # would otherwise fabricate grams — emit an empty index array instead
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(0), F.size("t") - 2)
+    ).otherwise(F.slice(F.array(F.lit(0)), 1, 0))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
+                ),
+            )
+        ).alias("g"),
+    )
+    gram_counts = (
+        grams.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max("c").cast("long").alias("top_2gram"),
+            F.sum("c").cast("long").alias("n_2grams"),
+            F.count("*").cast("long").alias("n_2grams_distinct"),
+        )
+    )
+    # metrics in integer PARTS-PER-MILLION: (1e6 * count) DIV denominator
+    # — exact integer math, no float round() tie-break to reconcile across
+    # engines (the repo's decimal-exactness rule, integer flavor)
+    j = tok_counts.join(gram_counts, "id", "left").select(
+        "id",
+        "n_toks",
+        (F.lit(1_000_000) * F.col("top_tok"))
+        .cast("long")
+        .alias("_tt"),
+        F.coalesce(
+            (F.lit(2_000_000) * F.col("top_2gram")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("_t2"),
+        F.coalesce(
+            (
+                F.lit(1_000_000)
+                * (F.col("n_2grams") - F.col("n_2grams_distinct"))
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("_d2"),
+        F.coalesce(F.col("n_2grams"), F.lit(1)).cast("long").alias("_n2"),
+    )
+    out = j.select(
+        F.col("id").alias("doc_id"),
+        "n_toks",
+        F.expr("_tt DIV n_toks").alias("top_token_ppm"),
+        F.expr("_t2 DIV n_toks").alias("top_2gram_ppm"),
+        F.expr("_d2 DIV _n2").alias("dup_2gram_ppm"),
+    )
+    return out.select(
+        "doc_id",
+        "n_toks",
+        "top_token_ppm",
+        "top_2gram_ppm",
+        "dup_2gram_ppm",
+        (F.col("top_token_ppm") <= int(GOPHER_TOP_TOKEN_MAX * 1_000_000))
+        .alias("ok_top_token"),
+        (F.col("top_2gram_ppm") <= int(GOPHER_TOP_2GRAM_MAX * 1_000_000))
+        .alias("ok_top_2gram"),
+        (F.col("dup_2gram_ppm") <= int(GOPHER_DUP_2GRAM_MAX * 1_000_000))
+        .alias("ok_dup_2gram"),
+    )

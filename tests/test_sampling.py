@@ -459,3 +459,82 @@ class TestQualityTiers:
             for r in quality_tiers(df.repartition(7), n_tiers=3).collect()
         }
         assert again == {r.id: r.tier for r in out}
+
+
+class TestPackSequences:
+    def test_concat_and_cut_semantics(self, spark):
+        """Documents are split across fixed-length sequences with zero
+        padding: within each layout bucket, offsets chain exactly (each
+        doc starts where the previous ended) and every sequence boundary
+        every 8 tokens is honored."""
+        from ppocr_spark.functions.sampling import pack_sequences
+
+        rows = [(i, " ".join(["w"] * n)) for i, n in
+                enumerate([3, 10, 8, 1, 20, 5])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(df, seq_len=8, bucket_hex=1).collect()
+        assert len(out) == 6
+        for r in out:
+            b_first, s_first = r.seq_first.split(":")
+            b_last, s_last = r.seq_last.split(":")
+            assert b_first == b_last  # a doc never crosses buckets
+            start = int(s_first) * 8 + r.offset_in_first
+            end = start + r.n_toks - 1
+            assert int(s_first) == start // 8
+            assert int(s_last) == end // 8
+            assert r.n_seqs == end // 8 - start // 8 + 1
+        # per bucket: token positions tile contiguously from 0
+        from collections import defaultdict
+        by_bucket = defaultdict(list)
+        for r in out:
+            b = r.seq_first.split(":")[0]
+            start = int(r.seq_first.split(":")[1]) * 8 + r.offset_in_first
+            by_bucket[b].append((start, r.n_toks))
+        for b, spans in by_bucket.items():
+            spans.sort()
+            pos = 0
+            for start, n in spans:
+                assert start == pos, (b, spans)
+                pos += n
+
+    def test_zero_token_docs_dropped_and_layout_independent(self, spark):
+        from ppocr_spark.functions.sampling import pack_sequences
+
+        rows = [(1, "a b c"), (2, "   "), (3, "d e")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(df, seq_len=4, bucket_hex=1)
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {1, 3}
+        # partitioning-independent (window math is per-bucket exact)
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple,
+                       pack_sequences(df.repartition(7), 4, 1).collect()))
+        assert a == b
+
+
+class TestGopherRepetition:
+    def test_ppm_metrics_exact(self, spark):
+        from ppocr_spark.functions.text import gopher_repetition
+
+        rows = [
+            (1, "a a a a"),          # top token 4/4, top 2-gram 'a a' 3x
+            (2, "x y x y x"),        # top tok 3/5; 2-grams: x y(2) y x(2)
+            (3, "unique words only here"),  # no repetition
+            (4, "solo"),             # single token: no 2-grams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+        r1 = got[1]
+        assert r1.top_token_ppm == 1_000_000
+        assert r1.top_2gram_ppm == (2_000_000 * 3) // 4
+        assert r1.dup_2gram_ppm == (1_000_000 * 2) // 3  # 3 grams, 1 uniq
+        r2 = got[2]
+        assert r2.top_token_ppm == (1_000_000 * 3) // 5
+        assert r2.top_2gram_ppm == (2_000_000 * 2) // 5
+        assert r2.dup_2gram_ppm == (1_000_000 * 2) // 4
+        r3 = got[3]
+        assert r3.top_token_ppm == 250_000
+        assert r3.dup_2gram_ppm == 0 and r3.ok_dup_2gram
+        r4 = got[4]  # the sequence(0,-1) descent guard
+        assert r4.top_2gram_ppm == 0 and r4.dup_2gram_ppm == 0
+        assert r4.top_token_ppm == 1_000_000 and not r4.ok_top_token
