@@ -97,6 +97,19 @@ def main() -> None:
             )
             if rp is not None:
                 log({"kind": "resident_probe", **rp})
+            # frequency/scheduling floor + bandwidth ceiling, same window
+            cp = run_json(
+                [sys.executable, "tools/compute_probe.py"], rp_env, 900,
+                last_line=True,
+            )
+            if cp is not None:
+                log({"kind": "compute_probe", **cp})
+            sp = run_json(
+                [sys.executable, "tools/stream_probe.py"], rp_env, 900,
+                last_line=True,
+            )
+            if sp is not None:
+                log({"kind": "stream_probe", **sp})
             pair_env = dict(base)
             pair_env.update({
                 "SCALING_INNER_REPEATS": "1", "SCALING_REPEATS": "1",
