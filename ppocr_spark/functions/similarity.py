@@ -1038,3 +1038,276 @@ def semantic_dedup(
         dedup_representatives(pairs, emb, id_col=id_col)
         .withColumnRenamed("doc_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (Jégou et al. 2011) — the scale path past
+# IVF-flat, where candidate re-rank against raw vectors is the cost driver
+# ---------------------------------------------------------------------------
+
+
+def _pq_residuals(assigned: DataFrame, cents_q: list) -> DataFrame:
+    """Integer residuals vs the assigned coarse centroid:
+    (id, cluster, vq) → (id, cluster, rq = vq - cents_q[cluster]).
+    Map-side Arrow pass, centroid matrix rides as a closure/broadcast."""
+    import pandas as pd
+
+    C = np.asarray(cents_q, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["vq"]), dtype=np.int64)
+            R = V - C[pdf["cluster"].to_numpy()]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "rq": list(R),
+            })
+
+    return assigned.mapInPandas(
+        gen, schema="id long, cluster int, rq array<long>"
+    )
+
+
+def _pq_encode(res: DataFrame, codebooks: list) -> DataFrame:
+    """All-subspace PQ encoding in ONE Arrow pass: for each subspace j,
+    code_j = argmin over codebooks[j] of the integer squared distance on
+    that residual slice (ties → lowest code — np.argmin's first-min,
+    the same rule as ``_fine_assign`` and the oracle's
+    ``ORDER BY dist, code``). Returns (id, cluster, codes array<int>)."""
+    import pandas as pd
+
+    CBs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    d_sub = CBs[0].shape[1]
+    bound = _fine_coord_bound(d_sub)
+    for cb in CBs:
+        if cb.size and np.abs(cb).max() > bound:
+            raise ValueError(
+                f"pq codebook exceeds exactness bound {bound}"
+            )
+    ncs = [(cb * cb).sum(axis=1) for cb in CBs]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = np.array(list(pdf["rq"]), dtype=np.float64)
+            if R.size and np.abs(R).max() > bound:
+                raise ValueError(
+                    f"pq residual exceeds exactness bound {bound}"
+                )
+            codes = np.empty((len(R), len(CBs)), dtype=np.int32)
+            for j, (cb, nc) in enumerate(zip(CBs, ncs)):
+                S = R[:, j * d_sub:(j + 1) * d_sub]
+                dist = (
+                    (S * S).sum(axis=1)[:, None]
+                    + nc[None, :]
+                    - 2.0 * (S @ cb.T)
+                )
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "codes": list(codes),
+            })
+
+    return res.mapInPandas(
+        gen, schema="id long, cluster int, codes array<int>"
+    )
+
+
+def _pq_adc_tables(
+    probed: DataFrame, cents_q: list, codebooks: list
+) -> DataFrame:
+    """Per-(query, probed-cell) asymmetric-distance tables: for the query
+    residual against that cell's centroid, t[j*n_codes + c] = integer
+    squared distance between residual subspace j and codebook entry c.
+    One Arrow pass over |queries| × n_probe rows; the candidate-level
+    scoring then stays pure JVM (a fixed m-term array lookup sum) — no
+    per-pair Python. Returns (id, cl, t array<long>)."""
+    import pandas as pd
+
+    C = np.asarray(cents_q, dtype=np.int64)
+    CBs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    d_sub = CBs[0].shape[1]
+    n_codes = CBs[0].shape[0]
+    bound = _fine_coord_bound(d_sub)
+    ncs = [(cb * cb).sum(axis=1) for cb in CBs]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["vq"]), dtype=np.int64)
+            R = (V - C[pdf["cl"].to_numpy()]).astype(np.float64)
+            if R.size and np.abs(R).max() > bound:
+                raise ValueError(
+                    f"pq query residual exceeds exactness bound {bound}"
+                )
+            T = np.empty((len(R), len(CBs) * n_codes), dtype=np.int64)
+            for j, (cb, nc) in enumerate(zip(CBs, ncs)):
+                S = R[:, j * d_sub:(j + 1) * d_sub]
+                dist = (
+                    (S * S).sum(axis=1)[:, None]
+                    + nc[None, :]
+                    - 2.0 * (S @ cb.T)
+                )
+                T[:, j * n_codes:(j + 1) * n_codes] = dist.astype(np.int64)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "cl": pdf["cl"],
+                "t": list(T),
+            })
+
+    return probed.mapInPandas(
+        gen, schema="id long, cl int, t array<long>"
+    )
+
+
+def pq_fit_encode(
+    emb: DataFrame,
+    n_cells: int = 64,
+    cell_iters: int = 1,
+    m: int = 4,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    init_scale: float = 0.125,
+    pq_init_scale: float = 0.03,
+    quant: int = QUANT,
+):
+    """Fit IVF-PQ and encode the corpus: coarse cells via the integer
+    ``kmeans_fine`` contract, then per-subspace codebooks trained with
+    the SAME integer Lloyd machinery on coarse residuals (Jégou et al.
+    2011's residual PQ), then one-pass encoding.
+
+    Everything downstream of quantization is integer-exact: cell ids,
+    residuals, codebooks and codes are bit-deterministic across
+    partitionings and engines — the DuckDB oracle replays the whole fit.
+
+    Scale shape: each Lloyd step is one map-side Arrow matmul pass plus
+    a slim (code, pos) aggregate (shuffle ≤ n_codes×d_sub rows per
+    subspace); codebooks are tiny (m × n_codes × d_sub int64 — ~8 KB at
+    the defaults) and ride as closures/broadcast. The residual
+    projection is persisted across the m×pq_iters passes (released via
+    ``cache.release_all``). Encoded corpus storage is n_cells-bucketed
+    codes at m×log2(n_codes) bits per vector — the 10^9-vector regime
+    where IVF-flat's raw-vector scan doesn't fit.
+
+    Returns (codes_df (id, cluster, codes), cents_q, codebooks)."""
+    from ppocr_spark import cache
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    d_sub = dim // m
+    cells, cents_q = kmeans_fine(
+        emb, n_cells, cell_iters, dim, id_col, vec_col, seed,
+        init_scale, quant,
+    )
+    id_type = dict(emb.dtypes)[id_col]
+    q0 = emb.select(
+        F.col(id_col).alias("id"),
+        _quantized(F.col(vec_col), quant).alias("vq"),
+    )
+    assigned = q0.join(cells.select("id", "cluster"), "id")
+    res = cache.track(_pq_residuals(assigned, cents_q))
+    codebooks = []
+    for j in range(m):
+        sub = res.select(
+            "id", F.slice("rq", j * d_sub + 1, d_sub).alias("vq")
+        )
+        cb = init_centroids_q(
+            d_sub, n_codes, seed + 101 + j, pq_init_scale, quant
+        )
+        for _ in range(pq_iters):
+            a = _fine_assign(sub, cb, carry_vec=True, id_type=id_type)
+            cb = _lloyd_refine_q(a, cb)
+        codebooks.append(cb)
+    codes = _pq_encode(res, codebooks)
+    return codes, cents_q, codebooks
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    cell_iters: int = 1,
+    m: int = 4,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    n_probe: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    quant: int = QUANT,
+) -> DataFrame:
+    """IVF-PQ top-k by asymmetric distance (ADC): multi-probe the coarse
+    cells, build one integer distance table per (query, probed cell),
+    and score candidates with a fixed m-term JVM array-lookup sum — the
+    per-pair hot path never touches Python OR raw vectors, which is the
+    whole point of PQ at 10^9+ vectors (codes are m×log2(n_codes) bits,
+    the raw corpus never re-enters the query plan).
+
+    Returns (query_id, neighbor_id, adc_dist_q, rank): integer ADC
+    distance in quant² units, rank by (adc_dist_q asc, neighbor id asc)
+    — fully bit-deterministic, replayed exactly by the DuckDB oracle."""
+    codes, cents_q, codebooks = pq_fit_encode(
+        corpus, n_cells, cell_iters, m, n_codes, pq_iters, dim,
+        id_col, vec_col, seed, quant=quant,
+    )
+    id_type = dict(queries.dtypes)[id_col]
+    q0 = queries.select(
+        F.col(id_col).alias("id"),
+        _quantized(F.col(vec_col), quant).alias("vq"),
+    )
+    probed = (
+        _fine_probe(q0, cents_q, n_probe, id_type)
+        .select("id", F.explode("cells").alias("cl"))
+        .join(q0, "id")
+        .select("id", "cl", "vq")
+    )
+    tables = _pq_adc_tables(probed, cents_q, codebooks)
+    # candidate scoring: equi-join on the cell id (broadcast-eligible —
+    # tables side is |queries| × n_probe rows), then a pure-JVM m-term
+    # lookup: adc = Σ_j t[j*n_codes + codes[j]]
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("t"),
+            F.lit(j * n_codes + 1) + F.element_at("codes", j + 1),
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.select(
+            F.col("id").alias("nid"),
+            F.col("cluster").alias("cl"),
+            "codes",
+        )
+        .join(
+            F.broadcast(
+                tables.select(F.col("id").alias("qid"), "cl", "t")
+            ),
+            "cl",
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", adc.cast("long").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist_q").asc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "adc_dist_q",
+            "rank",
+        )
+    )

@@ -227,6 +227,38 @@ class TestSimilarity:
         # fall in a probed cell
         assert len(brute & approx) / len(brute) >= 0.5
 
+    def test_ivf_pq_recall_and_determinism(self, emb):
+        """IVF-PQ: ADC scoring over codes (raw vectors never re-enter the
+        query plan) still finds most true neighbors on a small corpus,
+        and the integer contract makes the full fit/encode/ADC chain
+        layout-independent."""
+        from ppocr_spark import cache
+        from ppocr_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_pq_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, q, k=3).collect()
+        }
+        kw = dict(k=3, n_cells=8, cell_iters=1, m=4, n_codes=8,
+                  pq_iters=1, n_probe=4, dim=16)
+        a = ivf_pq_topk(emb, q, **kw).orderBy("query_id", "rank").collect()
+        cache.release_all()
+        approx = {(r["query_id"], r["neighbor_id"]) for r in a}
+        assert len(brute & approx) / len(brute) >= 0.4  # 4-bit codes, 16d
+        b = (
+            ivf_pq_topk(emb.repartition(7), q, **kw)
+            .orderBy("query_id", "rank").collect()
+        )
+        cache.release_all()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # adc distances are integers (quant^2 units), ranks dense per query
+        for r in a:
+            assert isinstance(r["adc_dist_q"], int)
+
 
 
 class TestText:

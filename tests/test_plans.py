@@ -497,3 +497,21 @@ class TestColocatedExtraction:
             for t in ("t_colo2_media_spans", "t_colo2_media",
                       "t_colo2_text_spans"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_ivf_pq_candidate_join_shape(self, spark, sf_dir):
+        """ivf_pq_topk: the candidate join is a broadcast hash equi-join
+        on the cell id (ADC-table side is |queries| x n_probe rows), the
+        per-pair scoring is pure JVM (no Python eval above the encode
+        passes), and no BNLJ/Cartesian anywhere."""
+        from ppocr_spark import cache
+        from ppocr_spark.functions.similarity import ivf_pq_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(e.vec_id < 4)
+        df = ivf_pq_topk(e, q, k=3)
+        plan = _plan(df)
+        cache.release_all()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "MapInPandas" in plan
