@@ -96,6 +96,9 @@ def main():
         "sample_source_cap",
         "text_quality_tiers",
         "ann_topk_ivf_fine",
+        "ann_topk_ivf_pq",
+        "pack_sequences",
+        "text_gopher_repetition",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
