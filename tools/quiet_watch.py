@@ -80,53 +80,72 @@ def main() -> None:
         p = probe(base)
         if p is not None and p >= BAR:
             log({"kind": "window_open", "probe": p})
-            # solo kernel timing in the same window
+            # HALF-PAIR FIRST (learned 2026-08-19 08:04 window): the opening
+            # probe IS a quiet local[32] measurement of the same job, so the
+            # complementary local[8] run must happen in the window's very
+            # first (quietest) seconds — the old order burned ~36 s on solo
+            # probes and the full pair then caught returning load (0.664 vs
+            # an implied 0.765 from probe+local8 in that same window).
+            lo_env = dict(base)
+            lo_env.update({
+                "SPARK_GRAFT_CPUS": "8", "SCALING_INNER_REPEATS": "1",
+            })
+            r8 = run_json(
+                [sys.executable, "tools/scaling_run.py", "--one"],
+                lo_env, 900,
+            )
+            if r8 is not None:
+                log({
+                    "kind": "half_pair", "local8": r8, "local32_probe": p,
+                    "eff_8_to_32": round(p / r8["docs_per_sec"] / 4.0, 3),
+                })
+            # solo kernel timing (7 s) then a confirm probe: if still quiet,
+            # the half-pair above is probe-sandwiched (strong evidence) and
+            # the window has room for full interleaved pairs.
             k = run_json(
                 [sys.executable, "tools/kernel_solo.py"], base, 900
             )
             if k is not None:
                 log({"kind": "kernel_solo", **k})
-            # resident-contention curve in the same window (the DRAM-floor
-            # evidence for the 8→32 residual — see resident_probe.py)
-            rp_env = dict(base)
-            rp_env.update({"RESIDENTS": "1,8,32", "PROBE_SPANS": "120",
-                           "PROBE_REPEATS": "2"})
-            rp = run_json(
-                [sys.executable, "tools/resident_probe.py"], rp_env, 900,
-                last_line=True,
-            )
-            if rp is not None:
-                log({"kind": "resident_probe", **rp})
-            # frequency/scheduling floor + bandwidth ceiling, same window
-            cp = run_json(
-                [sys.executable, "tools/compute_probe.py"], rp_env, 900,
-                last_line=True,
-            )
-            if cp is not None:
-                log({"kind": "compute_probe", **cp})
-            sp = run_json(
-                [sys.executable, "tools/stream_probe.py"], rp_env, 900,
-                last_line=True,
-            )
-            if sp is not None:
-                log({"kind": "stream_probe", **sp})
             pair_env = dict(base)
             pair_env.update({
                 "SCALING_INNER_REPEATS": "1", "SCALING_REPEATS": "1",
             })
+            closed = False
             for i in range(MAX_PAIRS_PER_WINDOW):
+                p2 = probe(base)
+                if p2 is None or p2 < BAR:
+                    log({"kind": "window_closed", "probe": p2, "after": i})
+                    closed = True
+                    break
+                if i == 0 and r8 is not None:
+                    log({"kind": "half_pair_sandwich", "probe_before": p,
+                         "probe_after": p2,
+                         "eff_8_to_32_worst_probe": round(
+                             min(p, p2) / r8["docs_per_sec"] / 4.0, 3)})
                 r = run_json(
                     [sys.executable, "tools/scaling_run.py", "--pair"],
                     pair_env, 1800,
                 )
                 if r is not None:
                     log({"kind": "pair", "n": i, **r})
-                p2 = probe(base)
-                if p2 is None or p2 < BAR:
-                    log({"kind": "window_closed", "probe": p2})
-                    break
-            else:
+            if not closed:
                 log({"kind": "window_exhausted"})
+            # contention battery LAST (already captured once on 08-19; keep
+            # re-recording per window — it's ~30 s and window-dependent)
+            rp_env = dict(base)
+            rp_env.update({"RESIDENTS": "1,8,32", "PROBE_SPANS": "120",
+                           "PROBE_REPEATS": "2"})
+            for tool, kind in (
+                ("tools/resident_probe.py", "resident_probe"),
+                ("tools/compute_probe.py", "compute_probe"),
+                ("tools/stream_probe.py", "stream_probe"),
+            ):
+                r = run_json(
+                    [sys.executable, tool], rp_env, 900, last_line=True
+                )
+                if r is not None:
+                    log({"kind": kind, **r})
         time.sleep(INTERVAL)
     log({"kind": "stopped"})
 
