@@ -2531,6 +2531,86 @@ FROM j ORDER BY doc_id
 """
 
 
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram LM quality score (library text.bigram_logprob):
+    mean add-one-smoothed log p(w2|w1) per document — one order up from
+    the unigram CCNet stand-in; bigram formation is array-side (two
+    slices zipped, no positional self-join) and the per-bigram log p is
+    rounded then decimal-summed so the mean is partition-order
+    independent (the unigram contract, driver-proven)."""
+    from ppocr_spark.functions.text import bigram_logprob
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        bigram_logprob(d)
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "logprob")
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS l FROM documents),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(l) AS tok FROM toks)),
+bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM toks WHERE len(l) >= 2)
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
+lp AS (
+  SELECT doc_id,
+         round(ln((c2 + 1)::DOUBLE / (c1 + v)::DOUBLE), 9)::DECIMAL(28,9)
+           AS lp
+  FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1), vocab)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(lp)::DOUBLE / count(*), 6) AS logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (library sampling.chunk_cdc): stateless
+    Rabin/FastCDC-family boundaries — cut after char i iff md5 of the
+    8-char gram ending at i ends in hex '0' — plus the cross-corpus
+    duplicate count per chunk hash (the sub-document dedup primitive).
+    All boundary/slice/hash work is per-row JVM HOFs (zero shuffle);
+    the dup count is one groupBy on uniform md5 keys. md5 is
+    byte-identical across engines, so the oracle is string-exact with
+    no numeric contract at all."""
+    from ppocr_spark.functions.sampling import chunk_cdc
+
+    d = _load(spark, sf_dir, "documents")
+    return chunk_cdc(d, window=8).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_CDC_SQL = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+    CASE WHEN length(text) > 8 THEN
+      [i FOR i IN range(8, length(text))
+         IF substr(md5(substr(text, i - 7, 8)), 32, 1) = '0']
+    ELSE [] END AS bnds
+  FROM documents WHERE length(text) >= 1
+), ext AS (
+  SELECT doc_id, text,
+         list_prepend(1, [b + 1 FOR b IN bnds]) AS starts,
+         list_append(bnds, n::BIGINT) AS ends
+  FROM base
+), ch AS (
+  SELECT doc_id, j - 1 AS chunk_idx, starts[j]::BIGINT AS start,
+         (ends[j] - starts[j] + 1)::BIGINT AS len,
+         md5(substr(text, starts[j]::INT,
+                    (ends[j] - starts[j] + 1)::INT)) AS chunk_md5
+  FROM (SELECT *, unnest(range(1, len(starts) + 1)) AS j FROM ext)
+)
+SELECT doc_id, chunk_idx, start, len, chunk_md5,
+       count(*) OVER (PARTITION BY chunk_md5) AS n_dups_corpus
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
 _BM25_TERMS = ["hash", "stream", "vector"]
 
 
@@ -2988,6 +3068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "text_gopher_repetition": _gopher_repetition,
         "ann_topk_ivf_pq": _ann_ivf_pq,
+        "text_bigram_logprob": _bigram_logprob,
+        "chunk_cdc": _chunk_cdc,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -3111,6 +3193,8 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": _token_shards_sql(),
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "text_gopher_repetition": _GOPHER_REPETITION_SQL,
+        "text_bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "chunk_cdc": _CHUNK_CDC_SQL,
         "ann_topk_ivf_pq": _ann_ivf_pq_sql(),
         "text_bm25_topk": _bm25_topk_sql(),
         "embedding_kmeans": _embedding_kmeans_sql(),

@@ -99,6 +99,8 @@ def main():
         "ann_topk_ivf_pq",
         "pack_sequences",
         "text_gopher_repetition",
+        "text_bigram_logprob",
+        "chunk_cdc",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

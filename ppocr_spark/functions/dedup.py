@@ -26,22 +26,10 @@ from ppocr_spark.functions.text import (
     minhash_from_grams,
     ngrams_from_tokens,
     simhash_from_hashes,
+    spread as _spread,
     token_hashes,
     tokens,
 )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a slim projection to the cluster's parallelism when the
-    source scan under-partitions (one small parquet file locally; a handful
-    of splits for a small dimension at cluster scale). The projections this
-    guards (id+grams / id+sig) are tiny relative to the corpus and feed a
-    band-bucket shuffle anyway, so the extra exchange is noise at 100 TB
-    but turns a 1-core local scan into an n-core one."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

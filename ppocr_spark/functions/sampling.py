@@ -251,6 +251,111 @@ def chunk_documents(
     )
 
 
+def chunk_cdc(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_dup_counts: bool = True,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC family, stateless
+    variant): cut each document where the rolling ``window``-char gram's
+    content hash hits a fixed pattern, so chunk boundaries survive
+    insertions/deletions — shifting a prefix re-aligns every later
+    boundary, which fixed-size chunking cannot do. This is the
+    sub-document dedup primitive (chunk-level dedup of crawl/code
+    corpora finds duplicated passages that whole-doc hashing misses).
+
+    Boundary rule: a cut falls AFTER 1-based char position i
+    (window <= i <= len-1) iff ``md5`` of the ``window`` chars ending at
+    i ends in hex '0' — an expected boundary rate of 1/16, i.e. a mean
+    chunk of ~16 chars over the window floor. md5 is byte-identical
+    across engines, so boundaries are string-exact and need no float or
+    integer-conversion contract. The classic min/max chunk-size clamps
+    are deliberately omitted: they make boundary j depend on boundary
+    j-1 (a sequential scan), while the stateless rule is a pure per-row
+    expression.
+
+    Scale shape: boundary detection, chunk slicing, and hashing are
+    per-row JVM higher-order functions — ZERO shuffles, whole-stage
+    codegen, scales as one scan. The optional corpus duplicate count is
+    one groupBy on the content hash (md5 keys: uniform, skew-free) plus
+    an equi-join back. Returns (doc_id, chunk_idx, start, len,
+    chunk_md5[, n_dups_corpus]).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w = window
+    from ppocr_spark.functions.text import spread
+
+    # spread: the md5-per-position boundary scan is the dominant cost and
+    # must not run on a single local parquet split (no-op at corpus scale)
+    base = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
+            F.length("__t") >= 1
+        )
+    )
+    # sequence(a, b) runs DESCENDING when b < a — guard short docs to an
+    # empty boundary list instead
+    bnds = F.when(
+        F.length("__t") > w,
+        F.expr(
+            f"filter(sequence({w}, length(__t) - 1), "
+            f"i -> substring(md5(substring(__t, i - {w - 1}, {w})), 32, 1)"
+            " = '0')"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    ext = (
+        base.withColumn("__bnds", bnds)
+        .withColumn(
+            "__starts",
+            F.concat(
+                F.array(F.lit(1)),
+                F.transform(F.col("__bnds"), lambda b: b + 1),
+            ),
+        )
+        .withColumn(
+            "__ends",
+            F.concat(F.col("__bnds"), F.array(F.length("__t"))),
+        )
+    )
+    chunks = ext.select(
+        id_col,
+        "__t",
+        F.posexplode(F.arrays_zip("__starts", "__ends")).alias(
+            "chunk_idx", "__se"
+        ),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("__se.__starts").cast("long").alias("start"),
+        (F.col("__se.__ends") - F.col("__se.__starts") + 1)
+        .cast("long")
+        .alias("len"),
+        F.md5(
+            F.expr("substring(__t, __se.__starts, "
+                   "__se.__ends - __se.__starts + 1)")
+        ).alias("chunk_md5"),
+    )
+    if not with_dup_counts:
+        return chunks
+    # count-over-window, not groupBy+join: one exchange of the slim chunk
+    # rows on the uniform md5 key, and the chunk subtree (all the md5
+    # work) is computed ONCE — a self-join would recompute it per side
+    from pyspark.sql import Window
+
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        "start",
+        "len",
+        "chunk_md5",
+        F.count("*")
+        .over(Window.partitionBy("chunk_md5"))
+        .alias("n_dups_corpus"),
+    )
+
+
 # auto bucket sizing target: keep every window partition at or below this
 # many rows (a single reducer sorts one bucket — ~4M slim rows is a
 # comfortable in-memory sort at executor scale)

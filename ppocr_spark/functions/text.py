@@ -28,6 +28,20 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a slim projection to the cluster's parallelism when the
+    source scan under-partitions (one small parquet file locally; a handful
+    of splits for a small dimension at cluster scale). The projections this
+    guards are tiny relative to the corpus and feed a key shuffle anyway,
+    so the extra exchange is noise at 100 TB but turns a 1-core local scan
+    into an n-core one. At real corpus scale the scan is already split by
+    maxPartitionBytes and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -404,6 +418,92 @@ def unigram_logprob(
         F.round(
             F.sum("lp").cast("double") / F.count("*"), 6
         ).alias("logprob"),
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-fit bigram language-model score per document: mean
+    add-one-smoothed log p(w2|w1) of its token bigrams under the corpus's
+    own bigram distribution — one order up from ``unigram_logprob`` on
+    the road to the KenLM-style perplexity filter CCNet uses (a bigram
+    model already separates fluent text from shuffled-token boilerplate,
+    which a unigram model scores identically).
+
+    Scale shape: bigram formation is ARRAY-SIDE (two slices zipped per
+    row — no shuffle, no self-join on position); the fit is one
+    groupBy(w1, w2) with map-side partial aggregation (the bigram-level
+    shuffle is the floor for any bigram fit) and the context counts
+    c(w1) derive from the fitted relation, not a second corpus pass.
+    |V| is a single bounded driver scalar. Scoring re-joins each bigram
+    occurrence to its two counts (AQE handles hot-bigram skew).
+
+    Determinism: per-bigram log p is rounded to 9 then DECIMAL-summed so
+    the mean is partition-order independent (same contract as
+    ``unigram_logprob``, driver-proven); the final divide is one double
+    op in the oracle's stated order. Documents with fewer than two
+    tokens have no bigrams and emit no row — in both engines.
+    Returns (id, n_bigrams, logprob).
+    """
+    from ppocr_spark import cache
+
+    # spread: the tokenize+zip+explode chain runs several times (vocab
+    # scalar, fit, scoring probe) and must not serialize on one local
+    # parquet split (no-op at corpus scale)
+    base = spread(
+        docs.select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+    )
+    # |V| over ALL tokens (including single-token docs): one slim
+    # distinct-count aggregate → bounded driver scalar
+    v = int(
+        base.select(F.explode("__toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+    sz = F.size(F.col("__toks"))
+    pairs = (
+        base.filter(sz >= 2)
+        .withColumn("__a", F.slice(F.col("__toks"), F.lit(1), sz - 1))
+        .withColumn("__b", F.slice(F.col("__toks"), F.lit(2), sz - 1))
+        .select("id", F.explode(F.arrays_zip("__a", "__b")).alias("__bg"))
+        .select(
+            "id",
+            F.col("__bg.__a").alias("w1"),
+            F.col("__bg.__b").alias("w2"),
+        )
+    )
+    # the fitted relation feeds the scoring join AND the context counts:
+    # persist only when the source scan is big enough for recompute to
+    # cost a second corpus pass (the bm25 lesson — see cache.track_if_large)
+    big = cache.track_if_large(
+        docs, pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(
+            "id",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.lit(v)).cast("double")
+                ),
+                9,
+            ).cast("decimal(28,9)").alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "logprob"
+        ),
     )
 
 

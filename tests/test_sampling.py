@@ -538,3 +538,130 @@ class TestGopherRepetition:
         r4 = got[4]  # the sequence(0,-1) descent guard
         assert r4.top_2gram_ppm == 0 and r4.dup_2gram_ppm == 0
         assert r4.top_token_ppm == 1_000_000 and not r4.ok_top_token
+
+
+class TestChunkCdc:
+    def _cdc_ref(self, text, w=8):
+        """Pure-python reference: boundary after 1-based char i
+        (w <= i <= n-1) iff md5 of the w chars ending at i ends in '0'."""
+        n = len(text)
+        if n == 0:
+            return []
+        bnds = [
+            i for i in range(w, n)
+            if hashlib.md5(text[i - w:i].encode()).hexdigest()[-1] == "0"
+        ]
+        starts = [1] + [b + 1 for b in bnds]
+        ends = bnds + [n]
+        return [
+            (j, s, e - s + 1,
+             hashlib.md5(text[s - 1:e].encode()).hexdigest())
+            for j, (s, e) in enumerate(zip(starts, ends))
+        ]
+
+    def test_chunks_tile_document_and_match_reference(self, spark):
+        from ppocr_spark.functions.sampling import chunk_cdc
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "short",
+            "",  # emits no chunks
+            "exactly8",  # n == w: single chunk, no boundary candidates
+            "a" * 40,  # degenerate repeat: every gram identical
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = chunk_cdc(df, window=8, with_dup_counts=False).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.start, r.len, r.chunk_md5)
+            )
+        for i, t in enumerate(texts):
+            ref = self._cdc_ref(t)
+            assert sorted(by_doc.get(i, [])) == ref, f"doc {i}"
+            # chunks tile [1..n] contiguously
+            pos = 1
+            for _, s, ln, _ in ref:
+                assert s == pos
+                pos += ln
+            if t:
+                assert pos == len(t) + 1
+
+    def test_boundaries_survive_prefix_insertion(self, spark):
+        """The content-defined property: editing a prefix re-aligns —
+        chunks after the first post-edit boundary keep their hashes,
+        which fixed-size chunking cannot do."""
+        from ppocr_spark.functions.sampling import chunk_cdc
+
+        t = " ".join(f"tok{i % 13} word{i % 7}" for i in range(60))
+        t2 = "INSERTED-PREFIX " + t
+        df = spark.createDataFrame(
+            [(0, t), (1, t2)], "doc_id long, text string"
+        )
+        rows = chunk_cdc(df, window=8, with_dup_counts=False).collect()
+        h0 = {r.chunk_md5 for r in rows if r.doc_id == 0}
+        h1 = {r.chunk_md5 for r in rows if r.doc_id == 1}
+        assert len(h0) >= 3  # the text is long enough to actually chunk
+        # everything from the first shared boundary on is preserved —
+        # at most the chunk(s) touching the edit differ
+        assert len(h0 - h1) <= 2, (len(h0), len(h0 - h1))
+
+    def test_dup_counts_match_local_recount(self, spark):
+        from collections import Counter
+
+        from ppocr_spark.functions.sampling import chunk_cdc
+
+        texts = ["abcdefgh " * 10, "abcdefgh " * 10, "zzz " * 25]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = chunk_cdc(df, window=8).collect()
+        counts = Counter(r.chunk_md5 for r in got)
+        for r in got:
+            assert r.n_dups_corpus == counts[r.chunk_md5]
+        # identical docs ⇒ every chunk of doc 0 appears at least twice
+        assert all(
+            r.n_dups_corpus >= 2 for r in got if r.doc_id in (0, 1)
+        )
+
+
+class TestBigramLogprob:
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+
+        from ppocr_spark.functions.text import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b"), (2, "x")],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in bigram_logprob(df).collect()}
+        # vocab = {a, b, x} -> V=3; bigrams: (a,b) c=3, (b,a) c=1
+        # ctx: c(a)=3, c(b)=1
+        v = 3
+        lp_ab = round(math.log((3 + 1) / (3 + v)), 9)
+        lp_ba = round(math.log((1 + 1) / (1 + v)), 9)
+        # doc 0: ab, ba, ab
+        exp0 = round((2 * lp_ab + lp_ba) / 3, 6)
+        assert got[0].n_bigrams == 3
+        assert abs(got[0].logprob - exp0) < 1e-9
+        # doc 1: one bigram
+        assert got[1].n_bigrams == 1
+        assert abs(got[1].logprob - round(lp_ab, 6)) < 1e-9
+        # doc 2 has < 2 tokens: no row
+        assert 2 not in got
+
+    def test_partition_order_independence(self, spark):
+        from ppocr_spark.functions.text import bigram_logprob
+
+        df = _docs(spark, 90).withColumn(
+            "text",
+            F.concat_ws(" ", F.col("text"), F.col("lang"), F.col("text")),
+        )
+        a = {(r.id, r.n_bigrams, str(r.logprob))
+             for r in bigram_logprob(df).collect()}
+        b = {(r.id, r.n_bigrams, str(r.logprob))
+             for r in bigram_logprob(df.repartition(7)).collect()}
+        assert a == b and len(a) == 90
