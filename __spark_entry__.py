@@ -2570,6 +2570,97 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _bpe_cte(k: int) -> str:
+    """Shared DuckDB CTE prefix replaying ``bpe.bpe_train`` bit-for-bit:
+    word-frequency table → char+EOW symbol sequences → k rounds of
+    (pair count, argmax with count DESC / left ASC / right ASC
+    tie-break, greedy fold merge). The fold is the SAME
+    separator-prefixed string reduction the Spark side runs (DuckDB
+    ``list_reduce`` seeds with the first element, Spark ``aggregate``
+    with '' — identical output because every element carries its own
+    chr(31) prefix). Generator pattern follows ``_pq_cte``."""
+    parts = [f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS l FROM documents),
+words AS (SELECT tok AS word, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY tok),
+s0 AS (SELECT word, freq,
+        list_append([word[i] FOR i IN range(1, length(word) + 1)],
+                    '</w>') AS seq
+       FROM words)"""]
+    for s in range(1, k + 1):
+        p = s - 1
+        parts.append(f"""p{s} AS (
+  SELECT pr[1] AS l, pr[2] AS r, sum(freq)::BIGINT AS c
+  FROM (SELECT freq,
+               unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS pr
+        FROM s{p})
+  GROUP BY 1, 2),
+b{s} AS (SELECT l, r, c FROM p{s} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+s{s} AS (
+  SELECT word, freq,
+         list_filter(string_split(list_reduce(
+           [chr(31) || y FOR y IN seq],
+           (acc, x) -> CASE WHEN ends_with(acc, chr(31) || b{s}.l)
+                             AND x = chr(31) || b{s}.r
+                       THEN acc || b{s}.r ELSE acc || x END), chr(31)),
+           y -> y <> '') AS seq
+  FROM s{p}, b{s})""")
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_K = 8
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (library bpe.bpe_train — Sennrich et al.
+    2016): 8 merges learned over the corpus word-frequency table. Each
+    row depends on the whole corpus AND all previous merges; the oracle
+    replays every pair count, tie-break, and greedy fold merge
+    bit-for-bit in generated CTE stages. Scale shape: one corpus pass
+    builds (word, freq); each step is a vocabulary-sized aggregate plus
+    a ONE-row driver sync (the Lloyd-iteration pattern)."""
+    from ppocr_spark.functions.bpe import bpe_train
+
+    d = _load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, n_merges=_BPE_K)
+    return merges.orderBy("merge_idx")
+
+
+_BPE_MERGES_SQL = _bpe_cte(_BPE_K) + "\n" + " UNION ALL ".join(
+    f"SELECT {s}::BIGINT AS merge_idx, l AS left, r AS right, "
+    f"c AS pair_count FROM b{s}"
+    for s in range(1, _BPE_K + 1)
+) + " ORDER BY merge_idx"
+
+
+def _bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE application (library bpe.bpe_segment): the exploded
+    token stream equi-joins the vocabulary-sized segmentation table and
+    reassembles per-document (n_tokens, n_symbols, stream_md5) — the
+    md5 fingerprints the full space-joined symbol stream in token
+    order, so one flipped merge anywhere changes every affected doc's
+    hash. String-exact across engines."""
+    from ppocr_spark.functions.bpe import bpe_segment, bpe_train
+
+    d = _load(spark, sf_dir, "documents")
+    _, seqs = bpe_train(d, n_merges=_BPE_K)
+    return bpe_segment(d, seqs).orderBy("doc_id")
+
+
+_BPE_SEGMENT_SQL = _bpe_cte(_BPE_K) + f""",
+seg AS (
+  SELECT t.doc_id, t.pos, s{_BPE_K}.seq
+  FROM (SELECT doc_id, unnest(l) AS word,
+               generate_subscripts(l, 1) AS pos
+        FROM toks) t
+  JOIN s{_BPE_K} ON s{_BPE_K}.word = t.word)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(len(seq))::BIGINT AS n_symbols,
+       md5(string_agg(array_to_string(seq, ' '), ' ' ORDER BY pos))
+         AS stream_md5
+FROM seg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (library sampling.chunk_cdc): stateless
     Rabin/FastCDC-family boundaries — cut after char i iff md5 of the
@@ -3070,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_pq": _ann_ivf_pq,
         "text_bigram_logprob": _bigram_logprob,
         "chunk_cdc": _chunk_cdc,
+        "bpe_merges": _bpe_merges,
+        "bpe_segment_stats": _bpe_segment_stats,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -3195,6 +3288,8 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_repetition": _GOPHER_REPETITION_SQL,
         "text_bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "chunk_cdc": _CHUNK_CDC_SQL,
+        "bpe_merges": _BPE_MERGES_SQL,
+        "bpe_segment_stats": _BPE_SEGMENT_SQL,
         "ann_topk_ivf_pq": _ann_ivf_pq_sql(),
         "text_bm25_topk": _bm25_topk_sql(),
         "embedding_kmeans": _embedding_kmeans_sql(),

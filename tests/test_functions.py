@@ -1221,3 +1221,57 @@ class TestTfIdf:
         pruned = tfidf_topk_terms(df, k=2, min_df=2).collect()
         assert all(r.term != "cherry" and r.term != "unique"
                    for r in pruned)
+
+
+class TestBPE:
+    def test_sennrich_merge_order(self, spark):
+        # the classic Sennrich et al. (2016) worked example: low*5,
+        # lower*2, newest*6, widest*3 — first merges es, est, est</w>,
+        # lo, low (pair-count argmax with count DESC / left ASC ties)
+        from ppocr_spark.functions.bpe import bpe_train
+
+        text = " ".join(["low"] * 5 + ["lower"] * 2
+                        + ["newest"] * 6 + ["widest"] * 3)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        merges, seqs = bpe_train(df, n_merges=5)
+        got = [(r["left"], r["right"], r["pair_count"])
+               for r in merges.orderBy("merge_idx").collect()]
+        assert got == [
+            ("e", "s", 9),
+            ("es", "t", 9),
+            ("est", "</w>", 9),
+            ("l", "o", 7),
+            ("lo", "w", 7),
+        ]
+        seg = {r["word"]: r["seq"] for r in seqs.collect()}
+        assert seg["newest"] == ["n", "e", "w", "est</w>"]
+        assert seg["low"] == ["low", "</w>"]
+
+    def test_greedy_fold_chain(self, spark):
+        # 'aaaa' under merge (a,a): greedy left-to-right non-overlap
+        # resolves the chain exactly like a sequential scan
+        from ppocr_spark.functions.bpe import _merge_expr
+
+        df = spark.createDataFrame(
+            [(["a", "a", "a", "a", "</w>"],)], "seq array<string>")
+        out = df.select(
+            F.expr(_merge_expr("seq", "a", "a")).alias("m")).collect()
+        assert out[0]["m"] == ["aa", "aa", "</w>"]
+
+    def test_segment_stats_and_plan(self, spark):
+        from ppocr_spark.functions.bpe import bpe_segment, bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "low low newest"), (2, "newest widest")],
+            "doc_id long, text string",
+        )
+        merges, seqs = bpe_train(df, n_merges=3)
+        out = bpe_segment(df, seqs)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 2
+        # symbols conserve: sum of per-word seq sizes in token order
+        seg = {r["word"]: len(r["seq"]) for r in seqs.collect()}
+        assert rows[1]["n_symbols"] == 2 * seg["low"] + seg["newest"]
+        # pure JVM path: no row-at-a-time Python in the plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
