@@ -101,6 +101,7 @@ def main():
         "text_gopher_repetition",
         "text_bigram_logprob",
         "chunk_cdc",
+        "bpe_segment_stats",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
