@@ -3109,6 +3109,144 @@ FROM g ORDER BY j
 """
 
 
+def _sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (library sampling.mix_sources,
+    scale path): a 200-document budget allocated across sources
+    proportionally to exact-integer sqrt(group size) (α=1/2 smoothing,
+    The Pile / XLM-R style), each group keeping its deterministic
+    hash-threshold share — zero sorts, quota table broadcast."""
+    from ppocr_spark.functions.sampling import mix_sources
+
+    d = _load(spark, sf_dir, "documents")
+    return mix_sources(
+        d.select("doc_id", "source"), budget=200, group_col="source"
+    ).orderBy("doc_id")
+
+
+def _sample_mix_sources_sql() -> str:
+    h4 = "substr(md5(concat('mix:', doc_id::VARCHAR)), 1, 4)"
+    return f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+           GROUP BY source),
+w0 AS (SELECT source, n, floor(sqrt(n::DOUBLE))::BIGINT AS f FROM c),
+w1 AS (SELECT source, n,
+              CASE WHEN (f + 1) * (f + 1) <= n THEN f + 1 ELSE f END AS f
+       FROM w0),
+w AS (SELECT source, n, CASE WHEN f * f > n THEN f - 1 ELSE f END AS wt
+      FROM w1),
+tot AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+q AS (SELECT source, n, least(n, (200 * wt) // tw)::BIGINT AS qt
+      FROM w, tot)
+SELECT d.doc_id, d.source FROM documents d JOIN q USING (source)
+WHERE q.n <= q.qt
+   OR {h4} < lower(lpad(hex((q.qt * 65536) // q.n), 4, '0'))
+ORDER BY d.doc_id
+"""
+
+
+def _text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (library text.dsir_weights — Xie et al.
+    2023): hashed unigram+bigram features (4096 buckets, portable md5
+    bucket hash), target distribution fit on the lang='en' slice, raw on
+    the whole corpus; per-document score = Σ count × delta in exact
+    integer nano-units (the only float op is the driver-proven
+    round(ln, 9))."""
+    from ppocr_spark.functions.text import dsir_weights
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        dsir_weights(d, target=F.col("lang") == "en", buckets=4096)
+        .select(F.col("id").alias("doc_id"), "n_features", "dsir_nano")
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt, {_DUCK_TOKS} AS l
+              FROM documents),
+feats AS (
+  SELECT doc_id, tgt,
+         unnest(list_concat(l,
+           CASE WHEN len(l) >= 2
+                THEN list_transform(range(1, len(l)),
+                                    i -> l[i] || ' ' || l[i+1])
+                ELSE [] END)) AS f
+  FROM toks),
+fb AS (SELECT doc_id, tgt,
+              ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+       FROM feats),
+grp AS (SELECT doc_id, tgt, b, count(*)::BIGINT AS c
+        FROM fb GROUP BY 1, 2, 3),
+dist AS (SELECT b, sum(c)::BIGINT AS cq,
+                sum(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS ct
+         FROM grp GROUP BY b),
+tot AS (SELECT sum(cq)::BIGINT AS tq, sum(ct)::BIGINT AS tt FROM dist),
+delta AS (
+  SELECT b,
+         ((round(ln((ct + 1)::DOUBLE / (tt + 4096)::DOUBLE), 9)
+             ::DECIMAL(28,9)
+           - round(ln((cq + 1)::DOUBLE / (tq + 4096)::DOUBLE), 9)
+             ::DECIMAL(28,9)) * 1000000000)::BIGINT AS d
+  FROM dist, tot)
+SELECT doc_id, sum(c)::BIGINT AS n_features,
+       sum(c * d)::BIGINT AS dsir_nano
+FROM grp JOIN delta USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (library dedup.bloom_decontaminate):
+    benchmark 12-grams (doc_id % 20 == 0 stand-in) set 3 salted bits in
+    a 2^20-bit filter; corpus documents are flagged by grams whose bits
+    are ALL set. The corpus side never shuffles — the set-bit table
+    broadcasts. False positives are the filter's own and the oracle
+    replays them bit-for-bit."""
+    from ppocr_spark.functions.dedup import bloom_decontaminate
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        bloom_decontaminate(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter(F.col("doc_id") % 20 == 0),
+            m_bits=1 << 20,
+            k_hashes=3,
+            k=12,
+        )
+        .select(
+            F.col("id").alias("doc_id"), "n_grams", "n_hits", "contaminated"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _decontaminate_bloom_sql() -> str:
+    pos = ", ".join(
+        f"('0x' || substr(md5('{j}:' || g), 1, 15))::BIGINT % {1 << 20}"
+        for j in range(3)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+pg AS (SELECT DISTINCT array_to_string(t[pos:pos+11], ' ') AS g
+       FROM (SELECT t, unnest(range(1, len(t) - 10)) AS pos
+             FROM toks WHERE len(t) >= 12 AND doc_id % 20 = 0)),
+bits AS (SELECT DISTINCT unnest([{pos}]) AS bit FROM pg),
+cg AS (SELECT doc_id, pos AS gi, array_to_string(t[pos:pos+11], ' ') AS g
+       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS pos
+             FROM toks WHERE len(t) >= 12 AND doc_id % 20 <> 0)),
+cpos AS (SELECT doc_id, gi, unnest([{pos}]) AS bit FROM cg),
+m AS (SELECT doc_id, gi FROM cpos JOIN bits USING (bit)
+      GROUP BY doc_id, gi HAVING count(*) = 3),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM m GROUP BY doc_id),
+base AS (SELECT doc_id, greatest(len(t) - 11, 0)::BIGINT AS n_grams
+         FROM toks WHERE doc_id % 20 <> 0)
+SELECT b.doc_id, n_grams,
+       coalesce(n_hits, 0)::BIGINT AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM base b LEFT JOIN hits USING (doc_id) ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3156,6 +3294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_nations": _set_ops,
         "rollup_revenue": _rollup_revenue,
         # --- new in round 5 (never driver-checked) ---
+        "sample_mix_sources": _sample_mix_sources,
+        "text_dsir_weights": _text_dsir,
+        "decontaminate_bloom": _decontaminate_bloom,
         "pack_sequences": _pack_sequences,
         "text_gopher_repetition": _gopher_repetition,
         "ann_topk_ivf_pq": _ann_ivf_pq,
@@ -3284,6 +3425,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_exact": _STREAM_DEDUP_EXACT_SQL,
         "chunk_documents": _chunk_documents_sql(),
         "token_shards": _token_shards_sql(),
+        "sample_mix_sources": _sample_mix_sources_sql(),
+        "text_dsir_weights": _DSIR_SQL,
+        "decontaminate_bloom": _decontaminate_bloom_sql(),
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "text_gopher_repetition": _GOPHER_REPETITION_SQL,
         "text_bigram_logprob": _BIGRAM_LOGPROB_SQL,

@@ -102,6 +102,9 @@ def main():
         "text_bigram_logprob",
         "chunk_cdc",
         "bpe_segment_stats",
+        "sample_mix_sources",
+        "text_dsir_weights",
+        "decontaminate_bloom",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

@@ -664,3 +664,102 @@ def dedup_representatives(
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def bloom_decontaminate(
+    corpus_df: DataFrame,
+    probe_df: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination — the trillion-token-scale flag
+    variant of ``contamination_spans``: every benchmark (probe) k-gram
+    sets ``k_hashes`` salted bit positions in an ``m_bits``-bit filter;
+    a corpus k-gram "hits" iff ALL its positions are set. Returns one
+    row per corpus document: (id, n_grams, n_hits, contaminated), where
+    false positives are the filter's own (deterministic — the DuckDB
+    oracle replays the identical positions, so even the false-positive
+    set matches bit-for-bit).
+
+    Why a second decontamination operator: ``contamination_spans``
+    shuffles corpus shingles against the probe gram set and emits exact
+    spans; this one trades span precision for a corpus side that NEVER
+    shuffles — the set-bit table is bounded by min(m_bits, k_hashes ×
+    |probe grams|) rows regardless of corpus size, broadcasts to every
+    executor, and the corpus-side plan is scan → explode → broadcast
+    hash join → per-doc aggregate with map-side combine. At 10^12 docs
+    that is the difference between re-shuffling the corpus token stream
+    and a map-only pass. (The position SET here is the bitmap in
+    relational form — membership "all positions present" is exactly
+    "all bits set"; a packed m_bits/8-byte bitmap is the same filter in
+    a denser encoding.)
+
+    Positions are portable md5 integers (``j || ':' || gram`` → first 15
+    hex chars → bigint % m_bits) so both engines compute identical bit
+    layouts. Tuning is the standard Bloom calculus: false-positive rate
+    ≈ (1 − e^(−k_hashes·n/m_bits))^k_hashes for n distinct probe grams.
+    """
+    m, kh = int(m_bits), int(k_hashes)
+
+    def _positions(g: Column) -> Column:
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), g)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(m)
+                for j in range(kh)
+            ]
+        )
+
+    def _grams(df: DataFrame) -> DataFrame:
+        toks = _spread(
+            df.select(
+                F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+            )
+        )
+        return toks.select(
+            "id", F.explode(ngrams_from_tokens(F.col("t"), k)).alias("g")
+        )
+
+    bits = (
+        _grams(probe_df)
+        .select(F.explode(_positions(F.col("g"))).alias("bit"))
+        .distinct()
+    )
+    # a gram instance hits iff ALL kh of its positions are in the set:
+    # keep each instance's gram ordinal from posexplode over the GRAM
+    # array (array-side, no window), explode its positions, join the
+    # broadcast set-bit table, and count matches per (id, ordinal)
+    toks = _spread(
+        corpus_df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        )
+    )
+    cgi = toks.select(
+        "id", F.posexplode(ngrams_from_tokens(F.col("t"), k)).alias("gi", "g")
+    ).select("id", "gi", F.explode(_positions(F.col("g"))).alias("bit"))
+    matched = (
+        cgi.join(F.broadcast(bits), "bit")
+        .groupBy("id", "gi")
+        .agg(F.count("*").alias("nm"))
+        .filter(F.col("nm") == kh)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_doc = toks.select(
+        "id", F.size(ngrams_from_tokens(F.col("t"), k)).cast("long").alias("n_grams")
+    )
+    return per_doc.join(matched, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -547,3 +547,82 @@ def pack_sequences(
             + 1
         ).cast("long").alias("n_seqs"),
     )
+
+
+def _isqrt(x: Column) -> Column:
+    """Exact integer sqrt of a non-negative BIGINT: one float floor(sqrt)
+    plus a ±1 correction step (double error on int64 inputs is < 1 ulp,
+    so one step each way is sufficient). Both engines run the identical
+    expression — the float intermediate can differ by at most 1 and the
+    corrections erase it, so the result is engine-identical integer math."""
+    f = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    f = F.when((f + 1) * (f + 1) <= x, f + 1).otherwise(f)
+    return F.when(f * f > x, f - 1).otherwise(f)
+
+
+def mix_sources(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    exact: bool = False,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the data-mixing step of a
+    training run — The Pile / XLM-R style α-smoothed multinomial over
+    domains, α = 1/2): allocate a total document ``budget`` across
+    ``group_col`` groups proportionally to sqrt(group size), then keep
+    each group's deterministic md5-ordered share. Square-root smoothing
+    upweights small domains relative to raw proportions without letting
+    any giant domain swamp the mix.
+
+    Integer-exact everywhere: weights are exact integer sqrts
+    (``_isqrt`` — float sqrt plus a correction both engines agree on),
+    quotas are one integer DIV, so the selected set is engine- and
+    partitioning-independent. quota_g = min(n_g, (budget * w_g) div W).
+
+    Scale shape (``exact=False``, default): one slim map-side-combined
+    ``groupBy(group)`` count; the total weight W is a 1-row aggregate
+    attached by constant crossJoin (a map, not a join — the plan-audit
+    whitelisted shape); quotas broadcast back and the keep decision is
+    the ``source_cap`` hash-threshold filter — EXPECTED quota_g rows per
+    group, zero sorts, a 10^9-doc domain costs the same as a small one.
+    ``exact=True`` keeps exactly quota_g rows via a per-group
+    row_number window (one reducer sorts each group — reserve for group
+    cardinalities a single task can sort)."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w = counts.withColumn("__w", _isqrt(F.col("__n")))
+    # the totals row derives from the same subtree as the per-group side;
+    # alias both so the 1-row crossJoin attach resolves unambiguously
+    tot = w.agg(F.sum("__w").alias("__tw")).alias("t")
+    quotas = (
+        w.alias("g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "__n",
+            F.least(
+                F.col("__n"),
+                F.expr(f"({int(budget)} * g.__w) div t.__tw"),
+            ).alias("__q"),
+        )
+    )
+    h4 = F.substring(_id_hash(F.col(id_col), salt), 1, HEX_W)
+    if exact:
+        w_rn = Window.partitionBy(group_col).orderBy(
+            h4.asc(), F.col(id_col).asc()
+        )
+        return (
+            df.join(F.broadcast(quotas), group_col)
+            .withColumn("__rn", F.row_number().over(w_rn))
+            .filter(F.col("__rn") <= F.col("__q"))
+            .drop("__rn", "__n", "__q")
+        )
+    thr = F.lower(
+        F.lpad(F.hex(F.expr("(__q * 65536) div __n")), HEX_W, "0")
+    )
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .filter((F.col("__n") <= F.col("__q")) | (h4 < thr))
+        .drop("__n", "__q")
+    )

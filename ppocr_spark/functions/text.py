@@ -666,3 +666,109 @@ def gopher_repetition(
         (F.col("dup_2gram_ppm") <= int(GOPHER_DUP_2GRAM_MAX * 1_000_000))
         .alias("ok_dup_2gram"),
     )
+
+
+def _bucket_hash(col: Column, buckets: int) -> Column:
+    """Portable feature-bucket hash: first 15 md5 hex chars as bigint,
+    mod ``buckets`` (non-negative since 15 hex chars < 2^60). The DuckDB
+    twin is ``('0x' || substr(md5(f), 1, 15))::BIGINT % buckets``."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % F.lit(int(buckets))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document log
+    importance weight under hashed n-gram feature distributions —
+    log w(x) = Σ_b n_b(x) · (log p̂_target(b) − log p̂_raw(b)), where
+    features are unigrams + bigrams hashed into ``buckets`` buckets and
+    both distributions are add-one smoothed. ``target`` is a boolean
+    Column over ``docs`` marking the target-domain rows (the
+    high-quality slice the mix should look like); the raw distribution
+    fits on ALL rows. Resampling = rank/threshold on the returned weight
+    with the deterministic samplers in ``sampling``.
+
+    Scale shape: features form ARRAY-SIDE per row (unigram array +
+    zipped bigram slices — no positional self-join); ONE corpus-sized
+    shuffle fits per-(doc, bucket) counts with map-side partial
+    aggregation, and both distributions derive from that table (the
+    target side via the carried boolean — no second corpus pass). The
+    per-bucket delta table is ≤ ``buckets`` rows → broadcast back; the
+    feature totals are a 2-scalar bounded driver sync (the |V| pattern
+    of ``bigram_logprob``).
+
+    Determinism: each log p̂ is rounded to 9 decimals (the
+    ``bigram_logprob`` contract, driver-proven — the only float op),
+    the per-bucket delta is then EXACT decimal subtraction lifted to
+    integer nano-units (×10⁹ of a scale-9 decimal is exact), and the
+    doc score is a pure int64 Σ count × delta_nano — partition-order
+    independent with no cross-engine rounding surface at all (the
+    integer-ppm lesson). Bound: |delta_nano| < 2³⁷ and Σ count per doc
+    is document length, so scores stay far inside int64 for any
+    real document. Returns (id, n_features, dsir_nano)."""
+    from ppocr_spark import cache
+
+    b = int(buckets)
+    base = spread(
+        docs.select(
+            F.col(id_col).alias("id"),
+            target.cast("boolean").alias("__tgt"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+    )
+    sz = F.size("__toks")
+    bigrams = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(F.col("__toks"), F.lit(1), sz - 1),
+            F.slice(F.col("__toks"), F.lit(2), sz - 1),
+            lambda a, c: F.concat_ws(" ", a, c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "id",
+        "__tgt",
+        F.explode(F.concat(F.col("__toks"), bigrams)).alias("__f"),
+    ).select("id", "__tgt", _bucket_hash(F.col("__f"), b).alias("__b"))
+    # the per-(doc,bucket) table feeds scoring AND both fits: persist only
+    # when the source scan is big enough for recompute to cost more than
+    # materialization (the bm25 lesson — cache.track_if_large)
+    grp = cache.track_if_large(
+        docs,
+        feats.groupBy("id", "__tgt", "__b").agg(F.count("*").alias("__c")),
+    )
+    dist = grp.groupBy("__b").agg(
+        F.sum("__c").alias("__cq"),
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0)))
+        .alias("__ct"),
+    )
+    totals = dist.agg(
+        F.sum("__cq").alias("cq"), F.sum("__ct").alias("ct")
+    ).collect()[0]
+    c_raw, c_tgt = int(totals["cq"] or 0), int(totals["ct"] or 0)
+    lp = lambda c, tot: F.round(  # noqa: E731  (shared tiny expression)
+        F.log((c + 1).cast("double") / F.lit(float(tot + b))), 9
+    ).cast("decimal(28,9)")
+    delta = dist.select(
+        "__b",
+        (
+            (lp(F.col("__ct"), c_tgt) - lp(F.col("__cq"), c_raw))
+            * F.lit(1_000_000_000)
+        ).cast("long").alias("__d"),
+    )
+    return (
+        grp.join(F.broadcast(delta), "__b")
+        .groupBy("id")
+        .agg(
+            F.sum("__c").alias("n_features"),
+            F.sum(F.col("__c") * F.col("__d")).alias("dsir_nano"),
+        )
+    )

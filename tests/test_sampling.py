@@ -665,3 +665,128 @@ class TestBigramLogprob:
         b = {(r.id, r.n_bigrams, str(r.logprob))
              for r in bigram_logprob(df.repartition(7)).collect()}
         assert a == b and len(a) == 90
+
+
+class TestMixSources:
+    def _skewed(self, spark):
+        # sources of very different sizes: 4, 16, 64, 256 docs
+        rows = []
+        i = 0
+        for s, n in [("a", 4), ("b", 16), ("c", 64), ("d", 256)]:
+            for _ in range(n):
+                rows.append((i, s))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_exact_quotas_follow_sqrt_weights(self, spark):
+        from ppocr_spark.functions.sampling import mix_sources
+
+        df = self._skewed(spark)
+        got = mix_sources(df, budget=60, exact=True)
+        kept = {
+            r.source: r["count"]
+            for r in got.groupBy("source").count().collect()
+        }
+        # weights 2/4/8/16 of W=30 → quotas 4/8/16/32 (min with n: a capped at 4)
+        assert kept == {"a": 4, "b": 8, "c": 16, "d": 32}
+
+    def test_scale_path_deterministic_and_near_quota(self, spark):
+        from ppocr_spark.functions.sampling import mix_sources
+
+        df = self._skewed(spark)
+        a = {r.doc_id for r in mix_sources(df, budget=60).collect()}
+        b = {
+            r.doc_id
+            for r in mix_sources(df.repartition(7), budget=60).collect()
+        }
+        assert a == b  # layout-independent
+        # hash threshold keeps EXPECTED quota: loose binomial band
+        n = len(a)
+        assert 30 <= n <= 75
+
+    def test_isqrt_exact_on_boundaries(self, spark):
+        from ppocr_spark.functions.sampling import _isqrt
+
+        vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 10**12, 10**12 + 1,
+                (10**6) ** 2, (10**6) ** 2 - 1]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {r.x: r.s for r in df.select("x", _isqrt(F.col("x")).alias("s")).collect()}
+        import math
+
+        for v in vals:
+            assert got[v] == math.isqrt(v), v
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher_and_deterministic(self, spark):
+        from ppocr_spark.functions.text import dsir_weights
+
+        # target rows use one vocabulary, raw-only rows another
+        rows = [(i, True, "alpha beta gamma alpha beta") for i in range(20)]
+        rows += [(i + 20, False, "zeta eta theta zeta eta") for i in range(20)]
+        rows += [(40, False, "alpha beta gamma"), (41, False, "zeta eta theta")]
+        df = spark.createDataFrame(rows, "doc_id long, tgt boolean, text string")
+        out = dsir_weights(df, target=F.col("tgt"), buckets=512)
+        got = {r.id: r.dsir_nano for r in out.collect()}
+        # doc 40 (target-vocabulary) must outscore doc 41 (raw-only vocab)
+        assert got[40] > got[41]
+        # partition-layout independence (int64 sums — exactly equal)
+        got2 = {
+            r.id: r.dsir_nano
+            for r in dsir_weights(
+                df.repartition(13), target=F.col("tgt"), buckets=512
+            ).collect()
+        }
+        assert got == got2
+
+    def test_counts_features(self, spark):
+        from ppocr_spark.functions.text import dsir_weights
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "x")], "doc_id long, text string"
+        )
+        out = {
+            r.id: r.n_features
+            for r in dsir_weights(df, target=F.lit(True)).collect()
+        }
+        # 3 unigrams + 2 bigrams / 1 unigram + 0 bigrams
+        assert out == {0: 5, 1: 1}
+
+
+class TestBloomDecontaminate:
+    def test_planted_contamination_no_false_negatives(self, spark):
+        from ppocr_spark.functions.dedup import bloom_decontaminate
+
+        bench_text = " ".join(f"b{j}" for j in range(20))
+        corpus = [
+            (0, "clean " + " ".join(f"c{j}" for j in range(20))),
+            (1, "prefix " + bench_text + " suffix"),  # contains bench 12-grams
+            (2, "short doc"),
+        ]
+        probe = [(100, bench_text)]
+        c = spark.createDataFrame(corpus, "doc_id long, text string")
+        p = spark.createDataFrame(probe, "doc_id long, text string")
+        out = {
+            r.id: (r.n_grams, r.n_hits, r.contaminated)
+            for r in bloom_decontaminate(c, p, k=12).collect()
+        }
+        assert out[1][2] is True  # Bloom filters never miss
+        assert out[1][1] >= 1
+        assert out[2] == (0, 0, False)  # < k tokens: no grams
+        assert len(out) == 3  # every corpus doc emits a row
+
+    def test_deterministic_across_layouts(self, spark):
+        from ppocr_spark.functions.dedup import bloom_decontaminate
+
+        rows = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(25)))
+                for i in range(40)]
+        c = spark.createDataFrame(rows, "doc_id long, text string")
+        p = spark.createDataFrame(rows[:4], "doc_id long, text string")
+        a = sorted(
+            (r.id, r.n_hits) for r in bloom_decontaminate(c, p).collect()
+        )
+        b = sorted(
+            (r.id, r.n_hits)
+            for r in bloom_decontaminate(c.repartition(9), p).collect()
+        )
+        assert a == b

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
 
 WHITELIST: dict[str, set[str]] = {
+    "sample_mix_sources": {"BroadcastNestedLoopJoin"},  # 1-row ΣW attach
     "text_bm25_topk": {"BroadcastNestedLoopJoin"},
     "text_tfidf_terms": {"BroadcastNestedLoopJoin"},
     "clean_corpus_stats": {"BroadcastNestedLoopJoin"},
