@@ -959,7 +959,9 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_representatives(pairs, d).orderBy("doc_id")
 
 
-_DEDUP_CLUSTERS_SQL = f"""
+# shared CTE chain: MinHash LSH pairs → recursive reachability → cc
+# (node, cluster_id); consumed by dedup_clusters AND dedup_keep_best
+_MINHASH_CC_CTE = f"""
 WITH RECURSIVE base AS (
   SELECT doc_id AS id, {_DUCK_GRAMS} AS grams
   FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
@@ -985,12 +987,63 @@ WITH RECURSIVE base AS (
   SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
 ), cc AS (
   SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
-)
+)"""
+
+_DEDUP_CLUSTERS_SQL = f"""{_MINHASH_CC_CTE}
 SELECT d.doc_id,
        coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS keep
 FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 ORDER BY d.doc_id
+"""
+
+_DEDUP_KEEP_BEST_SQL = f"""{_MINHASH_CC_CTE},
+lab AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+), ranked AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT doc_id, cluster_id, rn = 1 AS keep FROM ranked ORDER BY doc_id
+"""
+
+
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative (library dedup.dedup_keep_best):
+    same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
+    keeps its LONGEST document (n_chars as the quality score, min id on
+    ties) — the RefinedWeb-style keep policy. The argmax is one
+    groupBy(cluster) over a (score, −id) struct; no per-cluster window."""
+    from ppocr_spark.functions.dedup import (dedup_keep_best,
+                                             minhash_dedup_pairs)
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    return dedup_keep_best(pairs, d, score_col="n_chars").orderBy("doc_id")
+
+
+def _sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic global sample (library
+    sampling.sample_exact_k): first 64 documents in md5(id) order —
+    plans as TakeOrderedAndProject (per-task k-row heaps, no global
+    sort)."""
+    from ppocr_spark.functions.sampling import sample_exact_k
+
+    d = _load(spark, sf_dir, "documents")
+    return sample_exact_k(d.select("doc_id", "source"), k=64).orderBy(
+        "doc_id"
+    )
+
+
+_SAMPLE_EXACT_K_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source FROM documents
+  ORDER BY md5(concat('exactk:', doc_id::VARCHAR)), doc_id LIMIT 64
+) ORDER BY doc_id
 """
 
 
@@ -3297,6 +3350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_sources": _sample_mix_sources,
         "text_dsir_weights": _text_dsir,
         "decontaminate_bloom": _decontaminate_bloom,
+        "dedup_keep_best": _dedup_keep_best,
+        "sample_exact_k": _sample_exact_k,
         "pack_sequences": _pack_sequences,
         "text_gopher_repetition": _gopher_repetition,
         "ann_topk_ivf_pq": _ann_ivf_pq,
@@ -3428,6 +3483,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix_sources": _sample_mix_sources_sql(),
         "text_dsir_weights": _DSIR_SQL,
         "decontaminate_bloom": _decontaminate_bloom_sql(),
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+        "sample_exact_k": _SAMPLE_EXACT_K_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "text_gopher_repetition": _GOPHER_REPETITION_SQL,
         "text_bigram_logprob": _BIGRAM_LOGPROB_SQL,

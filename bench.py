@@ -105,6 +105,8 @@ def main():
         "sample_mix_sources",
         "text_dsir_weights",
         "decontaminate_bloom",
+        "dedup_keep_best",
+        "sample_exact_k",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

@@ -763,3 +763,51 @@ def bloom_decontaminate(
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def dedup_keep_best(
+    pairs: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keep policy: like ``dedup_representatives`` but each
+    near-dup cluster keeps its HIGHEST-``score_col`` document (min id
+    breaks ties) instead of the min id — the policy real pipelines run
+    (RefinedWeb-style "keep the longest / best-quality copy"). Returns
+    (doc_id, cluster_id, keep); singleton documents keep themselves.
+
+    Scale shape: clusters from ``connected_components`` (its two bounded
+    equi-joins per round); the argmax is ONE groupBy(cluster) over a
+    slim (cluster, score, id) projection — max of a (score, −id) struct,
+    so ties are deterministic with no per-cluster window or sort — and
+    one equi-join back. ``score_col`` must be numeric."""
+    cc = connected_components(pairs, a_col, b_col)
+    labeled = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")
+        )
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "__s",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("__s").alias("s"), (-F.col("doc_id")).alias("n")
+            )
+        ).alias("__b")
+    )
+    return labeled.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (
+            (F.col("__s") == F.col("__b.s"))
+            & (F.col("doc_id") == -F.col("__b.n"))
+        ).alias("keep"),
+    )

@@ -626,3 +626,26 @@ def mix_sources(
         .filter((F.col("__n") <= F.col("__q")) | (h4 < thr))
         .drop("__n", "__q")
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "exactk",
+) -> DataFrame:
+    """Exactly-k global sample: the first ``k`` rows in deterministic
+    md5(id) order — the fixed-size eval/holdout carve (same rows on any
+    cluster size, partitioning, or run; no RNG state).
+
+    Scale shape: orderBy+limit plans as TakeOrderedAndProject — each
+    task keeps a k-row heap and the driver merges ONE k-row result per
+    partition; there is no global sort and no single-reducer window.
+    Bounded by k fitting on the driver (the same bound as any top-k)."""
+    h = _id_hash(F.col(id_col), salt)
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", F.col(id_col))
+        .limit(int(k))
+        .drop("__h")
+    )

@@ -1275,3 +1275,41 @@ class TestBPE:
         # pure JVM path: no row-at-a-time Python in the plan
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestDedupKeepBest:
+    def test_keeps_highest_score_min_id_ties(self, spark):
+        from ppocr_spark.functions.dedup import dedup_keep_best
+
+        # cluster {1,2,3}: scores 5,9,9 → keep 2 (max score, min id tie)
+        # singleton 4 keeps itself
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 9), (4, 1)], "doc_id long, score long"
+        )
+        got = {
+            r.doc_id: (r.cluster_id, r.keep)
+            for r in dedup_keep_best(pairs, docs, "score").collect()
+        }
+        assert got == {
+            1: (1, False),
+            2: (1, True),
+            3: (1, False),
+            4: (4, True),
+        }
+
+    def test_one_keeper_per_cluster(self, spark):
+        from ppocr_spark.functions.dedup import (dedup_keep_best,
+                                                 minhash_dedup_pairs)
+
+        rows = [(i, f"doc {i % 5} " * 6 + "x" * (i % 3)) for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        docs = docs.withColumn("score", F.length("text"))
+        pairs = minhash_dedup_pairs(docs, threshold=0.5, k=3, bands=4, n=2)
+        out = dedup_keep_best(pairs, docs, "score")
+        per_cluster = (
+            out.groupBy("cluster_id")
+            .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"))
+            .collect()
+        )
+        assert all(r.n_keep == 1 for r in per_cluster)

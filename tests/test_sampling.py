@@ -707,8 +707,17 @@ class TestMixSources:
     def test_isqrt_exact_on_boundaries(self, spark):
         from ppocr_spark.functions.sampling import _isqrt
 
+        import random
+
+        rng = random.Random(42)
         vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 10**12, 10**12 + 1,
                 (10**6) ** 2, (10**6) ** 2 - 1]
+        # seeded fuzz batch: uniform magnitudes + perfect-square ±1 edges
+        for _ in range(500):
+            v = rng.randrange(0, 1 << rng.randrange(1, 62))
+            vals.append(v)
+            r = rng.randrange(1, 1 << 30)
+            vals.extend([r * r - 1, r * r, r * r + 1])
         df = spark.createDataFrame([(v,) for v in vals], "x long")
         got = {r.x: r.s for r in df.select("x", _isqrt(F.col("x")).alias("s")).collect()}
         import math
@@ -790,3 +799,40 @@ class TestBloomDecontaminate:
             for r in bloom_decontaminate(c.repartition(9), p).collect()
         )
         assert a == b
+
+
+class TestSampleExactK:
+    def test_exactly_k_and_layout_independent(self, spark):
+        from ppocr_spark.functions.sampling import sample_exact_k
+
+        df = _docs(spark, 300)
+        a = sorted(r.doc_id for r in sample_exact_k(df, 50).collect())
+        b = sorted(
+            r.doc_id
+            for r in sample_exact_k(df.repartition(11), 50).collect()
+        )
+        assert len(a) == 50 and a == b
+
+    def test_matches_reference_hash_order(self, spark):
+        from ppocr_spark.functions.sampling import sample_exact_k
+
+        df = _docs(spark, 100)
+        got = sorted(r.doc_id for r in sample_exact_k(df, 10).collect())
+        import hashlib
+
+        expect = sorted(
+            sorted(
+                range(100),
+                key=lambda i: (
+                    hashlib.md5(f"exactk:{i}".encode()).hexdigest(),
+                    i,
+                ),
+            )[:10]
+        )
+        assert got == expect
+
+    def test_k_larger_than_input_keeps_all(self, spark):
+        from ppocr_spark.functions.sampling import sample_exact_k
+
+        df = _docs(spark, 20)
+        assert sample_exact_k(df, 500).count() == 20
