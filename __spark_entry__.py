@@ -1566,7 +1566,11 @@ def _ann_ivf_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ann_ivf_fine_sql() -> str:
+def _fine_topk_sql(probe_where: str, n_probe: int, k: int) -> str:
+    """Generator for the fine-quantizer IVF top-k replay: integer
+    k-means chain → corpus inversion → top-``n_probe`` probe ranking →
+    exact cosine re-rank. ``probe_where`` selects the query set
+    ('' = every corpus vector, i.e. the offline kNN self-join)."""
     return f"""
 WITH {_kmeans_fine_cte(256, 2)},
 inv AS (
@@ -1585,8 +1589,8 @@ probes AS (
                               ORDER BY {_KMF_D_OF.format(c='c.cent')}, c.cl)
              AS rn
     FROM e6 e CROSS JOIN cq_2 c
-    WHERE e.vec_id < 8
-  ) WHERE rn <= 8
+    {probe_where}
+  ) WHERE rn <= {n_probe}
 ),
 cand AS (
   SELECT p.qid, i.nid,
@@ -1606,8 +1610,32 @@ SELECT qid AS query_id, nid AS neighbor_id,
          row_number() OVER (PARTITION BY qid
                             ORDER BY cosine DESC, nid) AS rank
   FROM cand
-) WHERE rank <= 5 ORDER BY query_id, rank
+) WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def _ann_ivf_fine_sql() -> str:
+    return _fine_topk_sql("WHERE e.vec_id < 8", 8, 5)
+
+
+def _knn_join_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus kNN self-join (offline all-pairs top-k — the SemDeDup /
+    cluster-QA primitive): ``ivf_topk_fine`` with queries = the corpus
+    itself. The query side rides the SHUFFLE equi-join arm of the
+    broadcast gate at real scale (a corpus-sized broadcast would OOM —
+    the r4 VERDICT fix); candidate volume per vector stays
+    ~n_probe/n_centroids of the corpus, and disjoint cells need no
+    candidate dedup."""
+    from ppocr_spark.functions.similarity import ivf_topk_fine
+
+    e = _load(spark, sf_dir, "embeddings")
+    return ivf_topk_fine(
+        e, e, k=3, n_centroids=256, iters=2, n_probe=4, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _knn_join_fine_sql() -> str:
+    return _fine_topk_sql("", 4, 3)
 
 
 def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3300,6 +3328,40 @@ FROM base b LEFT JOIN hits USING (doc_id) ORDER BY doc_id
 """
 
 
+def _text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy in integer milli-nats (library
+    text.token_entropy): the vocabulary-diversity quality signal. All
+    arithmetic after the driver-proven round(ln, 9) is exact int64 —
+    one integer DIV at the end, no cross-engine float surface."""
+    from ppocr_spark.functions.text import token_entropy
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        token_entropy(d)
+        .select(F.col("id").alias("doc_id"), "n_toks", "entropy_milli")
+        .orderBy("doc_id")
+    )
+
+
+_TOKEN_ENTROPY_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_toks,
+         sum(c * ((round(ln(c::DOUBLE), 9)::DECIMAL(28,9))
+                  * 1000000000)::BIGINT)::BIGINT AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_toks,
+       ((n_toks * ((round(ln(n_toks::DOUBLE), 9)::DECIMAL(28,9))
+                   * 1000000000)::BIGINT - s)
+        // (n_toks * 1000000))::BIGINT AS entropy_milli
+FROM per ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3352,6 +3414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _decontaminate_bloom,
         "dedup_keep_best": _dedup_keep_best,
         "sample_exact_k": _sample_exact_k,
+        "knn_join_fine": _knn_join_fine,
+        "text_token_entropy": _text_token_entropy,
         "pack_sequences": _pack_sequences,
         "text_gopher_repetition": _gopher_repetition,
         "ann_topk_ivf_pq": _ann_ivf_pq,
@@ -3485,6 +3549,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": _decontaminate_bloom_sql(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "sample_exact_k": _SAMPLE_EXACT_K_SQL,
+        "knn_join_fine": _knn_join_fine_sql(),
+        "text_token_entropy": _TOKEN_ENTROPY_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "text_gopher_repetition": _GOPHER_REPETITION_SQL,
         "text_bigram_logprob": _BIGRAM_LOGPROB_SQL,

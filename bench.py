@@ -107,6 +107,8 @@ def main():
         "decontaminate_bloom",
         "dedup_keep_best",
         "sample_exact_k",
+        "knn_join_fine",
+        "text_token_entropy",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

@@ -772,3 +772,57 @@ def dsir_weights(
             F.sum(F.col("__c") * F.col("__d")).alias("dsir_nano"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (natural
+    log, reported in integer MILLI-NATS) — the vocabulary-diversity
+    quality signal: low entropy = repetitive/boilerplate text. It
+    complements ``gopher_repetition`` (top-k mass fractions) with a
+    whole-distribution measure:  H = ln N − (Σ c_i·ln c_i)/N  over the
+    per-token counts c_i, N = token count.
+
+    Exactness: each ln is rounded to 9 decimals (the driver-proven
+    contract) and lifted to exact integer nano-units; everything after
+    is pure int64 arithmetic ending in ONE integer DIV —
+      entropy_milli = (N·lnN_nano − Σ c_i·lnc_nano) DIV (N·10⁶)
+    — partition-order and engine independent (the integer-ppm lesson).
+    Bound: N·lnN_nano < 2⁶³ for any N up to ~3·10⁸ tokens/doc.
+
+    Scale: one explode + groupBy(id, token) with map-side combine (the
+    floor for any per-document distribution), then a per-doc aggregate
+    — two bounded shuffles, no joins. Empty documents emit no row (no
+    tokens → no distribution) in both engines.
+    Returns (id, n_toks, entropy_milli)."""
+    nano = lambda c: (  # noqa: E731  — round(ln,9) → exact integer nanos
+        F.round(F.log(c.cast("double")), 9).cast("decimal(28,9)")
+        * F.lit(1_000_000_000)
+    ).cast("long")
+    counts = (
+        spread(
+            docs.select(
+                F.col(id_col).alias("id"),
+                tokens(F.col(text_col)).alias("__t"),
+            )
+        )
+        .select("id", F.explode("__t").alias("__tok"))
+        .groupBy("id", "__tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    per = counts.groupBy("id").agg(
+        F.sum("__c").alias("n_toks"),
+        F.sum(F.col("__c") * nano(F.col("__c"))).alias("__s"),
+    )
+    return (
+        per.withColumn("__lnn", nano(F.col("n_toks")))
+        .select(
+            "id",
+            "n_toks",
+            F.expr("(n_toks * __lnn - __s) div (n_toks * 1000000)")
+            .alias("entropy_milli"),
+        )
+    )

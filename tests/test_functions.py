@@ -1313,3 +1313,66 @@ class TestDedupKeepBest:
             .collect()
         )
         assert all(r.n_keep == 1 for r in per_cluster)
+
+
+class TestTokenEntropy:
+    def test_hand_computed_and_bounds(self, spark):
+        from ppocr_spark.functions.text import token_entropy
+        import math
+
+        df = spark.createDataFrame(
+            [
+                (0, "a a a a"),          # uniform-1: H = 0
+                (1, "a b c d"),          # uniform-4: H = ln 4
+                (2, "a a b"),            # H = ln3 - (2 ln2)/3
+                (3, ""),                 # empty: no row
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.id: (r.n_toks, r.entropy_milli)
+            for r in token_entropy(df).collect()
+        }
+        assert 3 not in got and len(got) == 3
+        assert got[0] == (4, 0)
+
+        def milli(h):  # replay the integer pipeline
+            return int(h * 1000)
+
+        assert abs(got[1][1] - milli(math.log(4))) <= 1
+        assert abs(got[2][1] - milli(math.log(3) - 2 * math.log(2) / 3)) <= 1
+
+    def test_layout_independent_exact(self, spark):
+        from ppocr_spark.functions.text import token_entropy
+
+        rows = [(i, " ".join(f"w{j % (1 + i % 9)}" for j in range(20)))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {(r.id, r.entropy_milli) for r in token_entropy(df).collect()}
+        b = {
+            (r.id, r.entropy_milli)
+            for r in token_entropy(df.repartition(13)).collect()
+        }
+        assert a == b
+
+
+class TestKnnJoinFine:
+    def test_self_excluded_and_k_rows_per_query(self, spark):
+        from ppocr_spark.functions.similarity import ivf_topk_fine
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((30, 16)).astype(np.float32)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = ivf_topk_fine(
+            emb, emb, k=3, n_centroids=16, iters=1, n_probe=4, dim=16
+        ).collect()
+        by_q = {}
+        for r in out:
+            assert r.query_id != r.neighbor_id
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 3
