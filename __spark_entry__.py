@@ -3026,6 +3026,30 @@ FROM documents ORDER BY content_key
 """
 
 
+def _stream_dedup_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second VALUE-checked streaming row (library
+    streaming.stream_distinct_signatures): the near-dup path's
+    value-checkable projection — each arriving doc maps to its full
+    8-permutation MinHash signature BEFORE the stateful dedup, and the
+    drained set of distinct signatures (the strictest all-band LSH
+    collision level) is arrival-order independent because the emitted
+    column IS the dedup key. Oracle: plain DISTINCT over the identical
+    portable signature expression."""
+    from ppocr_spark.streaming.stream import stream_distinct_signatures
+
+    return stream_distinct_signatures(
+        spark, f"{sf_dir}/documents.parquet", k=8, n=3
+    ).orderBy("sig_key")
+
+
+_STREAM_DEDUP_SIG_SQL = f"""
+WITH base AS (SELECT doc_id AS id, {_DUCK_GRAMS} AS grams
+              FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+SELECT DISTINCT array_to_string({_minhash_sig('duck')}, '|') AS sig_key
+FROM base WHERE len(grams) > 0 ORDER BY sig_key
+"""
+
+
 def _quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality tiers (library text.quality_tiers): corpus
     split into equal-mass tiers by unigram-LM logprob — tier 0 is the
@@ -3416,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": _sample_exact_k,
         "knn_join_fine": _knn_join_fine,
         "text_token_entropy": _text_token_entropy,
+        "stream_dedup_signature": _stream_dedup_signature,
         "pack_sequences": _pack_sequences,
         "text_gopher_repetition": _gopher_repetition,
         "ann_topk_ivf_pq": _ann_ivf_pq,
@@ -3551,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": _SAMPLE_EXACT_K_SQL,
         "knn_join_fine": _knn_join_fine_sql(),
         "text_token_entropy": _TOKEN_ENTROPY_SQL,
+        "stream_dedup_signature": _STREAM_DEDUP_SIG_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "text_gopher_repetition": _GOPHER_REPETITION_SQL,
         "text_bigram_logprob": _BIGRAM_LOGPROB_SQL,

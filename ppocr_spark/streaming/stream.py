@@ -469,22 +469,105 @@ def stream_distinct_content(
     carries no ingest timestamp); at ingest scale the real column and a
     finite watermark bound the state exactly as in
     ``stream_dedup_exact``."""
+    from pyspark.sql import functions as F
+
+    def project(stream):
+        return stream.select(
+            F.md5("text").alias("content_key"),
+            "n_chars",
+            _gate_event_time().alias("ts"),
+        )
+
+    return _drain_distinct_stream(
+        spark, documents_path, project, ["content_key"],
+        query_name, watermark, prefix="sdc",
+    )
+
+
+def stream_distinct_signatures(
+    spark: SparkSession,
+    documents_path: str,
+    k: int = 8,
+    n: int = 3,
+    query_name: str | None = None,
+    watermark: str = "87600 hours",
+) -> DataFrame:
+    """Second VALUE-checked streaming gate row — the value-checkable
+    projection of the NEAR-dup path: project each arriving document to
+    its full MinHash signature (the same portable md5-min construction
+    the batch LSH uses) BEFORE the stateful operator, then
+    ``dropDuplicatesWithinWatermark`` on the signature string. The
+    emitted set = distinct all-band signatures, i.e. the strictest LSH
+    collision level (every band equal). Emitting ONLY the dedup key
+    itself is what keeps the value set arrival-order independent —
+    any survivor of a signature class carries the same key, so file
+    splits and batch boundaries cannot change it (the
+    ``stream_distinct_content`` contract, one level up from exact
+    md5 identity). Docs with fewer than ``n`` tokens have no grams and
+    are projected out (the batch rule). The DuckDB twin is a plain
+    DISTINCT over the identical signature expression."""
+    from pyspark.sql import functions as F
+
+    from ppocr_spark.functions.text import minhash_from_grams, word_ngrams
+
+    def project(stream):
+        withg = stream.select(
+            word_ngrams(F.col("text"), n).alias("__g"),
+            _gate_event_time().alias("ts"),
+        ).filter(F.size("__g") > 0)
+        return withg.select(
+            F.concat_ws("|", minhash_from_grams(F.col("__g"), k)).alias(
+                "sig_key"
+            ),
+            "ts",
+        )
+
+    return _drain_distinct_stream(
+        spark, documents_path, project, ["sig_key"],
+        query_name, watermark, prefix="sds",
+    )
+
+
+def _gate_event_time():
+    """Deterministic event time for the gate fixtures (no ingest
+    timestamp column). Base is a fixed MODERN epoch: with base 0 the
+    state store computes doc_id=0's dedup-state expiry as a non-positive
+    timestamp and silently treats the row as already expired (observed:
+    499/500 rows emitted) — any base far from the epoch boundary is
+    safe, and the value is pinned so results stay deterministic."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_seconds(F.col("doc_id") % 86400 + 1_600_000_000)
+
+
+def _drain_distinct_stream(
+    spark: SparkSession,
+    documents_path: str,
+    project,
+    dedup_cols: list[str],
+    query_name: str | None,
+    watermark: str,
+    prefix: str,
+) -> DataFrame:
+    """Shared gate harness: file-source readStream over the documents
+    fixture → ``project`` (must emit content-determined columns plus
+    ``ts``) → watermarked dropDuplicates on ``dedup_cols`` →
+    availableNow drain into a memory sink → materialized batch result.
+    Every staged resource (symlink dir, checkpoint dir, memory-sink
+    table) is torn down before returning — repeated gate/bench runs
+    must not accumulate state."""
     import os
+    import shutil
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
-
-    import shutil
 
     if query_name is None:
         # memory-sink names must be unique per active session; the name
         # never affects the result set
-        query_name = f"sdc_{uuid.uuid4().hex[:12]}"
+        query_name = f"{prefix}_{uuid.uuid4().hex[:12]}"
 
-    # every staged resource is torn down before returning (repeated
-    # gate/bench runs must not accumulate tempdirs or memory-sink tables)
     staged_src = None
     ckpt = None
 
@@ -510,22 +593,10 @@ def stream_distinct_content(
         .option("maxFilesPerTrigger", 1)
         .parquet(documents_path)
     )
-    # event-time base is a fixed MODERN epoch: with base 0 the state
-    # store computes doc_id=0's dedup-state expiry as a non-positive
-    # timestamp and silently treats the row as already expired
-    # (observed: 499/500 rows emitted) — any base far from the epoch
-    # boundary is safe, and the value is pinned so results stay
-    # deterministic
     deduped = (
-        stream.select(
-            F.md5("text").alias("content_key"),
-            "n_chars",
-            F.timestamp_seconds(
-                F.col("doc_id") % 86400 + 1_600_000_000
-            ).alias("ts"),
-        )
+        project(stream)
         .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["content_key"])
+        .dropDuplicatesWithinWatermark(dedup_cols)
         .drop("ts")
     )
     try:
@@ -540,7 +611,7 @@ def stream_distinct_content(
         )
         q.awaitTermination()
         # materialize off the memory sink (tiny: one row per distinct
-        # content key) so the sink table can be dropped before returning
+        # dedup key) so the sink table can be dropped before returning
         result = spark.table(query_name)
         rows = result.collect()
         return spark.createDataFrame(rows, schema=result.schema)

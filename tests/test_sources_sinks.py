@@ -792,3 +792,46 @@ class TestStreamDistinctContent:
         assert set(glob.glob(f"{tmp}/stream_gate_*")) == before
         assert {t.name for t in spark.catalog.listTables()} == tables_before
         assert out.count() == 1  # survives the cleanup (materialized)
+
+
+class TestStreamDistinctSignatures:
+    def test_signature_dedup_across_files_order_independent(
+        self, spark, tmp_path
+    ):
+        """Near-dup streaming gate row: docs with IDENTICAL 3-gram
+        MinHash signatures (here: identical text → identical grams)
+        collapse across separate micro-batches; short docs (<3 tokens)
+        emit nothing; the emitted set is the signature itself, so it is
+        independent of which copy survives."""
+        from ppocr_spark.streaming.stream import stream_distinct_signatures
+
+        text_a = "alpha beta gamma delta"
+        rows1 = [(0, text_a, "en", "s0", 22), (1, "too short", "en", "s0", 9)]
+        rows2 = [(2, text_a, "de", "s1", 22),  # same signature as doc 0
+                 (3, "epsilon zeta eta theta", "en", "s0", 22)]
+        schema = ("doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        src = tmp_path / "docs"
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+            str(src / "a")
+        )
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+            str(src / "b")
+        )
+        out = stream_distinct_signatures(spark, f"{src}/*/")
+        keys = sorted(r.sig_key for r in out.collect())
+        assert len(keys) == 2  # a-dup collapsed, short doc projected out
+        # replay the portable signature for text_a
+        import hashlib
+
+        def sig(text):
+            toks = text.split()
+            grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+            return "|".join(
+                min(hashlib.md5(f"{i}:{g}".encode()).hexdigest()
+                    for g in grams)
+                for i in range(8)
+            )
+
+        assert sig(text_a) in keys
+        assert sig("epsilon zeta eta theta") in keys
