@@ -783,7 +783,9 @@ def dedup_keep_best(
     equi-joins per round); the argmax is ONE groupBy(cluster) over a
     slim (cluster, score, id) projection — max of a (score, −id) struct,
     so ties are deterministic with no per-cluster window or sort — and
-    one equi-join back. ``score_col`` must be numeric."""
+    one equi-join back. ``score_col`` must be numeric and NON-NULL
+    (struct comparison with null fields is undefined territory —
+    coalesce a default before calling)."""
     cc = connected_components(pairs, a_col, b_col)
     labeled = (
         docs.select(
