@@ -2662,7 +2662,8 @@ def _bpe_cte(k: int) -> str:
     chr(31) prefix). Generator pattern follows ``_pq_cte``."""
     parts = [f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS l FROM documents),
 words AS (SELECT tok AS word, count(*)::BIGINT AS freq
-          FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY tok),
+          FROM (SELECT unnest(l) AS tok FROM toks)
+          WHERE NOT contains(tok, chr(31)) GROUP BY tok),
 s0 AS (SELECT word, freq,
         list_append([word[i] FOR i IN range(1, length(word) + 1)],
                     '</w>') AS seq
@@ -2684,7 +2685,7 @@ s{s} AS (
                              AND x = chr(31) || b{s}.r
                        THEN acc || b{s}.r ELSE acc || x END), chr(31)),
            y -> y <> '') AS seq
-  FROM s{p}, b{s})""")
+  FROM s{p} LEFT JOIN b{s} ON TRUE)""")
     return "WITH " + ",\n".join(parts)
 
 

@@ -48,7 +48,8 @@ def _sql_lit(s: str) -> str:
 def _merge_expr(seq_col: str, left: str, right: str) -> str:
     """Greedy left-to-right non-overlapping merge of (left, right) in a
     symbol array, as a pure string fold: symbols are prefixed with the
-    unit separator (char(31) — never part of a token), so
+    unit separator (char(31) — excluded from the token universe by
+    ``word_table``'s filter, so never part of a symbol), so
     ``endswith(acc, sep || left)`` tests exactly "the last complete
     symbol is `left`" (symbols are separator-free, and a symbol merged
     earlier in the same fold can never equal `left` — it is
@@ -73,13 +74,21 @@ def _char_seq_expr(word_col: str) -> str:
     )
 
 
-def word_table(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """The one corpus-sized pass: (word, freq) with map-side combine."""
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-sized pass: (word, freq) with map-side combine.
+
+    Tokens containing the fold separator (U+001F, which whitespace
+    tokenization does NOT remove — it isn't regex ``\\s``) are excluded:
+    a separator inside a symbol would fragment the merge fold's
+    separator-prefixed string encoding and silently corrupt pair counts.
+    Excluding them here (and therefore from the segmentation vocabulary,
+    whose inner join drops the same tokens corpus-side) is the standard
+    pre-tokenizer control-character normalization, applied identically
+    by the DuckDB twin."""
     return (
         spread(docs.select(tokens(F.col(text_col)).alias("__toks")))
         .select(F.explode("__toks").alias("word"))
+        .filter(~F.col("word").contains("\x1f"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
@@ -89,7 +98,6 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus.
 
@@ -101,9 +109,14 @@ def bpe_train(
     break (count DESC, left ASC, right ASC)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    words = cache.track(word_table(docs, text_col, id_col))
+    words = cache.track(word_table(docs, text_col))
     seqs = words.withColumn("seq", F.expr(_char_seq_expr("word")))
     merges: list[tuple[int, str, str, int]] = []
+    # cache rotation: step s's argmax job fills step s's cache while
+    # reading step s-1's — after the collect, s-1's copy is dead. Without
+    # rotation a large n_merges pins O(n_merges) materialized vocabulary
+    # tables in executor storage until release_all.
+    prev_cached: DataFrame | None = None
     for step in range(1, n_merges + 1):
         seqs = cache.track(seqs)
         best = (
@@ -122,6 +135,9 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        if prev_cached is not None:
+            prev_cached.unpersist()  # release_all's later no-op is safe
+        prev_cached = seqs
         if not best:  # corpus exhausted (every word fully merged)
             break
         row = best[0]

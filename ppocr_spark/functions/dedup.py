@@ -785,7 +785,19 @@ def dedup_keep_best(
     so ties are deterministic with no per-cluster window or sort — and
     one equi-join back. ``score_col`` must be numeric and NON-NULL
     (struct comparison with null fields is undefined territory —
-    coalesce a default before calling)."""
+    coalesce a default before calling), and ``id_col`` must be a
+    NUMERIC id: the tie-break negates it, and under non-ANSI implicit
+    casting a string id would negate to NULL and silently mark every
+    row keep=false — so non-numeric ids are rejected loudly here."""
+    _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in _INT_TYPES:
+        raise ValueError(
+            f"dedup_keep_best needs an integer {id_col!r} (got "
+            f"{id_type!r}): the (score, -id) tie-break would cast a "
+            "non-numeric id to NULL and silently keep nothing — map "
+            "string ids to a numeric surrogate first (e.g. xxhash64)"
+        )
     cc = connected_components(pairs, a_col, b_col)
     labeled = (
         docs.select(

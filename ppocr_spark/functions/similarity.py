@@ -886,7 +886,20 @@ def ivf_topk_fine(
     from ppocr_spark.cache import plan_size_bytes
 
     q_bytes = plan_size_bytes(queries, default=1 << 62) * max(n_probe, 1)
-    probe_side = F.broadcast(qd) if q_bytes <= _BROADCAST_QUERY_BYTES else qd
+    if q_bytes <= _BROADCAST_QUERY_BYTES:
+        probe_side = F.broadcast(qd)
+    else:
+        # corpus-sized query set (offline kNN self-join): pin BOTH sides
+        # to an explicit hash partitioning on the cell id — the
+        # co-partitioned-media lesson (CLAUDE.md): without explicit
+        # counts AQE is free to coalesce the exploded-probe side under
+        # the corpus-sized join (measured 10× collapse on the media
+        # path), which serializes the scoring stage
+        n_part = max(
+            corpus.sparkSession.sparkContext.defaultParallelism, 1
+        )
+        inv = inv.repartition(n_part, "cl")
+        probe_side = qd.repartition(n_part, "cl")
     scored = (
         inv.join(probe_side, "cl")
         .filter(F.col("nid") != F.col("qid"))

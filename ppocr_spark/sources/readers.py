@@ -42,16 +42,33 @@ def _iceberg_available(spark: SparkSession) -> bool:
     a broad catch would also swallow genuine Iceberg errors (corrupt
     metadata, auth, bad table name) and silently fall back to reading a
     DIFFERENT dataset than intended (ADVICE r4). With the runtime
-    present, real read failures now propagate."""
+    present, real read failures now propagate.
+
+    The probe goes through Spark's own classloader
+    (``Utils.classIsLoadable``), NOT ``java.lang.Class.forName``: jars
+    added via ``--jars``/``--packages`` live in Spark's
+    MutableURLClassLoader, which the system classloader can't see — a
+    bare forName would report the runtime missing in exactly the
+    deployments that ship it, silently re-enabling the parquet fallback
+    this function exists to prevent."""
     key = id(spark._jvm)
     if key not in _ICEBERG_PROBE:
+        cls = "org.apache.iceberg.spark.source.IcebergSource"
         try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.iceberg.spark.source.IcebergSource"
+            _ICEBERG_PROBE[key] = bool(
+                spark._jvm.org.apache.spark.util.Utils.classIsLoadable(cls)
             )
-            _ICEBERG_PROBE[key] = True
-        except Exception:  # noqa: BLE001 — ClassNotFound via py4j
-            _ICEBERG_PROBE[key] = False
+        except Exception:  # noqa: BLE001 — internal API moved: fall back
+            try:
+                spark._jvm.java.lang.Class.forName(
+                    cls,
+                    False,
+                    spark._jvm.java.lang.Thread.currentThread()
+                    .getContextClassLoader(),
+                )
+                _ICEBERG_PROBE[key] = True
+            except Exception:  # noqa: BLE001 — ClassNotFound via py4j
+                _ICEBERG_PROBE[key] = False
     return _ICEBERG_PROBE[key]
 
 

@@ -1376,3 +1376,17 @@ class TestKnnJoinFine:
         for q, ranks in by_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
             assert len(ranks) <= 3
+
+
+class TestKeepBestGuards:
+    def test_rejects_non_numeric_id(self, spark):
+        from ppocr_spark.functions.dedup import dedup_keep_best
+
+        pairs = spark.createDataFrame([("a", "b")], "a string, b string")
+        docs = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "doc_id string, score long"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="integer"):
+            dedup_keep_best(pairs, docs, "score")

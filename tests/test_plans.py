@@ -315,6 +315,10 @@ class TestFineQuantizerPlans:
         assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
         assert "BroadcastNestedLoopJoin" not in plan_big
         assert "CartesianProduct" not in plan_big
+        # both join sides explicitly pinned on cl (REPARTITION_BY_NUM) —
+        # the co-partitioned-media lesson: without explicit counts AQE
+        # may coalesce the exploded-probe side under the corpus join
+        assert plan_big.count("REPARTITION_BY_NUM") >= 2
 
     def test_semantic_fine_pairs_equi_join(self, spark, sf_dir):
         import __spark_entry__ as entry
