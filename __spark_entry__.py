@@ -2409,11 +2409,12 @@ def _sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sample_source_cap_sql() -> str:
-    h4 = "substr(md5(concat('cap:', doc_id::VARCHAR)), 1, 4)"
+    h8 = "substr(md5(concat('cap:', doc_id::VARCHAR)), 1, 8)"
     return f"""
 WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
 SELECT d.doc_id, d.lang FROM documents d JOIN counts c USING (lang)
-WHERE c.n <= 100 OR {h4} < lower(lpad(hex((100 * 65536) // c.n), 4, '0'))
+WHERE c.n <= 100
+   OR {h8} < lower(lpad(hex((100 * 4294967296) // c.n), 8, '0'))
 ORDER BY d.doc_id
 """
 
@@ -3230,7 +3231,7 @@ def _sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sample_mix_sources_sql() -> str:
-    h4 = "substr(md5(concat('mix:', doc_id::VARCHAR)), 1, 4)"
+    h8 = "substr(md5(concat('mix:', doc_id::VARCHAR)), 1, 8)"
     return f"""
 WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
            GROUP BY source),
@@ -3245,7 +3246,7 @@ q AS (SELECT source, n, least(n, (200 * wt) // tw)::BIGINT AS qt
       FROM w, tot)
 SELECT d.doc_id, d.source FROM documents d JOIN q USING (source)
 WHERE q.n <= q.qt
-   OR {h4} < lower(lpad(hex((q.qt * 65536) // q.n), 4, '0'))
+   OR {h8} < lower(lpad(hex((q.qt * 4294967296) // q.n), 8, '0'))
 ORDER BY d.doc_id
 """
 

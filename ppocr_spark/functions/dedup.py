@@ -458,8 +458,16 @@ def simhash_near_pairs(
     are the identical subtree, so Spark deduplicates the shuffle via
     ReusedExchange — one fingerprint pass, no cache left behind in a
     long-lived session."""
-    n_blocks = max_hamming + 1
     total_bits = 60
+    if not 0 <= max_hamming < total_bits:
+        # r >= 59 needs 60+ blocks over 60 bits: zero-width blocks whose
+        # value is 0 for EVERY row — the bucket join silently degenerates
+        # into one all-pairs key behind a single task. At that radius the
+        # answer is the all-pairs scan anyway; refuse loudly.
+        raise ValueError(
+            f"max_hamming must be in [0, {total_bits}): {max_hamming}"
+        )
+    n_blocks = max_hamming + 1
     base = total_bits // n_blocks
     extra = total_bits % n_blocks  # first `extra` blocks get one more bit
     fp = simhash_fingerprints(df, text_col, id_col)
@@ -521,28 +529,15 @@ def embedding_near_dup_pairs(
     ``similarity.lsh_near_dup_pairs`` (hyperplane-LSH bucket join + exact
     cosine verify on candidates only), which is what the
     ``dedup_embedding_lsh`` gate query runs."""
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("x.v"),
-            F.col("y.v"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
+    # the cast-to-double fold order is oracle-parity-critical and owned
+    # by similarity._dot/_norm — one definition, no drift
+    from ppocr_spark.functions.similarity import _dot, _norm
+
+    dot = _dot(F.col("x.v"), F.col("y.v"))
     e = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.col(vec_col),
-                    lambda x: x.cast("double") * x.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            )
-        ).alias("nrm"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     return (
         e.alias("x")

@@ -44,6 +44,9 @@ from pyspark.sql import functions as F
 from .text import token_count, tokens
 
 HEX_W = 4  # 16-bit bucket space: 65536 buckets / threshold resolution
+# per-group cap/quota filters use a 32-bit threshold space: 16 bits
+# truncates to zero (drops the whole group) once n > cap * 65536
+CAP_HEX_W = 8
 
 
 def _id_hash(id_col: Column, salt: str = "") -> Column:
@@ -339,20 +342,23 @@ def chunk_cdc(
     )
     if not with_dup_counts:
         return chunks
-    # count-over-window, not groupBy+join: one exchange of the slim chunk
-    # rows on the uniform md5 key, and the chunk subtree (all the md5
-    # work) is computed ONCE — a self-join would recompute it per side
-    from pyspark.sql import Window
+    # groupBy + equi-join back, NOT count-over-window: the md5 KEY space
+    # is uniform, but duplicate CONTENT is exactly what this column
+    # counts — a boilerplate chunk repeated 10^8 times across a crawl
+    # puts every copy behind ONE window-partition key in one reducer
+    # task (windows can't be split by AQE). The aggregate combines
+    # map-side, so the hot key costs one partial per task; the chunk
+    # subtree feeds both the aggregate and the probe side, so persist it
+    # when the source is big enough for recompute to cost a second pass
+    # (the bm25 lesson — cache.track_if_large).
+    from ppocr_spark import cache
 
-    return chunks.select(
-        id_col,
-        "chunk_idx",
-        "start",
-        "len",
-        "chunk_md5",
-        F.count("*")
-        .over(Window.partitionBy("chunk_md5"))
-        .alias("n_dups_corpus"),
+    chunks = cache.track_if_large(df, chunks)
+    counts = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("n_dups_corpus")
+    )
+    return chunks.join(counts, "chunk_md5").select(
+        id_col, "chunk_idx", "start", "len", "chunk_md5", "n_dups_corpus"
     )
 
 
@@ -454,23 +460,31 @@ def source_cap(
 
     Scale path (``exact=False``, default): one slim ``groupBy(group)``
     count (map-side combined), broadcast back, and a map-side filter
-    ``h4 < hex((cap * 65536) div n)`` — keeps an EXPECTED ``cap`` rows
+    ``h8 < hex((cap * 2^32) div n)`` — keeps an EXPECTED ``cap`` rows
     per group (binomial around cap, like any hash sampler) with ZERO
     sorts and no per-group window: a 10^9-doc hot domain costs the same
-    as a small one. The threshold is integer math both engines truncate
-    identically (Spark ``div``, DuckDB ``//``), rendered as a
-    fixed-width lowercase hex string so the comparison is the module's
-    shared hex-ordering trick.
+    as a small one. The threshold space is 32-BIT (8 hex chars), not
+    the module's 16-bit HEX_W: a 16-bit threshold truncates to ZERO for
+    any group with n > cap·65536 — silently deleting the hot domain the
+    function exists to cap — and under-samples by up to 2× below that.
+    32 bits keeps the keep-rate representable down to cap/n = 2⁻³²
+    (a 4·10⁹-row domain capped to 1). Integer math both engines
+    truncate identically (Spark ``div``, DuckDB ``//``), rendered as a
+    fixed-width lowercase hex string (the shared hex-ordering trick).
 
     ``exact=True`` keeps EXACTLY ``cap`` rows (the first ``cap`` in
-    md5 order) via a per-group row_number window — one reducer sorts
-    each group, so reserve it for group cardinalities a single task can
-    sort (~10^7); the default path is the 100 TB shape.
+    FULL md5 order — a short prefix would tie for n > 16^prefix rows
+    and fall back to raw-id order, a biased sample) via a per-group
+    row_number window — one reducer sorts each group, so reserve it for
+    group cardinalities a single task can sort (~10^7); the default
+    path is the 100 TB shape.
     """
-    h4 = F.substring(_id_hash(F.col(id_col), salt), 1, HEX_W)
+    if not 0 < cap < (1 << 31):
+        raise ValueError(f"cap must be in (0, 2^31): {cap}")
+    h = _id_hash(F.col(id_col), salt)
     if exact:
         w = Window.partitionBy(group_col).orderBy(
-            h4.asc(), F.col(id_col).asc()
+            h.asc(), F.col(id_col).asc()
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -480,12 +494,16 @@ def source_cap(
     counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
     thr = F.lower(
         F.lpad(
-            F.hex(F.expr(f"({int(cap)} * 65536) div __n")), HEX_W, "0"
+            F.hex(F.expr(f"({int(cap)} * 4294967296) div __n")),
+            CAP_HEX_W,
+            "0",
         )
     )
     return (
         df.join(F.broadcast(counts), group_col)
-        .filter((F.col("__n") <= cap) | (h4 < thr))
+        .filter(
+            (F.col("__n") <= cap) | (F.substring(h, 1, CAP_HEX_W) < thr)
+        )
         .drop("__n")
     )
 
@@ -585,11 +603,17 @@ def mix_sources(
     ``groupBy(group)`` count; the total weight W is a 1-row aggregate
     attached by constant crossJoin (a map, not a join — the plan-audit
     whitelisted shape); quotas broadcast back and the keep decision is
-    the ``source_cap`` hash-threshold filter — EXPECTED quota_g rows per
-    group, zero sorts, a 10^9-doc domain costs the same as a small one.
-    ``exact=True`` keeps exactly quota_g rows via a per-group
-    row_number window (one reducer sorts each group — reserve for group
+    the ``source_cap`` hash-threshold filter (32-BIT threshold space —
+    see source_cap's resolution note: a 16-bit threshold truncates to
+    zero and DELETES any domain whose quota falls under n/65536,
+    inverting the smoothing's whole point of keeping giant domains
+    represented) — EXPECTED quota_g rows per group, zero sorts, a
+    10^9-doc domain costs the same as a small one. ``exact=True`` keeps
+    exactly quota_g rows via a per-group row_number window over the
+    FULL hash (one reducer sorts each group — reserve for group
     cardinalities a single task can sort)."""
+    if not 0 < budget < (1 << 31):
+        raise ValueError(f"budget must be in (0, 2^31): {budget}")
     counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
     w = counts.withColumn("__w", _isqrt(F.col("__n")))
     # the totals row derives from the same subtree as the per-group side;
@@ -607,10 +631,10 @@ def mix_sources(
             ).alias("__q"),
         )
     )
-    h4 = F.substring(_id_hash(F.col(id_col), salt), 1, HEX_W)
+    h = _id_hash(F.col(id_col), salt)
     if exact:
         w_rn = Window.partitionBy(group_col).orderBy(
-            h4.asc(), F.col(id_col).asc()
+            h.asc(), F.col(id_col).asc()
         )
         return (
             df.join(F.broadcast(quotas), group_col)
@@ -619,11 +643,14 @@ def mix_sources(
             .drop("__rn", "__n", "__q")
         )
     thr = F.lower(
-        F.lpad(F.hex(F.expr("(__q * 65536) div __n")), HEX_W, "0")
+        F.lpad(F.hex(F.expr("(__q * 4294967296) div __n")), CAP_HEX_W, "0")
     )
     return (
         df.join(F.broadcast(quotas), group_col)
-        .filter((F.col("__n") <= F.col("__q")) | (h4 < thr))
+        .filter(
+            (F.col("__n") <= F.col("__q"))
+            | (F.substring(h, 1, CAP_HEX_W) < thr)
+        )
         .drop("__n", "__q")
     )
 

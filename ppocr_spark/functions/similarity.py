@@ -673,11 +673,18 @@ def _fine_assign(
 
 def _lloyd_refine_q(assigned: DataFrame, prev_q: list) -> list:
     """Integer Lloyd refinement: per-(cluster, dim-position) int64 sums
-    (exact, order-independent), centroid update ``(2s + n) div (2n)`` —
-    round-half-up-then-truncate-toward-zero, the SAME integer expression
-    Spark ``div`` and DuckDB ``//`` both evaluate (verified: both
-    truncate toward zero). Empty clusters keep their previous centroid.
-    Driver sync is the centroid table only (k × dim int64)."""
+    (exact, order-independent), centroid update ``(2s + n) div (2n)``,
+    the SAME integer expression Spark ``div`` and DuckDB ``//`` both
+    evaluate (verified: both truncate toward zero). Rounding semantics,
+    stated precisely: round-half-up for s >= 0; for NEGATIVE sums the
+    toward-zero truncation biases the centroid up to one quant unit
+    toward zero (e.g. s=-10, n=2: exact mean -5 lands at -4). This is
+    engine-identical (oracle parity pins it) and within the
+    quantization error the integer contract already accepts — kept
+    truncating rather than floor-corrected because the centroid values
+    feed every downstream golden/oracle. Empty clusters keep their
+    previous centroid. Driver sync is the centroid table only
+    (k × dim int64)."""
     sums = (
         assigned.select("cluster", F.posexplode("vq").alias("pos", "val"))
         .groupBy("cluster", "pos")
@@ -924,35 +931,21 @@ def ivf_topk_fine(
     )
 
 
-def semantic_dedup_fine(
+def _within_cluster_keep(
     emb: DataFrame,
-    threshold: float = 0.4,
-    n_centroids: int = 256,
-    iters: int = 2,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 7,
+    assignment: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
     max_cell: int | None = None,
-    quant: int = QUANT,
 ) -> DataFrame:
-    """SemDeDup at its real operating point: ``kmeans_fine`` cells
-    (k ≫ 100) + within-cell cosine pairs + keep-one — the scale-honest
-    replacement for ``semantic_dedup``'s coarse-k envelope.
-
-    Per-cell cost bound: cells are disjoint, so the pair stage costs
-    Σ m_i² over cell sizes m_i — expected (n/k)·n for balanced cells.
-    ``max_cell`` is the skew valve (the ``dedup._band_join.max_bucket``
-    pattern): cells larger than ``max_cell`` are EXCLUDED from pair
-    generation (their rows survive as singleton keeps), capping any
-    single join task at max_cell² candidate pairs. The recall trade is
-    the standard SemDeDup one — an oversized cell is embedding-space
-    boilerplate whose members exact/LSH dedup upstream already groups.
-    Default None = exact semantics (what the oracle checks)."""
-    assignment, _ = kmeans_fine(
-        emb, n_centroids, iters, dim, id_col, vec_col, seed,
-        quant=quant,
-    )
+    """Shared SemDeDup tail (coarse and fine variants): join the cluster
+    assignment onto a slim (id, vec, norm) projection, generate
+    within-cluster cosine pairs >= threshold, and keep one representative
+    per connected similarity group. ``max_cell`` is the skew valve —
+    clusters above it are excluded from pair generation (their rows
+    survive as singleton keeps). One definition so a fix to the pair
+    join or the keep policy cannot diverge between the two k regimes."""
     from ppocr_spark import cache
 
     e = cache.track(
@@ -995,6 +988,40 @@ def semantic_dedup_fine(
     )
 
 
+def semantic_dedup_fine(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 256,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_cell: int | None = None,
+    quant: int = QUANT,
+) -> DataFrame:
+    """SemDeDup at its real operating point: ``kmeans_fine`` cells
+    (k ≫ 100) + within-cell cosine pairs + keep-one — the scale-honest
+    replacement for ``semantic_dedup``'s coarse-k envelope.
+
+    Per-cell cost bound: cells are disjoint, so the pair stage costs
+    Σ m_i² over cell sizes m_i — expected (n/k)·n for balanced cells.
+    ``max_cell`` is the skew valve (the ``dedup._band_join.max_bucket``
+    pattern): cells larger than ``max_cell`` are EXCLUDED from pair
+    generation (their rows survive as singleton keeps), capping any
+    single join task at max_cell² candidate pairs. The recall trade is
+    the standard SemDeDup one — an oversized cell is embedding-space
+    boilerplate whose members exact/LSH dedup upstream already groups.
+    Default None = exact semantics (what the oracle checks)."""
+    assignment, _ = kmeans_fine(
+        emb, n_centroids, iters, dim, id_col, vec_col, seed,
+        quant=quant,
+    )
+    return _within_cluster_keep(
+        emb, assignment, threshold, id_col, vec_col, max_cell
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -1019,38 +1046,7 @@ def semantic_dedup(
     assignment, _ = kmeans_fit_assign(
         emb, n_centroids, iters, dim, id_col, vec_col, seed
     )
-    from ppocr_spark import cache
-
-    e = cache.track(
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col)).alias("nrm"),
-        ).join(assignment.select("id", "cluster"), "id")
-    )
-    pairs = (
-        e.alias("x")
-        .join(
-            e.alias("y"),
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            (
-                _dot(F.col("x.v"), F.col("y.v"))
-                / (F.col("x.nrm") * F.col("y.nrm"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
-    from ppocr_spark.functions.dedup import dedup_representatives
-
-    return (
-        dedup_representatives(pairs, emb, id_col=id_col)
-        .withColumnRenamed("doc_id", id_col)
-    )
+    return _within_cluster_keep(emb, assignment, threshold, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -1059,7 +1055,9 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _pq_residuals(assigned: DataFrame, cents_q: list) -> DataFrame:
+def _pq_residuals(
+    assigned: DataFrame, cents_q: list, id_type: str = "long"
+) -> DataFrame:
     """Integer residuals vs the assigned coarse centroid:
     (id, cluster, vq) → (id, cluster, rq = vq - cents_q[cluster]).
     Map-side Arrow pass, centroid matrix rides as a closure/broadcast."""
@@ -1080,11 +1078,13 @@ def _pq_residuals(assigned: DataFrame, cents_q: list) -> DataFrame:
             })
 
     return assigned.mapInPandas(
-        gen, schema="id long, cluster int, rq array<long>"
+        gen, schema=f"id {id_type}, cluster int, rq array<long>"
     )
 
 
-def _pq_encode(res: DataFrame, codebooks: list) -> DataFrame:
+def _pq_encode(
+    res: DataFrame, codebooks: list, id_type: str = "long"
+) -> DataFrame:
     """All-subspace PQ encoding in ONE Arrow pass: for each subspace j,
     code_j = argmin over codebooks[j] of the integer squared distance on
     that residual slice (ties → lowest code — np.argmin's first-min,
@@ -1127,12 +1127,13 @@ def _pq_encode(res: DataFrame, codebooks: list) -> DataFrame:
             })
 
     return res.mapInPandas(
-        gen, schema="id long, cluster int, codes array<int>"
+        gen, schema=f"id {id_type}, cluster int, codes array<int>"
     )
 
 
 def _pq_adc_tables(
-    probed: DataFrame, cents_q: list, codebooks: list
+    probed: DataFrame, cents_q: list, codebooks: list,
+    id_type: str = "long",
 ) -> DataFrame:
     """Per-(query, probed-cell) asymmetric-distance tables: for the query
     residual against that cell's centroid, t[j*n_codes + c] = integer
@@ -1175,7 +1176,7 @@ def _pq_adc_tables(
             })
 
     return probed.mapInPandas(
-        gen, schema="id long, cl int, t array<long>"
+        gen, schema=f"id {id_type}, cl int, t array<long>"
     )
 
 
@@ -1227,7 +1228,7 @@ def pq_fit_encode(
         _quantized(F.col(vec_col), quant).alias("vq"),
     )
     assigned = q0.join(cells.select("id", "cluster"), "id")
-    res = cache.track(_pq_residuals(assigned, cents_q))
+    res = cache.track(_pq_residuals(assigned, cents_q, id_type))
     codebooks = []
     for j in range(m):
         sub = res.select(
@@ -1240,7 +1241,7 @@ def pq_fit_encode(
             a = _fine_assign(sub, cb, carry_vec=True, id_type=id_type)
             cb = _lloyd_refine_q(a, cb)
         codebooks.append(cb)
-    codes = _pq_encode(res, codebooks)
+    codes = _pq_encode(res, codebooks, id_type)
     return codes, cents_q, codebooks
 
 
@@ -1285,7 +1286,7 @@ def ivf_pq_topk(
         .join(q0, "id")
         .select("id", "cl", "vq")
     )
-    tables = _pq_adc_tables(probed, cents_q, codebooks)
+    tables = _pq_adc_tables(probed, cents_q, codebooks, id_type)
     # candidate scoring: equi-join on the cell id (broadcast-eligible —
     # tables side is |queries| × n_probe rows), then a pure-JVM m-term
     # lookup: adc = Σ_j t[j*n_codes + codes[j]]

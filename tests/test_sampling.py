@@ -836,3 +836,41 @@ class TestSampleExactK:
 
         df = _docs(spark, 20)
         assert sample_exact_k(df, 500).count() == 20
+
+
+class TestCapThresholdResolution:
+    """Regression for the 16-bit threshold truncation: a group with
+    n > cap * 65536 used to get threshold 0 and lose EVERY row (the hot
+    domain the cap exists to keep represented)."""
+
+    def test_hot_domain_survives_tiny_cap(self, spark):
+        from ppocr_spark.functions.sampling import source_cap
+
+        n = 200_000  # 3 * 65536 < n: the old 16-bit threshold was 0
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit("hot").alias("source")
+        )
+        got = sorted(
+            r.doc_id for r in source_cap(df, cap=3).collect()
+        )
+        # replay the 32-bit threshold deterministically (this exact
+        # (cap, n) keeps 3 ids — precomputed, not probabilistic)
+        import hashlib
+
+        thr = format((3 * (1 << 32)) // n, "08x")
+        expect = sorted(
+            i for i in range(n)
+            if hashlib.md5(f"cap:{i}".encode()).hexdigest()[:8] < thr
+        )
+        assert got == expect
+        assert len(got) >= 1  # the old bug kept ZERO rows
+
+    def test_cap_bounds_validated(self, spark):
+        from ppocr_spark.functions.sampling import mix_sources, source_cap
+
+        df = spark.createDataFrame([(0, "s")], "doc_id long, source string")
+        for bad in (0, 1 << 31):
+            with pytest.raises(ValueError):
+                source_cap(df, cap=bad)
+            with pytest.raises(ValueError):
+                mix_sources(df, budget=bad)
