@@ -22,7 +22,9 @@ bucket recomputes (lineage guard).
 from __future__ import annotations
 
 import os
+import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,13 +74,33 @@ def bucket_fingerprints(documents_b: DataFrame) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Latest complete manifest row per bucket → (bucket, done_fp).
+
+    LATEST, not any: the manifest is append-only, so after input X →
+    Y → X again, a historical (bucket, fp_X) row would match the
+    current input while results/bucket=N actually holds Y's data —
+    the A-B-A staleness the lineage guard exists to prevent. Only the
+    highest ``run_seq`` row per bucket describes what is on disk
+    (dynamic overwrite replaced the partition in that same run).
+    Rows from pre-run_seq manifests read as null → seq 0.
+
+    Existence probe goes through Spark itself (AnalysisException on a
+    missing path), NOT os.path — the out_dir is HDFS/object-store at
+    the design scale, where a local isdir() is always False and every
+    resume would silently recompute ALL buckets."""
     path = os.path.join(out_dir, "manifest")
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    ):
+    try:
+        m = spark.read.option("mergeSchema", "true").parquet(path)
+    except AnalysisException:
         return None
+    if "run_seq" not in m.columns:
+        m = m.withColumn("run_seq", F.lit(0).cast("long"))
+    m = m.withColumn(
+        "run_seq", F.coalesce(F.col("run_seq"), F.lit(0)).cast("long")
+    )
+    latest = m.groupBy("bucket").agg(F.max("run_seq").alias("run_seq"))
     return (
-        spark.read.parquet(path)
+        m.join(latest, ["bucket", "run_seq"])
         .filter(F.col("status") == "complete")
         .select("bucket", F.col("input_fingerprint").alias("done_fp"))
         .distinct()
@@ -164,6 +186,10 @@ def run_resumable(
         .collect()
     }
     stage = snapshot_stage_metrics(metrics)
+    # monotone per-run sequence: completed_buckets keeps only each
+    # bucket's LATEST row (the one describing what dynamic overwrite
+    # actually left on disk) — see its A-B-A note
+    run_seq = int(time.time() * 1000)
     rows = [
         (
             int(b),
@@ -173,6 +199,7 @@ def run_resumable(
             int(stats.get(b, (0, 0))[1]),
             "complete",
             *[float(stage.get(k, 0.0)) for k in STAGE_KEYS],
+            run_seq,
         )
         for b, fp, dc in todo
     ]
@@ -182,7 +209,7 @@ def run_resumable(
         "span_count long, ok_span_count long, status string, "
         "run_decode_ms double, run_det_ms double, run_crop_ms double, "
         "run_cls_ms double, run_rec_ms double, run_layout_ms double, "
-        "run_ocr_spans double",
+        "run_ocr_spans double, run_seq long",
     ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
     return {
         "buckets_run": len(todo),

@@ -191,9 +191,15 @@ def _ocr_one(
     for i, (q, (txt, score)) in enumerate(zip(quads, rec)):
         if not txt or score <= 0:
             continue
+        # det disabled: the reference emits -1 sentinel corners, not the
+        # whole-page quad the crop used (cpp/src/task.cpp:74-81)
         blocks.append(
             {
-                "box": [[int(x), int(y)] for x, y in q],
+                "box": (
+                    [[-1, -1]] * 4
+                    if not cfg.det
+                    else [[int(x), int(y)] for x, y in q]
+                ),
                 "text": txt,
                 "score": float(score),
                 "cls_label": cls_labels[i] if cls_labels else None,
@@ -436,6 +442,13 @@ def media_span_ids(spans: DataFrame) -> DataFrame:
     )
 
 
+# media-broadcast budget for ocr_media_spans' auto path: the blob table
+# rides whole to every executor below this; above it the grouped
+# co-partitioned join keeps blobs sharded (within 1.08x of broadcast at
+# 800 docs — CLAUDE.md round-3 measurement)
+_BROADCAST_MEDIA_BYTES = 64 << 20
+
+
 def ocr_media_spans(
     spans: DataFrame,
     media: DataFrame,
@@ -450,6 +463,17 @@ def ocr_media_spans(
     m = media.select(F.col("media_ref").alias("base_ref"), "content")
     ids = media_span_ids(spans)
     par = spans.sparkSession.sparkContext.defaultParallelism
+    if broadcast_media is None:
+        # the documented auto: decide by the media plan's optimizer size
+        # estimate against the broadcast budget (the ivf_topk_fine
+        # pattern) — a small media table rides to executors whole, a
+        # corpus-scale blob table takes the grouped co-partitioned path.
+        # `if broadcast_media:` alone silently made None behave as False.
+        from ppocr_spark.cache import plan_size_bytes
+
+        broadcast_media = (
+            plan_size_bytes(m, default=1 << 62) <= _BROADCAST_MEDIA_BYTES
+        )
     if broadcast_media:
         # EXPLICIT repartition before the heavy UDF: a small parquet scan
         # yields 1-2 input partitions and would serialize all OCR work onto
@@ -681,11 +705,14 @@ def reassemble(spans: DataFrame, salt_buckets: int = 0) -> DataFrame:
             F.flatten(F.collect_list("part")).alias("spans")
         )
     else:
+        # plain collect_list, like the salted branch: the struct-field
+        # array_sort that used to sit here was pure waste — the output
+        # contract re-sorts by `order` immediately below
         merged = spans.groupBy("doc_id").agg(
-            F.array_sort(F.collect_list(span_struct)).alias("spans")
+            F.collect_list(span_struct).alias("spans")
         )
-    # array_sort on struct sorts by field order (kind first) — re-sort by
-    # `order` explicitly for the output contract
+    # collect order is shuffle-arbitrary — sort by `order` for the
+    # output contract (both branches)
     return merged.select(
         "doc_id",
         F.expr(

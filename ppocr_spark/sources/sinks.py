@@ -101,9 +101,12 @@ def write_training_shards(
     (``out_dir/shard_id=.../``), carrying (id, shard_pos, n_toks, text).
 
     One-file-per-shard comes from ``repartition(shard_id)`` before the
-    partitioned write — each shard's rows land in a single task, so a
-    shard is one contiguous file a trainer streams in ``shard_pos``
-    order, not a directory of fragments. Reruns are idempotent: dynamic
+    partitioned write — each shard's rows land in a single task — and
+    ``sortWithinPartitions(shard_id, shard_pos)`` makes the file's ROW
+    ORDER the packing order (repartition alone leaves shuffle-arbitrary
+    order, which would silently destroy the deterministic md5 layout
+    ``token_shards`` computed): a shard is one contiguous file a
+    trainer streams front-to-back. Reruns are idempotent: dynamic
     partition overwrite replaces each shard directory atomically (the
     bucket-resume device, checkpoint.py)."""
     from ppocr_spark.functions.sampling import token_shards
@@ -116,6 +119,7 @@ def write_training_shards(
     ).join(shards, id_col)
     (
         rows.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shard_pos")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard_id")

@@ -172,7 +172,21 @@ def stream_assemble_documents(
     emitted and the state cleared. A processing-time timeout flushes
     stragglers as partial documents (complete=false) so state is always
     bounded — the arbitrary-stateful-operator pattern the batch
-    ``reassemble`` cannot express."""
+    ``reassemble`` cannot express.
+
+    Duplicate deliveries (at-least-once upstream: a re-fetched crawl
+    file, a span written into two files) are deduped by ``order``
+    BEFORE the completion check — without that, two copies of span 0
+    satisfy ``len >= want`` while a real span is still missing and the
+    document is emitted complete=True with a duplicated span.
+
+    Termination (the ``stream_dedup_near`` lesson, same module): with
+    ``available_now=True`` the processing-time timeout is DISABLED
+    (NoTimeout) — Structured Streaming keeps scheduling timeout-check
+    batches otherwise and an availableNow drain never self-terminates;
+    pending partial docs simply stay in the checkpointed state for the
+    next drain. A continuous deployment (``available_now=False``) gets
+    the straggler-flush timeout."""
     import json
 
     import pandas as pd
@@ -205,13 +219,16 @@ def stream_assemble_documents(
                   "n_spans": len(spans), "complete": False}]
             )
             return
+        seen = {s["order"] for s in spans}
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
-                spans.append(
-                    {"kind": r.kind, "text": r.text,
-                     "media_ref": r.media_ref, "order": int(r.order),
-                     "code": int(r.code)}
-                )
+                if int(r.order) not in seen:  # at-least-once dedup
+                    seen.add(int(r.order))
+                    spans.append(
+                        {"kind": r.kind, "text": r.text,
+                         "media_ref": r.media_ref, "order": int(r.order),
+                         "code": int(r.code)}
+                    )
                 want = int(r.n_spans)
         if want >= 0 and len(spans) >= want:
             state.remove()
@@ -222,7 +239,8 @@ def stream_assemble_documents(
             )
         else:
             state.update((json.dumps(spans), want))
-            state.setTimeoutDuration(timeout_ms)
+            if not available_now:
+                state.setTimeoutDuration(timeout_ms)
             yield pd.DataFrame(
                 {"doc_id": pd.Series([], dtype="object"),
                  "spans_json": pd.Series([], dtype="object"),
@@ -240,7 +258,11 @@ def stream_assemble_documents(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if available_now
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     writer = (
         assembled.writeStream.outputMode("append")

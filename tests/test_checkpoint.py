@@ -230,3 +230,34 @@ class TestCompaction:
             and "if not fs.rename" not in ln
         ]
         assert bare == [], f"unchecked renames: {bare}"
+
+
+def test_lineage_aba_reverted_input_recomputes(spark, small_corpus, tmp_path):
+    """A-B-A staleness guard: input X → Y → X again. The manifest is
+    append-only, so a historical (bucket, fp_X) row exists when run 3
+    sees X — but the results on disk hold Y's data. completed_buckets
+    must compare against each bucket's LATEST row only, forcing the
+    reverted bucket to recompute (the old any-row match silently served
+    Y's results as X's)."""
+    docs = spark.read.parquet(f"{small_corpus}/documents_spans.parquet")
+    media = spark.read.parquet(f"{small_corpus}/media.parquet")
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+    out = str(tmp_path / "run")
+
+    run_resumable(spark, docs, media, out, cfg, n_buckets=8,
+                  broadcast_media=True)  # X
+
+    extra = docs.limit(1).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("_aba"))
+    )
+    docs_y = docs.unionByName(extra)
+    s_y = run_resumable(spark, docs_y, media, out, cfg, n_buckets=8,
+                        broadcast_media=True)  # Y: the extra doc's bucket
+    assert s_y["buckets_run"] >= 1
+
+    s_x = run_resumable(spark, docs, media, out, cfg, n_buckets=8,
+                        broadcast_media=True)  # back to X
+    assert s_x["buckets_run"] >= 1  # the old any-row match skipped ALL
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == docs.count()  # Y's extra doc gone from results
+    assert res.filter(F.col("doc_id").endswith("_aba")).count() == 0

@@ -835,3 +835,57 @@ class TestStreamDistinctSignatures:
 
         assert sig(text_a) in keys
         assert sig("epsilon zeta eta theta") in keys
+
+
+class TestStreamAssembleAtLeastOnce:
+    def test_duplicate_span_delivery_does_not_fake_completion(
+        self, spark, tmp_path
+    ):
+        """At-least-once upstream: span order=0 delivered twice must NOT
+        satisfy the n_spans completion check while a real span is still
+        missing — the doc completes only when order=2 truly arrives, and
+        the emitted spans are deduped by order."""
+        import glob
+        import json
+        import os
+        import shutil
+
+        from ppocr_spark.streaming.stream import stream_assemble_documents
+
+        schema = ("doc_id string, kind string, text string, "
+                  "media_ref string, `order` int, code int, n_spans int")
+        spans_dir = str(tmp_path / "spans")
+        os.makedirs(spans_dir)
+        f1 = [
+            ("A", "text", "a0", None, 0, 100, 3),
+            ("A", "text", "a0", None, 0, 100, 3),  # duplicate delivery
+            ("A", "text", "a1", None, 1, 100, 3),
+        ]
+        f2 = [("A", "text", "a2", None, 2, 100, 3)]
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+            f"{spans_dir}/p1"
+        )
+        spark.createDataFrame(f2, schema).coalesce(1).write.parquet(
+            f"{spans_dir}/p2"
+        )
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        for i, p in enumerate(
+            sorted(glob.glob(f"{spans_dir}/p*/part-*.parquet"))
+        ):
+            shutil.copy(p, f"{flat}/{i:04d}.parquet")
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = stream_assemble_documents(
+                spark, flat, out, ck, max_files_per_trigger=1
+            )
+            q.awaitTermination(120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == "A"
+        assert rows[0]["complete"] and rows[0]["n_spans"] == 3
+        spans = json.loads(rows[0]["spans_json"])
+        assert [s["order"] for s in spans] == [0, 1, 2]  # deduped
