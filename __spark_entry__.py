@@ -665,7 +665,8 @@ def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_COUNTS_SQL = f"""
 SELECT doc_id, len({_DUCK_TOKS}) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]'))
+       len(regexp_extract_all(text,
+                              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]'))
            AS n_bpe_ish
 FROM documents ORDER BY doc_id
 """
@@ -2594,20 +2595,20 @@ ga AS (SELECT doc_id, max(c)::BIGINT AS top_2gram,
               count(*)::BIGINT AS n_2grams_distinct
        FROM gc GROUP BY doc_id),
 j AS (
-  SELECT ta.doc_id, ta.n_toks,
-         (1000000 * top_tok)::BIGINT AS tt,
+  SELECT t.doc_id, coalesce(ta.n_toks, 0)::BIGINT AS n_toks,
+         coalesce((1000000 * top_tok)::BIGINT, 0) AS tt,
          coalesce((2000000 * top_2gram)::BIGINT, 0) AS t2,
          coalesce((1000000 * (n_2grams - n_2grams_distinct))::BIGINT, 0)
            AS d2,
          coalesce(n_2grams, 1)::BIGINT AS n2
-  FROM ta LEFT JOIN ga USING (doc_id)
+  FROM t LEFT JOIN ta USING (doc_id) LEFT JOIN ga USING (doc_id)
 )
 SELECT doc_id, n_toks,
-       (tt // n_toks)::BIGINT AS top_token_ppm,
-       (t2 // n_toks)::BIGINT AS top_2gram_ppm,
+       (tt // greatest(n_toks, 1))::BIGINT AS top_token_ppm,
+       (t2 // greatest(n_toks, 1))::BIGINT AS top_2gram_ppm,
        (d2 // n2)::BIGINT AS dup_2gram_ppm,
-       (tt // n_toks) <= 300000 AS ok_top_token,
-       (t2 // n_toks) <= 200000 AS ok_top_2gram,
+       (tt // greatest(n_toks, 1)) <= 300000 AS ok_top_token,
+       (t2 // greatest(n_toks, 1)) <= 200000 AS ok_top_2gram,
        (d2 // n2) <= 600000 AS ok_dup_2gram
 FROM j ORDER BY doc_id
 """

@@ -16,8 +16,10 @@ heuristics*. This module is the HTML half (PDF lives in
   + ancestor tracking in an Arrow-batched pandas UDF. Blocks under
   boilerplate ancestors (nav/header/footer/aside/form/figure) are dropped;
   remaining blocks are dropped when link-dense (link_density > 1/3) or
-  trivially short (< 2 words). No per-row Python — one UDF call per Arrow
-  batch, vectorized over the batch.
+  trivially short (< 2 words). Rows TRANSFER per Arrow batch but the
+  extraction itself is per-row Python (a regex tokenizer walk over each
+  page) — cost scales with rows, not batches; only ``strip_tags_col``
+  is the zero-Python tier.
 
 The reference engine has no HTML path (its inputs are images); this stage
 is the text-branch analog of its tbpu normalizer (SURVEY.md §2.3) applied
@@ -205,12 +207,19 @@ def extract_main_content(html: str) -> str:
 
 def main_content(df: DataFrame, html_col: str = "html",
                  out_col: str = "main_text") -> DataFrame:
-    """DataFrame stage: Arrow-batched extraction (no per-row Python)."""
+    """DataFrame stage: Arrow-batched TRANSFER (rows arrive per Arrow
+    batch); the extraction itself is per-row Python — the tokenizer
+    regex walks each page — so the stage scales with per-row cost, not
+    batch count. NULL html propagates to NULL output (the strip_tags
+    tier's JVM null semantics — the two tiers must classify a missing
+    document identically, the gate's NULL-vs-'' lesson)."""
     import pandas as pd  # noqa: F401 (resolves the UDF type hints)
     from pyspark.sql.functions import pandas_udf
 
     def _extract(s):
-        return s.map(lambda h: extract_main_content(h or ""))
+        return s.map(
+            lambda h: None if h is None else extract_main_content(h)
+        )
 
     _extract_udf = pandas_udf(_extract, "string")
     return df.withColumn(out_col, _extract_udf(F.col(html_col)))

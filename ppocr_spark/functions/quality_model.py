@@ -72,7 +72,17 @@ def gd_step(
 
     Exactness: residual·x_j is rounded to ``ROUND`` decimals per row and
     summed as decimal(28,9) — associative/commutative, so any partition
-    layout (and the sequential DuckDB oracle) produces identical sums."""
+    layout (and the sequential DuckDB oracle) produces identical sums.
+
+    Null hygiene: rows with a null label or any null feature are DROPPED
+    before the aggregate — sum() skips null terms but count(*) would
+    still count their rows, silently diluting the gradient denominator
+    (grad = 2·Σ/n over fewer contributors than n)."""
+    feats = feats.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & ~F.exists(F.col(x_col), lambda v: v.isNull())
+    )
     w = F.array(*[F.lit(float(v)) for v in weights])
     resid = (
         F.aggregate(

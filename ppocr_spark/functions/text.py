@@ -46,7 +46,9 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
-BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+# \r is in the excluded class: CRLF corpora must not count the carriage
+# return as a symbol token (one phantom token per line otherwise)
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]"
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -251,10 +253,10 @@ def simhash_from_hashes(hs: Column) -> Column:
         if int(lens.sum()) == 0:
             return pd.Series(out)
         flat = np.concatenate([a for a in arrs if a.size])
-        # ±1 votes per (token, bit)
-        bits = (
-            ((flat[:, None] >> np.arange(60)) & 1) * 2 - 1
-        ).astype(np.int64)
+        # ±1 votes per (token, bit); flat is int64 so the expression is
+        # already int64 — no astype (it would COPY the full
+        # (total_tokens, 60) matrix, doubling the kernel's peak memory)
+        bits = ((flat[:, None] >> np.arange(60)) & 1) * 2 - 1
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         nz = lens > 0
@@ -583,8 +585,12 @@ def gopher_repetition(
     explosion, reduced to one row per document and equi-joined back on
     the id. Max/sum over exact integer counts, fractions rounded to 6 —
     order- and partition-independent, so the DuckDB twin hash-matches.
-    Documents with fewer than 2 tokens get 0.0 for both 2-gram metrics
-    (same branch in the oracle)."""
+    Documents with fewer than 2 tokens get 0 ppm for both 2-gram
+    metrics, and ZERO-token (empty/whitespace) documents still emit a
+    row (n_toks=0, all ppm 0, all flags pass) - rooting the final join
+    at the docs base rather than the token aggregate, so a filtering
+    pipeline's inner join can't silently wave empty docs past the gate
+    (same branches in the oracle)."""
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     )
@@ -598,21 +604,10 @@ def gopher_repetition(
             F.sum("c").cast("long").alias("n_toks"),
         )
     )
-    # guard: Spark's sequence(0, n) DESCENDS for n < 0, so a 1-token doc
-    # would otherwise fabricate grams — emit an empty index array instead
-    idx = F.when(
-        F.size("t") >= 2, F.sequence(F.lit(0), F.size("t") - 2)
-    ).otherwise(F.slice(F.array(F.lit(0)), 1, 0))
+    # 2-grams via the module's one ngram former (empty for < 2 tokens;
+    # it owns the sequence-descends-for-negative-n guard)
     grams = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
-                ),
-            )
-        ).alias("g"),
+        "id", F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("g")
     )
     gram_counts = (
         grams.groupBy("id", "g")
@@ -627,12 +622,17 @@ def gopher_repetition(
     # metrics in integer PARTS-PER-MILLION: (1e6 * count) DIV denominator
     # — exact integer math, no float round() tie-break to reconcile across
     # engines (the repo's decimal-exactness rule, integer flavor)
-    j = tok_counts.join(gram_counts, "id", "left").select(
+    j = (
+        base.select("id")
+        .join(tok_counts, "id", "left")
+        .join(gram_counts, "id", "left")
+    ).select(
         "id",
-        "n_toks",
-        (F.lit(1_000_000) * F.col("top_tok"))
-        .cast("long")
-        .alias("_tt"),
+        F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_toks"),
+        F.coalesce(
+            (F.lit(1_000_000) * F.col("top_tok")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("_tt"),
         F.coalesce(
             (F.lit(2_000_000) * F.col("top_2gram")).cast("long"),
             F.lit(0).cast("long"),
@@ -649,8 +649,8 @@ def gopher_repetition(
     out = j.select(
         F.col("id").alias("doc_id"),
         "n_toks",
-        F.expr("_tt DIV n_toks").alias("top_token_ppm"),
-        F.expr("_t2 DIV n_toks").alias("top_2gram_ppm"),
+        F.expr("_tt DIV greatest(n_toks, 1)").alias("top_token_ppm"),
+        F.expr("_t2 DIV greatest(n_toks, 1)").alias("top_2gram_ppm"),
         F.expr("_d2 DIV _n2").alias("dup_2gram_ppm"),
     )
     return out.select(

@@ -120,6 +120,12 @@ def decode(data: bytes) -> np.ndarray:
             raise PngError("truncated chunk")
         pos += 12 + length
         if tag == b"IHDR":
+            # a corrupt IHDR declaring length != 13 must be a PngError,
+            # not a raw struct.error escaping the callers' "total
+            # function" handlers (multimodal.image_metadata catches
+            # PngError only — an uncaught struct.error kills the job)
+            if length != 13:
+                raise PngError(f"bad IHDR length {length}")
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )

@@ -1390,3 +1390,46 @@ class TestKeepBestGuards:
 
         with _pytest.raises(ValueError, match="integer"):
             dedup_keep_best(pairs, docs, "score")
+
+
+class TestGopherEmptyDocs:
+    def test_zero_token_docs_emit_passing_rows(self, spark):
+        """Contract regression: empty/whitespace docs must emit a row
+        (n_toks=0, 0 ppm, all flags pass) — an inner join on the gate
+        output previously dropped them past the repetition filter."""
+        from ppocr_spark.functions.text import gopher_repetition
+
+        df = spark.createDataFrame(
+            [(0, "x y z x"), (1, "p q"), (2, "   "), (3, "")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        for empty_id in (2, 3):
+            r = got[empty_id]
+            assert r.n_toks == 0
+            assert (r.top_token_ppm, r.top_2gram_ppm, r.dup_2gram_ppm) \
+                == (0, 0, 0)
+            assert r.ok_top_token and r.ok_top_2gram and r.ok_dup_2gram
+        # 1-token doc: top token is 100% but no 2-grams
+        assert got[1].n_toks == 2 and got[1].top_2gram_ppm == 1_000_000
+
+
+class TestPngTotality:
+    def test_corrupt_ihdr_is_pngerror_not_struct_error(self):
+        import struct
+
+        from ppocr_spark.png import PngError, decode
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        bad = (
+            sig
+            + struct.pack(">I", 12)
+            + b"IHDR"
+            + b"\x00" * 12
+            + b"\x00" * 4
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(PngError):
+            decode(bad)
