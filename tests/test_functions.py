@@ -1433,3 +1433,24 @@ class TestPngTotality:
 
         with _pytest.raises(PngError):
             decode(bad)
+
+
+class TestPqStringIds:
+    def test_ivf_pq_accepts_string_ids(self, spark):
+        """The PQ mapInPandas schemas thread id_type like the rest of the
+        fine path — a string id column previously hit a hardcoded
+        `id long` schema and threw inside the Arrow conversion."""
+        from ppocr_spark.functions.similarity import ivf_pq_topk
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((24, 64)).astype(np.float32)
+        rows = [(f"doc:{i}", [float(x) for x in base[i]])
+                for i in range(24)]
+        emb = spark.createDataFrame(
+            rows, "vec_id string, embedding array<float>"
+        )
+        out = ivf_pq_topk(emb, emb.limit(3), k=2, n_cells=4,
+                          n_probe=2).collect()
+        assert len(out) == 6
+        assert all(r.query_id.startswith("doc:") for r in out)
+        assert all(r.query_id != r.neighbor_id for r in out)
