@@ -137,8 +137,20 @@ def template_stack(lang: str = "full") -> tuple[np.ndarray, str]:
     from ppocr_spark.resample import area_resize
 
     bank = glyph_bank()
-    allowed = set(charset_for(lang))
-    labels = "".join(ch for ch in bank.keys() if ch in allowed)
+    # labels in charset_for ORDER, not bank insertion order: forward_probs
+    # writes class i+1 for labels[i] and ctc_greedy_decode maps class c to
+    # char_dict(lang)[c] = charset_for(lang)[c-1] — the two dictionaries
+    # must be the same sequence BY CONSTRUCTION, not by the accident that
+    # the bank happens to iterate in charset order (a reordered CHARSET
+    # would silently transliterate every recognized character otherwise)
+    charset = charset_for(lang)
+    missing = [ch for ch in charset if ch not in bank]
+    if missing:
+        raise RuntimeError(
+            f"glyph bank is missing {len(missing)} charset glyphs "
+            f"(first: {missing[0]!r}) — rec class indices would shift"
+        )
+    labels = charset
     mats = []
     for c in labels:
         g = bank[c]

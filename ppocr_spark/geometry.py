@@ -276,17 +276,17 @@ def expand_rect(corners: np.ndarray, dist: float) -> np.ndarray:
     own axes — the minAreaRect of the Clipper round-join offset of a convex
     quad (see module docstring)."""
     c = np.asarray(corners, dtype=np.float64)
-    center = c.mean(axis=0)
     out = np.empty_like(c)
     u = c[1] - c[0]
     v = c[3] - c[0]
     nu = u / max(np.linalg.norm(u), 1e-12)
     nv = v / max(np.linalg.norm(v), 1e-12)
+    # PRECONDITION: c is order_points_clockwise output — the fixed sign
+    # table pushes each corner outward only for clockwise winding (a CCW
+    # quad would be shrunk inward); the sole caller guarantees it
     signs = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
     for i, (su, sv) in enumerate(signs):
         out[i] = c[i] + su * dist * nu + sv * dist * nv
-    # keep orientation stable regardless of input winding
-    _ = center
     return out
 
 
@@ -320,14 +320,19 @@ def perspective_crop(img: np.ndarray, quad) -> np.ndarray:
     crop_h = int(max(np.linalg.norm(q[0] - q[3]), np.linalg.norm(q[1] - q[2])))
     crop_w = max(crop_w, 1)
     crop_h = max(crop_h, 1)
-    # axis-aligned fast path: the identity homography samples exactly the
-    # integer-aligned sub-rectangle, so a direct slice is bit-identical to
-    # the warp (and most detected boxes are unrotated)
+    # axis-aligned INTEGER fast path: the identity homography samples
+    # exactly the integer-aligned sub-rectangle, so a direct slice is
+    # bit-identical to the warp (and most detected boxes are unrotated).
+    # Fractional axis-aligned corners must NOT take it — int() would
+    # truncate the half-pixel offset and skip the bilinear blend the
+    # warp semantics promise — so integrality is part of the condition.
     if (
         q[0][1] == q[1][1]
         and q[2][1] == q[3][1]
         and q[0][0] == q[3][0]
         and q[1][0] == q[2][0]
+        and float(q[0][0]).is_integer()
+        and float(q[0][1]).is_integer()
     ):
         x0, y0 = int(q[0][0]), int(q[0][1])
         out = img[y0 : y0 + crop_h, x0 : x0 + crop_w]

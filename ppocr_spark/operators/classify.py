@@ -8,9 +8,13 @@ This engine's from-scratch classifier is a real discriminative forward
 pass: it evaluates the recognition template correlation of the crop in both
 orientations and softmaxes the two evidence scores — upside-down text
 correlates poorly against the (orientation-asymmetric, enforced at font
-generation) glyph bank. C1's resize+pad to the fixed cls shape
+generation) glyph bank. C1's fixed-shape resize+pad
 (3x48x192 → here 48x192 grayscale, cpp/src/preprocess_op.cpp:118-135)
-is applied first, as in the reference.
+is provided as the standalone ``cls_resize`` (golden-pinned); the
+``classify()`` forward itself resizes proportionally per segment batch
+(documented at its call site) — evaluating correlation on the fixed
+192-wide pad would waste the width budget on short crops without
+changing the argmax.
 """
 
 from __future__ import annotations

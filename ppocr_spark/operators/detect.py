@@ -245,7 +245,14 @@ def probability_map(gray: np.ndarray) -> np.ndarray:
     stay apart). Output in [0,1] at half resolution — high inside text
     lines, decaying across gaps: the shrunk-region semantics a DB model is
     trained to produce (cpp/src/ocr_det.cpp:103-121)."""
-    ink = _pool2(gray)
+    return _det_head(_pool2(gray))
+
+
+def _det_head(ink: np.ndarray) -> np.ndarray:
+    """The shared 'DB network' head (horizontal max-dilate + box filter)
+    consumed by BOTH probability_map (the legacy/test composition) and
+    the fused detect() path — one definition so the two cannot
+    desynchronize (TestFusedDetFrontEnd compares them)."""
     ink = _hmax_filter(ink, DILATE_W)
     return _box_filter(ink, WIN_H, WIN_W).astype(np.float32, copy=False)
 
@@ -355,9 +362,7 @@ def detect(gray: np.ndarray, cfg: PPOCRConfig) -> list[np.ndarray]:
     )
     ratio_h = resize_h / float(src_h)
     ratio_w = resize_w / float(src_w)
-    ink = pooled_ink(gray, resize_h, resize_w)
-    ink = _hmax_filter(ink, DILATE_W)
-    prob = _box_filter(ink, WIN_H, WIN_W).astype(np.float32, copy=False)
+    prob = _det_head(pooled_ink(gray, resize_h, resize_w))
     bitmap = prob > cfg.det_db_thresh
     if cfg.use_dilation:
         bitmap = _dilate2x2(bitmap)

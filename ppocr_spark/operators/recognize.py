@@ -114,13 +114,20 @@ def forward_probs(crop: np.ndarray, lang: str = "full") -> np.ndarray:
         ex = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs_all = (ex / ex.sum(axis=1, keepdims=True)).astype(np.float32)
     vi = 0
+    # a dead segment (zero-norm tile — e.g. a solid bar) must not
+    # swallow a pending inter-word space: carry it to the next live
+    # segment (no-op on crops without dead segments, which is every
+    # golden/corpus input)
+    pending_space = False
     for f, sp_before in zip(feats, space_before):
         if f is None:
+            pending_space = pending_space or sp_before
             continue
-        if sp_before:
+        if sp_before or pending_space:
             sp = np.zeros(dict_size, dtype=np.float32)
             sp[space_cls] = 1.0
             rows.extend([blank, sp])
+        pending_space = False
         prob = probs_all[vi]
         vi += 1
         # two identical timesteps per segment + a blank separator: real CTC
@@ -187,7 +194,9 @@ def recognize_batch(
     results: list[tuple[str, float]] = [("", -1.0)] * n
     for b0 in range(0, n, batch_num):
         idxs = order[b0 : b0 + batch_num]
-        max_ratio = max(img_h / float(img_h), *(ratios[i] for i in idxs))
+        # floor of 1.0 (each crop's own ratio is in the max; the floor
+        # only pads, and _segments ignores white padding)
+        max_ratio = max(1.0, *(ratios[i] for i in idxs))
         for i in idxs:
             norm = resize_norm(crops[i], img_h, max_ratio)
             probs = forward_probs(norm, lang)

@@ -611,3 +611,35 @@ class TestLanguageDicts:
             assert False
         except ValueError:
             pass
+
+
+class TestRecDictAlignment:
+    def test_template_labels_equal_charset_order(self):
+        """forward_probs class i+1 ↔ ctc_greedy_decode char_dict[i+1]:
+        both must be charset_for order BY CONSTRUCTION (a bank-order
+        labels string silently transliterates every char if CHARSET is
+        ever reordered)."""
+        from ppocr_spark.font import char_dict, charset_for, template_stack
+
+        for lang in ("en", "full"):
+            _, labels = template_stack(lang)
+            assert labels == charset_for(lang)
+            assert char_dict(lang) == ["#"] + list(labels) + [" "]
+
+
+class TestClsResizeGolden:
+    def test_c1_fixed_shape_resize_pad(self):
+        """C1 parity primitive: ratio-keeping resize to h=48, white
+        right-pad to w=192; wide crops clamp to the full width."""
+        import numpy as np
+
+        from ppocr_spark.operators.classify import CLS_H, CLS_W, cls_resize
+
+        narrow = np.zeros((24, 48), dtype=np.uint8)  # ratio 2 → rw 96
+        out = cls_resize(narrow)
+        assert out.shape == (CLS_H, CLS_W)
+        assert (out[:, 96:] == 255).all()  # white pad
+        assert (out[:, :96] == 0).all()    # resized content
+
+        wide = np.zeros((10, 2000), dtype=np.uint8)  # ratio 200 → clamp
+        assert cls_resize(wide).shape == (CLS_H, CLS_W)
