@@ -362,6 +362,247 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_SESSION_GAP_US = 7_200_000_000  # 2 h inactivity closes a session
+
+
+def _ntz_us(col: str):
+    """Integer microseconds since epoch for a TIMESTAMP_NTZ column —
+    timestampdiff is timezone-independent (unix_micros demands LTZ and
+    would shift with the session zone), and it equals DuckDB's
+    epoch_us() on naive timestamps exactly."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch twin of a session-window
+    stream): a new session starts when a user's inter-event gap exceeds
+    2 h. One shuffle on user_id; the lag/cumulative-sum window and the
+    per-session aggregate both run inside that partitioning (the groupBy
+    keys start with user_id, so its partials are map-side combined and
+    the second exchange carries one slim row per session, not per
+    event). Timestamps are compared in integer microseconds — exact and
+    engine-identical. Deterministic: event timestamps are unique per
+    user at every SF (verified), so the window order is total."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = _ntz_us("ts")
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.lit(_SESSION_GAP_US)), 1
+    ).otherwise(0)
+    return (
+        e.withColumn(
+            "session_idx",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            (F.max(_ntz_us("ts")) - F.min(_ntz_us("ts"))).alias(
+                "duration_us"
+            ),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                   <= 7200000000
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS total_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def _events_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last-touch attribution): each purchase matched to the
+    most recent view/click by the same user at-or-before its timestamp.
+
+    Spark has no ASOF JOIN, and the naive range join is a per-key
+    quadratic BNLJ — so this uses the scale-correct union form: tag both
+    sides, union, and carry the touch columns forward with
+    last(..., ignorenulls=True) over (user_id ORDER BY ts, tag). One
+    shuffle on user_id, linear in rows, no candidate explosion; at equal
+    timestamps the touch sorts first (tag 0 < 1), matching the oracle's
+    inclusive `>=`. For mega-keys this composes with time-bucketed
+    sub-keys carrying one boundary row per bucket. Oracle: DuckDB native
+    ASOF LEFT JOIN. Unmatched purchases keep NULL touch columns in both
+    engines."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        touches.unionByName(purchases)
+        .withColumn(
+            "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_us",
+            F.last(
+                F.when(F.col("click_id").isNotNull(), _ntz_us("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+    )
+    return (
+        carried.filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts"
+            ),
+            F.col("last_click_id").alias("click_id"),
+            (_ntz_us("ts") - F.col("last_click_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_EVENTS_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       c.click_id,
+       epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.cts
+ORDER BY event_id
+"""
+
+
+_INTERVAL_US = 3_600_000_000  # 1 h attribution window
+
+
+def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: per purchase, the count and value sum of
+    view/click touches in the preceding hour. A raw time-range join is a
+    per-key BNLJ, so the scale form buckets time by the interval width:
+    each touch is exploded into its own bucket and the next (2× one slim
+    side), the join is a plain equi-join on (user_id, bucket), and the
+    exact range predicate filters after. Every in-range pair lands in
+    exactly one bucket pairing, so no dedup is needed. Bucket ids use
+    integer DIV — floor-exact, no double rounding at boundaries."""
+    e = _load(spark, sf_dir, "events")
+    us = _ntz_us("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", us.alias("p_us")
+    ).withColumn("bk", F.expr(f"p_us DIV {_INTERVAL_US}"))
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", us.alias("t_us"), "value"
+    ).withColumn("tbk", F.expr(f"t_us DIV {_INTERVAL_US}"))
+    t2 = t.withColumn(
+        "bk", F.explode(F.array(F.col("tbk"), F.col("tbk") + 1))
+    ).drop("tbk")
+    in_range = (F.col("p_us") - F.col("t_us") >= 0) & (
+        F.col("p_us") - F.col("t_us") < F.lit(_INTERVAL_US)
+    )
+    return (
+        p.join(t2, ["user_id", "bk"], "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.sum(F.when(in_range, 1).otherwise(0)).alias("n_touches"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            in_range,
+                            F.col("value").cast("decimal(18,6)"),
+                        )
+                    ).cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("touched_value"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts"
+            ),
+            "n_touches",
+            "touched_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+_EVENTS_INTERVAL_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, value
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       count(t.t_us) AS n_touches,
+       round(COALESCE(sum(CAST(t.value AS DECIMAL(18,6))), 0)::DOUBLE, 4)
+           AS touched_value
+FROM p LEFT JOIN t
+  ON p.user_id = t.user_id
+ AND epoch_us(p.ts) - t.t_us >= 0
+ AND epoch_us(p.ts) - t.t_us < 3600000000
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY event_id
+"""
+
+
 def _distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _load(spark, sf_dir, "events")
@@ -3435,6 +3676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _semi_anti_join,
         "set_ops_nations": _set_ops,
         "rollup_revenue": _rollup_revenue,
+        "events_sessionize": _events_sessionize,
+        "events_attribution_asof": _events_attribution_asof,
+        "events_interval_join": _events_interval_join,
         # --- new in round 5 (never driver-checked) ---
         "sample_mix_sources": _sample_mix_sources,
         "text_dsir_weights": _text_dsir,
@@ -3520,6 +3764,9 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_join": _SEMI_ANTI_SQL,
         "set_ops_nations": _SET_OPS_SQL,
         "rollup_revenue": _ROLLUP_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "events_attribution_asof": _EVENTS_ATTRIBUTION_SQL,
+        "events_interval_join": _EVENTS_INTERVAL_SQL,
         "span_explode_reassemble": _SPAN_EXPLODE_SQL,
         "status_code_taxonomy": _STATUS_TAXONOMY_SQL,
         "base64_status_taxonomy": _base64_taxonomy_sql(sf_dir),
