@@ -3294,6 +3294,48 @@ FROM base WHERE len(grams) > 0 ORDER BY sig_key
 """
 
 
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third VALUE-checked streaming row (library
+    streaming.stream_sessionize): native ``F.session_window``
+    aggregation — a genuinely different stateful operator from the two
+    dropDuplicates rows. Session membership is a function of event time
+    only (Spark merges overlapping windows whatever the arrival order),
+    and the complete-mode availableNow drain emits the aggregation over
+    the whole fixture, so a window-function oracle hash-matches it.
+    Boundary rule pinned here: an exact 2 h difference starts a NEW
+    session (Spark merges only strictly-overlapping windows), hence the
+    oracle's ``< 7200000000`` merge condition — the complement of the
+    batch ``events_sessionize``'s ``>`` rule."""
+    from ppocr_spark.streaming.stream import stream_sessionize
+
+    return stream_sessionize(
+        spark, f"{sf_dir}/events.parquet", gap="2 hours"
+    ).orderBy("user_id", "session_start")
+
+
+_STREAM_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                   < 7200000000
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS total_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start
+"""
+
+
 def _quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality tiers (library text.quality_tiers): corpus
     split into equal-mass tiers by unigram-LM logprob — tier 0 is the
@@ -3679,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "events_attribution_asof": _events_attribution_asof,
         "events_interval_join": _events_interval_join,
+        "stream_sessionize": _stream_sessionize,
         # --- new in round 5 (never driver-checked) ---
         "sample_mix_sources": _sample_mix_sources,
         "text_dsir_weights": _text_dsir,
@@ -3767,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_attribution_asof": _EVENTS_ATTRIBUTION_SQL,
         "events_interval_join": _EVENTS_INTERVAL_SQL,
+        "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "span_explode_reassemble": _SPAN_EXPLODE_SQL,
         "status_code_taxonomy": _STATUS_TAXONOMY_SQL,
         "base64_status_taxonomy": _base64_taxonomy_sql(sf_dir),

@@ -562,6 +562,74 @@ def _gate_event_time():
     return F.timestamp_seconds(F.col("doc_id") % 86400 + 1_600_000_000)
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "2 hours",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Third VALUE-checked streaming gate row — native session-window
+    aggregation (``F.session_window``), i.e. a genuinely different
+    stateful operator from the two dropDuplicates rows: per-user
+    sessions close after ``gap`` of inactivity, emitting event count and
+    the decimal-exact value sum per session.
+
+    Value-checkable because session membership is a function of EVENT
+    TIME only: Spark merges session windows whenever they overlap, so
+    whatever order rows arrive in (file splits, batch boundaries), the
+    final merged session set over the same events is identical. The
+    drain runs in ``complete`` output mode — with availableNow the final
+    memory-sink table is the aggregation over the entire fixture, with
+    no watermark-finalization timing in the result (append mode would
+    make emission depend on how the watermark advanced across batches).
+
+    Boundary semantics (pinned by the oracle): Spark merges two events
+    iff the younger starts strictly before older_ts + gap — an exact
+    ``gap`` difference starts a NEW session. The batch twin
+    (``events_sessionize``) keeps an exact-threshold difference in the
+    SAME session (``>`` vs ``>=``); with microsecond timestamps the two
+    agree on real data, and each query's oracle pins its own rule."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(
+                "user_id", F.session_window("ts", gap).alias("w")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _drain_stream(
+        spark, events_path, schema, build, query_name,
+        prefix="ssw", output_mode="complete",
+    )
+
+
 def _drain_distinct_stream(
     spark: SparkSession,
     documents_path: str,
@@ -571,19 +639,52 @@ def _drain_distinct_stream(
     watermark: str,
     prefix: str,
 ) -> DataFrame:
-    """Shared gate harness: file-source readStream over the documents
-    fixture → ``project`` (must emit content-determined columns plus
-    ``ts``) → watermarked dropDuplicates on ``dedup_cols`` →
-    availableNow drain into a memory sink → materialized batch result.
-    Every staged resource (symlink dir, checkpoint dir, memory-sink
-    table) is torn down before returning — repeated gate/bench runs
-    must not accumulate state."""
+    """Gate harness for the dedup rows: ``project`` (must emit
+    content-determined columns plus ``ts``) → watermarked
+    dropDuplicates on ``dedup_cols`` → availableNow drain."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            project(stream)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(dedup_cols)
+            .drop("ts")
+        )
+
+    return _drain_stream(
+        spark, documents_path, schema, build, query_name,
+        prefix=prefix, output_mode="append",
+    )
+
+
+def _drain_stream(
+    spark: SparkSession,
+    src_path: str,
+    schema,
+    build,
+    query_name: str | None,
+    prefix: str,
+    output_mode: str,
+) -> DataFrame:
+    """Shared gate harness: file-source readStream over a static parquet
+    fixture → ``build(stream)`` (any value-deterministic streaming
+    transformation) → availableNow drain into a memory sink →
+    materialized batch result. Every staged resource (symlink dir,
+    checkpoint dir, memory-sink table) is torn down before returning —
+    repeated gate/bench runs must not accumulate state."""
     import os
     import shutil
     import tempfile
     import uuid
-
-    from pyspark.sql import types as T
 
     if query_name is None:
         # memory-sink names must be unique per active session; the name
@@ -595,45 +696,33 @@ def _drain_distinct_stream(
 
     # the file source lists a DIRECTORY; when handed a bare parquet file
     # (the fixture layout), stage a symlink dir in front of it
-    if os.path.isfile(documents_path):
+    if os.path.isfile(src_path):
         staged_src = tempfile.mkdtemp(prefix="stream_gate_src_")
         os.symlink(
-            os.path.abspath(documents_path),
-            os.path.join(staged_src, os.path.basename(documents_path)),
+            os.path.abspath(src_path),
+            os.path.join(staged_src, os.path.basename(src_path)),
         )
-        documents_path = staged_src
+        src_path = staged_src
 
-    schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ])
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(documents_path)
+        .parquet(src_path)
     )
-    deduped = (
-        project(stream)
-        .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(dedup_cols)
-        .drop("ts")
-    )
+    out = build(stream)
     try:
         ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
         q = (
-            deduped.writeStream.format("memory")
+            out.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         # materialize off the memory sink (tiny: one row per distinct
-        # dedup key) so the sink table can be dropped before returning
+        # key / session) so the sink table can be dropped before returning
         result = spark.table(query_name)
         rows = result.collect()
         return spark.createDataFrame(rows, schema=result.schema)
