@@ -603,6 +603,176 @@ ORDER BY event_id
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per user,
+    the greedy earliest chain — first view, earliest click STRICTLY
+    after it, earliest purchase strictly after that. Greedy-earliest is
+    optimal (an earlier view only widens the feasible clicks), so it
+    matches the oracle's min()-chain exactly.
+
+    Scale shape: the SQL min-chain needs three sequential aggregations
+    (each step's threshold feeds the next), i.e. three shuffles on
+    user_id. Instead this folds each user's funnel-relevant events in
+    ONE shuffle: filter to the three step types first (bounds the
+    per-user array to funnel events only), collect_list(struct(us,tp)),
+    array_sort, then a JVM-side F.aggregate whose accumulator holds the
+    three step timestamps. All comparisons are strict integer
+    microseconds — engine-identical. Hot-user caveat: a user whose
+    funnel-event count alone overflows one task needs time-segmented
+    pre-folding (carry the open accumulator per segment); at that point
+    the three-shuffle min-chain form is the fallback."""
+    e = _load(spark, sf_dir, "events")
+    f = e.filter(F.col("event_type").isin(*_FUNNEL_STEPS)).select(
+        "user_id",
+        _ntz_us("ts").alias("us"),
+        F.col("event_type").alias("tp"),
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("p"),
+    )
+
+    def _step(acc, x):
+        return F.struct(
+            F.when(
+                acc["v"].isNull() & (x["tp"] == "view"), x["us"]
+            ).otherwise(acc["v"]).alias("v"),
+            F.when(
+                acc["c"].isNull()
+                & acc["v"].isNotNull()
+                & (x["tp"] == "click")
+                & (x["us"] > acc["v"]),
+                x["us"],
+            ).otherwise(acc["c"]).alias("c"),
+            F.when(
+                acc["p"].isNull()
+                & acc["c"].isNotNull()
+                & (x["tp"] == "purchase")
+                & (x["us"] > acc["c"]),
+                x["us"],
+            ).otherwise(acc["p"]).alias("p"),
+        )
+
+    folded = (
+        f.groupBy("user_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("us"), F.col("tp")))
+                ),
+                init,
+                _step,
+            ).alias("acc")
+        )
+        .select("user_id", "acc.v", "acc.c", "acc.p")
+    )
+    stage = (
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return folded.select(
+        "user_id",
+        stage.alias("stage"),
+        (F.col("c") - F.col("v")).alias("view_to_click_us"),
+        (F.col("p") - F.col("c")).alias("click_to_purchase_us"),
+        (F.col("p") - F.col("v")).alias("funnel_us"),
+    ).orderBy("user_id")
+
+
+_DAY_US = 86_400_000_000
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, one
+    row per (cohort_day, offset_days) with the distinct-user count.
+
+    Scale shape: ONE shuffle on user_id — per user, min(day) and
+    collect_set(day) in a single aggregate (the set is bounded by the
+    calendar, not the event count, and its partials combine map-side),
+    then explode the day set and count plain rows per (cohort, offset):
+    each user contributes at most one row per cell by construction, so
+    count(*) IS the distinct-user count and no countDistinct expand is
+    needed. Day ids are integer-µs DIV — floor-exact, engine-identical."""
+    e = _load(spark, sf_dir, "events")
+    # integer day id (floor division in the JVM, no doubles)
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" ts) DIV {_DAY_US}"
+    )
+    per_user = (
+        e.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("cohort_day"),
+            F.collect_set("day").alias("days"),
+        )
+    )
+    return (
+        per_user.select(
+            "cohort_day", F.explode("days").alias("day")
+        )
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("offset_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+_EVENTS_RETENTION_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), c AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1
+)
+SELECT c.cohort_day, d.day - c.cohort_day AS offset_days,
+       count(*) AS n_users
+FROM d JOIN c ON d.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH f AS (
+  SELECT user_id, event_type AS tp, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), v AS (
+  SELECT user_id, min(us) AS v_us FROM f WHERE tp = 'view' GROUP BY 1
+), c AS (
+  SELECT f.user_id, min(f.us) AS c_us
+  FROM f JOIN v ON f.user_id = v.user_id
+  WHERE f.tp = 'click' AND f.us > v.v_us GROUP BY 1
+), p AS (
+  SELECT f.user_id, min(f.us) AS p_us
+  FROM f JOIN c ON f.user_id = c.user_id
+  WHERE f.tp = 'purchase' AND f.us > c.c_us GROUP BY 1
+), base AS (
+  SELECT DISTINCT user_id FROM f
+)
+SELECT base.user_id,
+       (CASE WHEN p.p_us IS NOT NULL THEN 3
+             WHEN c.c_us IS NOT NULL THEN 2
+             WHEN v.v_us IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS stage,
+       c.c_us - v.v_us AS view_to_click_us,
+       p.p_us - c.c_us AS click_to_purchase_us,
+       p.p_us - v.v_us AS funnel_us
+FROM base
+LEFT JOIN v ON base.user_id = v.user_id
+LEFT JOIN c ON base.user_id = c.user_id
+LEFT JOIN p ON base.user_id = p.user_id
+ORDER BY base.user_id
+"""
+
+
 def _distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _load(spark, sf_dir, "events")
@@ -910,6 +1080,42 @@ SELECT doc_id, len({_DUCK_TOKS}) AS n_ws_tokens,
                               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]'))
            AS n_bpe_ish
 FROM documents ORDER BY doc_id
+"""
+
+
+_VOCAB_TOPK = 200
+
+
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by total occurrence count
+    (tokenizer/vocab-building precursor — the frequency table BPE and
+    unigram-LM trainers start from). Explode → groupBy(token) with
+    map-side partial counts; n_docs comes from a per-(token,doc) distinct
+    pass whose partials also combine map-side. The (count DESC, token
+    ASC) sort is a total order, so the top-k SET is deterministic at the
+    boundary; limit-k compiles to TakeOrderedAndProject — no global
+    sort materializes."""
+    from ppocr_spark.functions.text import tokens
+
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_tok").desc(), "token")
+        .limit(_VOCAB_TOPK)
+    )
+
+
+_VOCAB_TOPK_SQL = f"""
+SELECT tok AS token, count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+GROUP BY tok ORDER BY n_tok DESC, tok LIMIT {_VOCAB_TOPK}
 """
 
 
@@ -3721,6 +3927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "events_attribution_asof": _events_attribution_asof,
         "events_interval_join": _events_interval_join,
+        "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
+        "vocab_topk": _vocab_topk,
         "stream_sessionize": _stream_sessionize,
         # --- new in round 5 (never driver-checked) ---
         "sample_mix_sources": _sample_mix_sources,
@@ -3810,6 +4019,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "events_attribution_asof": _EVENTS_ATTRIBUTION_SQL,
         "events_interval_join": _EVENTS_INTERVAL_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_retention": _EVENTS_RETENTION_SQL,
+        "vocab_topk": _VOCAB_TOPK_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "span_explode_reassemble": _SPAN_EXPLODE_SQL,
         "status_code_taxonomy": _STATUS_TAXONOMY_SQL,

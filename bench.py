@@ -109,6 +109,10 @@ def main():
         "sample_exact_k",
         "knn_join_fine",
         "text_token_entropy",
+        "events_sessionize",
+        "events_attribution_asof",
+        "events_interval_join",
+        "events_funnel",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
