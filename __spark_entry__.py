@@ -686,6 +686,51 @@ def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_PATHS_TOPK = 20
+
+
+def _events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-event paths (behavioral sequence mining): per user,
+    consecutive event-type trigrams via two lead() windows, counted
+    corpus-wide, top-k under the total order (count DESC, path ASC).
+    One shuffle on user_id for the window (event timestamps are unique
+    per user — verified for the sessionize family), map-side-combined
+    counts, TakeOrderedAndProject for the head."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    t2 = F.lead("event_type", 1).over(w)
+    t3 = F.lead("event_type", 2).over(w)
+    return (
+        e.select(
+            F.concat_ws(
+                ">", F.col("event_type"), t2, t3
+            ).alias("path"),
+            t3.alias("_t3"),
+        )
+        .filter(F.col("_t3").isNotNull())  # complete trigrams only
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATHS_TOPK)
+    )
+
+
+_EVENTS_PATHS_SQL = f"""
+WITH t AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+FROM t WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT {_PATHS_TOPK}
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -1080,6 +1125,47 @@ SELECT doc_id, len({_DUCK_TOKS}) AS n_ws_tokens,
                               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]'))
            AS n_bpe_ish
 FROM documents ORDER BY doc_id
+"""
+
+
+def _text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity — the 'fraction of unique
+    words' quality signal, Gopher-family): distinct tokens per million
+    tokens as an exact integer (1e6*distinct) DIV total — float round()
+    ties are a cross-engine hazard (CLAUDE.md), integer ppm is not.
+    Pure per-row JVM expressions, zero shuffle; token-less docs emit
+    NULL in both engines."""
+    from ppocr_spark.functions.text import tokens
+
+    d = _load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.when(
+            n > 0,
+            F.expr("1000000L") * uniq.cast("long"),
+        ).cast("long").alias("_num"),
+        n.cast("long").alias("n_tokens"),
+        uniq.cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.expr("_num DIV n_tokens").alias("ttr_ppm"),
+    ).orderBy("doc_id")
+
+
+_TEXT_TTR_SQL = f"""
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       CASE WHEN len(toks) > 0
+            THEN (1000000 * len(list_distinct(toks))::BIGINT)
+                 // len(toks)::BIGINT
+            ELSE NULL END AS ttr_ppm
+FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+ORDER BY doc_id
 """
 
 
@@ -3519,6 +3605,32 @@ def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth VALUE-checked streaming row (library
+    streaming.stream_windowed_counts): tumbling event-time window
+    aggregation — window membership is event-time-only with no merging,
+    so the complete-mode drain equals the batch aggregation exactly.
+    Spark's tumbling windows are epoch-aligned; the oracle buckets by
+    epoch_us DIV 3600000000 and rebuilds the window start with
+    make_timestamp(bucket*width)."""
+    from ppocr_spark.streaming.stream import stream_windowed_counts
+
+    return stream_windowed_counts(
+        spark, f"{sf_dir}/events.parquet", width="1 hour"
+    ).orderBy("event_type", "window_start")
+
+
+_STREAM_WINDOWED_SQL = """
+SELECT event_type,
+       strftime(make_timestamp((epoch_us(ts) // 3600000000)
+                               * 3600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
+"""
+
+
 _STREAM_SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, ts, value,
@@ -3929,8 +4041,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _events_interval_join,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
+        "events_topk_paths": _events_topk_paths,
         "vocab_topk": _vocab_topk,
+        "text_ttr": _text_ttr,
         "stream_sessionize": _stream_sessionize,
+        "stream_windowed_counts": _stream_windowed,
         # --- new in round 5 (never driver-checked) ---
         "sample_mix_sources": _sample_mix_sources,
         "text_dsir_weights": _text_dsir,
@@ -4021,8 +4136,11 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": _EVENTS_INTERVAL_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
+        "events_topk_paths": _EVENTS_PATHS_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
+        "text_ttr": _TEXT_TTR_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
+        "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "span_explode_reassemble": _SPAN_EXPLODE_SQL,
         "status_code_taxonomy": _STATUS_TAXONOMY_SQL,
         "base64_status_taxonomy": _base64_taxonomy_sql(sf_dir),

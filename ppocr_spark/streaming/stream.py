@@ -630,6 +630,65 @@ def stream_sessionize(
     )
 
 
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    width: str = "1 hour",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Fourth VALUE-checked streaming gate row — tumbling event-time
+    window aggregation (``F.window``), the third distinct stateful
+    operator behind the gate (after dropDuplicates and session_window):
+    per (event_type, hour) event counts and decimal-exact value sums.
+
+    Value-checkable with an even simpler argument than sessions: a
+    tumbling window assigns each row by event time alone (no merging at
+    all), so the complete-mode availableNow drain is the aggregation
+    over the whole fixture regardless of file-split arrival order.
+    Window starts are epoch-aligned (integer floor of epoch-µs by the
+    width), which is exactly the oracle's ``epoch_us DIV width_us``
+    bucketing — no timezone in NTZ arithmetic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(
+                "event_type", F.window("ts", width).alias("w")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("total_value"),
+            )
+            .select(
+                "event_type",
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _drain_stream(
+        spark, events_path, schema, build, query_name,
+        prefix="swc", output_mode="complete",
+    )
+
+
 def _drain_distinct_stream(
     spark: SparkSession,
     documents_path: str,
