@@ -1454,3 +1454,112 @@ class TestPqStringIds:
         assert len(out) == 6
         assert all(r.query_id.startswith("doc:") for r in out)
         assert all(r.query_id != r.neighbor_id for r in out)
+
+
+class TestEventsFunnelFold:
+    """The one-shuffle funnel fold must equal the three-step min-chain on
+    adversarial streams the fixture tables cannot produce: same-timestamp
+    ties (view/click/purchase in one microsecond), missing steps, steps
+    out of order, and users with only noise events filtered upstream."""
+
+    def _reference(self, events):
+        # events: list of (user, us, tp) — the oracle's greedy min-chain
+        out = {}
+        users = {u for u, _, tp in events
+                 if tp in ("view", "click", "purchase")}
+        for u in users:
+            ev = [(us, tp) for uu, us, tp in events if uu == u]
+            v = min((us for us, tp in ev if tp == "view"), default=None)
+            c = (min((us for us, tp in ev
+                      if tp == "click" and v is not None and us > v),
+                     default=None) if v is not None else None)
+            p = (min((us for us, tp in ev
+                      if tp == "purchase" and c is not None and us > c),
+                     default=None) if c is not None else None)
+            stage = 3 if p is not None else (
+                2 if c is not None else (1 if v is not None else 0))
+            out[u] = (
+                stage,
+                c - v if c is not None else None,
+                p - c if p is not None else None,
+                p - v if p is not None else None,
+            )
+        return out
+
+    def test_fold_equals_min_chain_with_ties(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as entry
+
+        rng = np.random.default_rng(17)
+        types = ["view", "click", "purchase", "error", "signup"]
+        events = []
+        eid = 0
+        for u in range(30):
+            for _ in range(int(rng.integers(0, 12))):
+                # second-granularity in a 20 s range -> dense ties,
+                # including same-instant view/click/purchase
+                us = int(rng.integers(0, 20)) * 1_000_000
+                tp = types[int(rng.integers(0, len(types)))]
+                events.append((u, us, tp))
+                eid += 1
+        # pinned adversarial users:
+        events += [
+            (100, 5_000_000, "view"), (100, 5_000_000, "click"),
+            (100, 5_000_000, "purchase"),     # all tied -> stage 1
+            (101, 3_000_000, "click"), (101, 4_000_000, "purchase"),
+            (101, 5_000_000, "view"),         # steps before view -> 1
+            (102, 1_000_000, "view"), (102, 2_000_000, "click"),
+            (102, 2_000_000, "purchase"),     # purchase ties click -> 2
+            (103, 1_000_000, "purchase"), (103, 2_000_000, "view"),
+            (103, 3_000_000, "click"), (103, 4_000_000, "purchase"),
+            (104, 1_000_000, "error"),        # filtered entirely
+        ]
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us),
+             u, tp, 1.0, "{}")
+            for i, (u, us, tp) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            r["user_id"]: (r["stage"], r["view_to_click_us"],
+                           r["click_to_purchase_us"], r["funnel_us"])
+            for r in entry._events_funnel(spark, str(tmp_path)).collect()
+        }
+        want = self._reference(events)
+        assert got == want
+        assert want[100][0] == 1 and want[101][0] == 1
+        assert want[102][0] == 2 and want[103][0] == 3
+        assert 104 not in want
+
+    def test_retention_counts_users_once_per_cell(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as entry
+
+        day = 86_400_000_000
+        # user 0: days 0,0,2 (dup events one day); user 1: days 1,3
+        raw = [(0, 0), (0, 0), (0, 2 * day), (1, day), (1, 3 * day)]
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us),
+             u, "view", 1.0, "{}")
+            for i, (u, us) in enumerate(raw)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            (r["cohort_day"] - 19723, r["offset_days"]): r["n_users"]
+            for r in entry._events_retention(
+                spark, str(tmp_path)).collect()
+        }
+        # 2024-01-01 is day 19723 since epoch
+        assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
