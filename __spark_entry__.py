@@ -301,6 +301,52 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
 
 
+def _events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count anomaly flags per event type: a day is a spike when
+    its count exceeds 2x the type's daily mean, evaluated in exact
+    integer arithmetic (n * n_days > 2 * total — engine-identical; a
+    float mean + comparison can flip on representation ties). Shape:
+    one groupBy(day, type), then the slim per-type totals broadcast
+    back. A count-over-window on event_type would make each type one
+    unsplittable window key (the documented skew trap) — groupBy +
+    broadcast join back is the scale-safe form."""
+    e = _load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_days")
+    )
+    return (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "n_days",
+            "total",
+            (F.col("n") * F.col("n_days") > F.lit(2) * F.col("total"))
+            .alias("spike"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(n)::BIGINT AS total, count(*)::BIGINT AS n_days
+  FROM daily GROUP BY event_type
+)
+SELECT day, d.event_type, n, n_days, total,
+       n * n_days > 2 * total AS spike
+FROM daily d JOIN tot t ON d.event_type = t.event_type
+ORDER BY day, d.event_type
+"""
+
+
 def _events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour event-time windows (F.window — the batch twin of
     the Structured-Streaming windowed aggregation)."""
@@ -1546,6 +1592,35 @@ SELECT doc_id, cluster_id, rn = 1 AS keep FROM ranked ORDER BY doc_id
 """
 
 
+def _dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the MinHash-LSH near-dup clusters
+    (library dedup.cluster_size_histogram): how much corpus mass sits in
+    multi-document clusters — the diagnostic that decides a dedup
+    policy's bite. Same pair generation + connected components as
+    ``dedup_clusters``, then two slim int64-only groupBys (cluster →
+    size, size → n_clusters); document payloads never shuffle."""
+    from ppocr_spark.functions.dedup import (cluster_size_histogram,
+                                             dedup_representatives,
+                                             minhash_dedup_pairs)
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    labels = dedup_representatives(pairs, d)
+    return cluster_size_histogram(labels)
+
+
+_DEDUP_CLUSTER_SIZES_SQL = f"""{_MINHASH_CC_CTE},
+lab AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT cluster_size::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -1737,7 +1812,11 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ann_ivf_sql() -> str:
+def _ann_ivf_ctes() -> str:
+    """CTE chain replaying ivf_topk bit-for-bit (init → one Lloyd step →
+    inverted lists → probes → ranked candidates); shared by the IVF
+    top-k oracle and the recall-eval oracle so both replay the SAME
+    index."""
     from ppocr_spark.functions.similarity import _ivf_init
 
     init = _ivf_init(64, 8, seed=7, scale=0.125)
@@ -1750,8 +1829,7 @@ def _ann_ivf_sql() -> str:
         "(e.embedding[j]::DOUBLE - {c}[j]) * "
         "(e.embedding[j]::DOUBLE - {c}[j])))"
     )
-    return f"""
-WITH init(cl, cent) AS (VALUES {vals}),
+    return f"""init(cl, cent) AS (VALUES {vals}),
 a1 AS (
   SELECT vec_id, embedding, cl FROM (
     SELECT e.vec_id, e.embedding, i.cl,
@@ -1806,9 +1884,60 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, neighbor_id) AS rank
   FROM scored
-)
+)"""
+
+
+def _ann_ivf_sql() -> str:
+    return f"""
+WITH {_ann_ivf_ctes()}
 SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality evaluation (library similarity.recall_at_k):
+    per-query recall@5 of the IVF index against the exact brute-force
+    top-5, as an integer ppm ((1e6*hits) DIV k — engine-identical; a
+    float ratio + round() is the documented cross-engine tie hazard).
+    The oracle replays BOTH indexes in SQL (the shared `_ann_ivf_ctes`
+    chain plus the brute-force window) and intersects the id pairs, so
+    the recall number itself is value-checked, not just row-counted."""
+    from ppocr_spark.functions.similarity import (brute_force_topk,
+                                                  ivf_topk, recall_at_k)
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(e, q, k=5)
+    approx = ivf_topk(e, q, k=5, n_centroids=8, n_probe=3, dim=64)
+    return recall_at_k(exact, approx, k=5)
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH {_ann_ivf_ctes()},
+ivf AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+), branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM bscored
+), brute AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+hits AS (
+  SELECT b.query_id, count(i.query_id) AS hits
+  FROM brute b LEFT JOIN ivf i
+    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT query_id, hits::BIGINT AS hits,
+       ((hits * 1000000) // 5)::BIGINT AS recall_ppm
+FROM hits ORDER BY query_id
 """
 
 
@@ -4062,6 +4191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_cdc": _chunk_cdc,
         "bpe_merges": _bpe_merges,
         "bpe_segment_stats": _bpe_segment_stats,
+        "events_anomaly_days": _events_anomaly_days,
+        "dedup_cluster_sizes": _dedup_cluster_sizes,
+        "ann_recall_eval": _ann_recall_eval,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -4207,6 +4339,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_cdc": _CHUNK_CDC_SQL,
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segment_stats": _BPE_SEGMENT_SQL,
+        "events_anomaly_days": _EVENTS_ANOMALY_SQL,
+        "dedup_cluster_sizes": _DEDUP_CLUSTER_SIZES_SQL,
+        "ann_recall_eval": _ann_recall_sql(),
         "ann_topk_ivf_pq": _ann_ivf_pq_sql(),
         "text_bm25_topk": _bm25_topk_sql(),
         "embedding_kmeans": _embedding_kmeans_sql(),

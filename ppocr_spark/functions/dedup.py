@@ -820,3 +820,23 @@ def dedup_keep_best(
             & (F.col("doc_id") == -F.col("__b.n"))
         ).alias("keep"),
     )
+
+
+def cluster_size_histogram(
+    labels: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """(cluster_size, n_clusters) histogram over dedup-cluster labels —
+    the standard dedup-stage diagnostic (how much corpus mass sits in
+    large near-dup clusters decides the dedup policy's bite).
+
+    At scale: two slim groupBys — labels collapse to one int64 row per
+    cluster, then one row per distinct size; both shuffles carry
+    (int64, int64) pairs only, never document payloads."""
+    sizes = labels.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

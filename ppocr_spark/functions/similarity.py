@@ -1325,3 +1325,47 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """ANN index quality evaluation: per-query recall@k of an approximate
+    top-k table against the exact (brute-force) top-k, as an integer ppm
+    — ``(1e6 * hits) DIV k`` is exact and engine-identical, where a
+    float division + round() can tie-break differently across engines.
+
+    Both inputs are (query_id, neighbor_id, ...) top-k tables, typically
+    ``brute_force_topk`` as ground truth vs ``ivf_topk`` / ``lsh_topk``.
+    The match key is the (query, neighbor) PAIR, so the comparison is
+    set-valued — rank disagreements inside the top-k don't count against
+    recall, only missing neighbors do.
+
+    At scale: both sides are |Q|*k slim id-only rows regardless of corpus
+    size — the corpus never re-enters; the semi join and groupBy shuffle
+    on query_id only. Inputs usually share lineage (same corpus scan), so
+    both sides are aliased — unaliased, Spark resolves the shared-lineage
+    columns twice (AMBIGUOUS_REFERENCE)."""
+    ex = exact.select("query_id", "neighbor_id").alias("__rk_ex")
+    ap = approx.select("query_id", "neighbor_id").alias("__rk_ap")
+    hits = (
+        ex.join(
+            ap,
+            (F.col("__rk_ex.query_id") == F.col("__rk_ap.query_id"))
+            & (F.col("__rk_ex.neighbor_id") == F.col("__rk_ap.neighbor_id")),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    # every query keeps a row even at zero hits
+    base = ex.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"(coalesce(hits, 0) * 1000000) DIV {int(k)}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -1563,3 +1563,68 @@ class TestEventsFunnelFold:
         }
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
+
+
+class TestRecallAtK:
+    def test_hand_computed_ppm_and_zero_hit_query(self, spark):
+        from ppocr_spark.functions.similarity import recall_at_k
+
+        exact = spark.createDataFrame(
+            [(0, 10), (0, 11), (1, 20), (1, 21), (2, 30), (2, 31)],
+            "query_id long, neighbor_id long",
+        )
+        # q0: both hit; q1: one of two; q2: none (and absent from approx)
+        approx = spark.createDataFrame(
+            [(0, 10), (0, 11), (1, 20), (1, 99)],
+            "query_id long, neighbor_id long",
+        )
+        got = {
+            r.query_id: (r.hits, r.recall_ppm)
+            for r in recall_at_k(exact, approx, k=2).collect()
+        }
+        assert got == {0: (2, 1000000), 1: (1, 500000), 2: (0, 0)}
+
+    def test_rank_disagreement_does_not_hurt(self, spark):
+        from ppocr_spark.functions.similarity import recall_at_k
+
+        # same neighbor SET, reversed order → full recall
+        exact = spark.createDataFrame(
+            [(0, 1), (0, 2)], "query_id long, neighbor_id long"
+        )
+        approx = spark.createDataFrame(
+            [(0, 2), (0, 1)], "query_id long, neighbor_id long"
+        )
+        [row] = recall_at_k(exact, approx, k=2).collect()
+        assert (row.hits, row.recall_ppm) == (2, 1000000)
+
+    def test_shared_lineage_inputs_resolve(self, spark):
+        from ppocr_spark.functions.similarity import (brute_force_topk,
+                                                      ivf_topk, recall_at_k)
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(24)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = brute_force_topk(emb, q, k=3)
+        approx = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4, dim=8)
+        out = recall_at_k(exact, approx, k=3).collect()
+        assert len(out) == 3
+        # n_probe == n_centroids → IVF scans everything → perfect recall
+        assert all(r.recall_ppm == 1000000 for r in out)
+
+
+class TestClusterSizeHistogram:
+    def test_histogram_counts(self, spark):
+        from ppocr_spark.functions.dedup import cluster_size_histogram
+
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6)],
+            "doc_id long, cluster_id long",
+        )
+        got = {
+            r.cluster_size: r.n_clusters
+            for r in cluster_size_histogram(labels).collect()
+        }
+        assert got == {1: 3, 3: 1}

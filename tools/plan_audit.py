@@ -38,6 +38,10 @@ WHITELIST: dict[str, set[str]] = {
     "text_quality_tiers": {"BroadcastNestedLoopJoin"},
     "dedup_embedding_cosine": {"BroadcastNestedLoopJoin"},
     "ann_topk_bruteforce": {"BroadcastNestedLoopJoin"},
+    # recall eval's ground-truth side IS the brute-force all-pairs scan
+    # (that is what makes it exact); the IVF side and the recall join
+    # itself are hash joins on slim id pairs.
+    "ann_recall_eval": {"BroadcastNestedLoopJoin"},
 }
 
 
