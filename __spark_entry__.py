@@ -347,6 +347,46 @@ ORDER BY day, d.event_type
 """
 
 
+def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction over the JSON props column
+    (`F.get_json_object` — JVM-side, stays in whole-stage codegen; no
+    Python touches the hot path), then a per-key rollup. The value sum
+    is carried in exact integer micro-units (`floor(value * 1e6)` — the
+    double scaling and floor are IEEE-identical in both engines, and
+    int64 sums are order-independent; `round(sum(double))` is the
+    documented cross-engine hazard). Invalid/blank JSON degrades to a
+    NULL key group on both sides (Spark's get_json_object returns NULL;
+    the oracle guards with json_valid)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "user_id",
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .orderBy("k")
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+       END AS k,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS value_micros
+FROM events GROUP BY 1 ORDER BY k
+"""
+
+
 def _events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour event-time windows (F.window — the batch twin of
     the Structured-Streaming windowed aggregation)."""
@@ -1938,6 +1978,93 @@ hits AS (
 SELECT query_id, hits::BIGINT AS hits,
        ((hits * 1000000) // 5)::BIGINT AS recall_ppm
 FROM hits ORDER BY query_id
+"""
+
+
+def _knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification (library similarity.knn_classify):
+    predict each probe vector's label from its 5 exact nearest
+    neighbors' labels — the label-propagation primitive. The top-k sets
+    are engine-identical (same deterministic tie-break the
+    ann_topk_bruteforce parity already pins), so the votes and the
+    (votes DESC, label ASC) argmax replay exactly."""
+    from ppocr_spark.functions.similarity import knn_classify
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 32)
+    return knn_classify(e, q, k=5)
+
+
+_KNN_CLASSIFY_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 32
+   AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT r.query_id, e.label::BIGINT AS lab, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rank <= 5 GROUP BY 1, 2
+), best AS (
+  SELECT query_id, lab, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, lab) AS rn
+  FROM votes
+)
+SELECT query_id, lab AS pred_label, votes::BIGINT AS votes
+FROM best WHERE rn = 1 ORDER BY query_id
+"""
+
+
+def _cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation (library similarity.cluster_label_purity):
+    majority-label purity of the deterministic k-means cells against
+    the labeled slice, in integer ppm. The oracle replays the SAME two
+    Lloyd rounds through the shared ``_kmeans_cte`` chain, so the
+    purity numbers are value-checked end-to-end, not just counted."""
+    from ppocr_spark.functions.similarity import (cluster_label_purity,
+                                                  kmeans_fit_assign)
+
+    e = _load(spark, sf_dir, "embeddings")
+    assignment, _ = kmeans_fit_assign(e, n_centroids=8, iters=2, dim=64)
+    return cluster_label_purity(
+        assignment.withColumnRenamed("id", "vec_id"),
+        e.select("vec_id", "label"),
+    )
+
+
+def _cluster_purity_sql() -> str:
+    return f"""
+WITH {_kmeans_cte(2)},
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, f.cl AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_D_OF.format(c='f.cent')}, f.cl)
+             AS rn
+    FROM embeddings e CROSS JOIN full_2 f
+  ) WHERE rn = 1
+), cnt AS (
+  SELECT a.cluster, e.label::BIGINT AS lab, count(*) AS n
+  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+), top AS (
+  SELECT cluster, lab, n,
+         sum(n) OVER (PARTITION BY cluster) AS n_vecs,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, lab) AS rn
+  FROM cnt
+)
+SELECT cluster, n_vecs::BIGINT AS n_vecs, lab AS top_label,
+       n::BIGINT AS top_n, ((n * 1000000) // n_vecs)::BIGINT AS purity_ppm
+FROM top WHERE rn = 1 ORDER BY cluster
 """
 
 
@@ -4194,6 +4321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_days": _events_anomaly_days,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ann_recall_eval": _ann_recall_eval,
+        "events_json_props": _events_json_props,
+        "knn_classify": _knn_classify,
+        "cluster_label_purity": _cluster_label_purity,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -4342,6 +4472,9 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_days": _EVENTS_ANOMALY_SQL,
         "dedup_cluster_sizes": _DEDUP_CLUSTER_SIZES_SQL,
         "ann_recall_eval": _ann_recall_sql(),
+        "events_json_props": _EVENTS_JSON_SQL,
+        "knn_classify": _KNN_CLASSIFY_SQL,
+        "cluster_label_purity": _cluster_purity_sql(),
         "ann_topk_ivf_pq": _ann_ivf_pq_sql(),
         "text_bm25_topk": _bm25_topk_sql(),
         "embedding_kmeans": _embedding_kmeans_sql(),

@@ -1369,3 +1369,104 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote label prediction — the label-propagation /
+    weak-supervision primitive (classify unlabeled documents from a
+    small labeled seed set by embedding neighborhood; cf. the quality-
+    classifier stage of CCNet/RefinedWeb-style pipelines, where a
+    handful of curated labels fan out over the corpus).
+
+    Exact top-k by cosine (``brute_force_topk``'s deterministic
+    tie-break: cosine DESC, neighbor id ASC), then per-query majority
+    vote over the neighbors' labels with a total-order tie-break
+    (votes DESC, label ASC) folded into ONE struct-max aggregate — no
+    per-query window, so a hot query id cannot become an unsplittable
+    window key. Output: (query_id, pred_label, votes), all int64.
+
+    At scale: queries are the SMALL labeled/probe side (broadcast by
+    ``brute_force_topk``); the corpus streams through one scored pass.
+    The vote path is |Q|*k slim rows — two shuffles on query_id."""
+    topk = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("__kc_lab"),
+    )
+    votes = (
+        topk.join(lab, "neighbor_id")
+        .groupBy("query_id", "__kc_lab")
+        .agg(F.count("*").alias("votes"))
+    )
+    # struct max = lexicographic (votes, -label): max votes, min label
+    best = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("votes"), (-F.col("__kc_lab")).alias("nl"))
+        ).alias("__b")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("__b.nl")).cast("long").alias("pred_label"),
+        F.col("__b.votes").cast("long").alias("votes"),
+    ).orderBy("query_id")
+
+
+def cluster_label_purity(
+    assignment: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster label purity — the standard clustering-quality
+    diagnostic (how well do unsupervised cells align with a labeled
+    slice): majority label per cluster and its mass as an integer ppm
+    (``(1e6 * top_n) DIV n_vecs`` — exact and engine-identical; a float
+    ratio + round() is the documented cross-engine tie hazard).
+
+    ``assignment`` is any (id, cluster) table (e.g. ``kmeans_fit_assign``
+    output); ``labels`` is the (id, label) slice. Ties on the majority
+    label break to the LOWEST label via one struct-max aggregate — no
+    per-cluster window, so a mega-cluster never becomes one
+    unsplittable window key. Output columns all int64:
+    (cluster, n_vecs, top_label, top_n, purity_ppm).
+
+    At scale: one equi-join on id (both sides slim int64 projections),
+    then two groupBys whose rows are bounded by |clusters| x |labels| —
+    corpus-size-independent after the first aggregate."""
+    lab = labels.select(
+        F.col(id_col).alias("__cp_id"),
+        F.col(label_col).cast("long").alias("__cp_lab"),
+    )
+    asg = assignment.select(
+        F.col(id_col).alias("__cp_id"),
+        F.col(cluster_col).cast("long").alias("cluster"),
+    )
+    cnt = (
+        asg.join(lab, "__cp_id")
+        .groupBy("cluster", "__cp_lab")
+        .agg(F.count("*").alias("n"))
+    )
+    per = cnt.groupBy("cluster").agg(
+        F.sum("n").alias("n_vecs"),
+        F.max(
+            F.struct(F.col("n"), (-F.col("__cp_lab")).alias("nl"))
+        ).alias("__t"),
+    )
+    return per.select(
+        "cluster",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        (-F.col("__t.nl")).cast("long").alias("top_label"),
+        F.col("__t.n").cast("long").alias("top_n"),
+        F.expr("(`__t`.n * 1000000) DIV n_vecs").cast("long")
+        .alias("purity_ppm"),
+    ).orderBy("cluster")

@@ -1628,3 +1628,68 @@ class TestClusterSizeHistogram:
             for r in cluster_size_histogram(labels).collect()
         }
         assert got == {1: 3, 3: 1}
+
+
+class TestKnnClassify:
+    def test_majority_vote_and_tie_break(self, spark):
+        from ppocr_spark.functions.similarity import knn_classify
+
+        # 2D layout: queries 0,1 at distinct corners; labeled corpus
+        # clustered so q0's 3-NN vote 2:1 for label 7, q1 ties 1:1
+        # between labels 2 and 5 → lowest label wins
+        rows = [
+            (0, [1.0, 0.0], 0),  # query (self-excluded)
+            (1, [0.0, 1.0], 0),  # query
+            (10, [0.9, 0.1], 7),
+            (11, [0.95, 0.05], 7),
+            (12, [0.8, 0.2], 3),
+            (20, [0.1, 0.9], 5),
+            (21, [0.05, 0.95], 2),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        q = emb.filter(F.col("vec_id") < 2)
+        got = {
+            r.query_id: (r.pred_label, r.votes)
+            for r in knn_classify(emb, q, k=3).collect()
+        }
+        assert got[0] == (7, 2)
+        # q1's 3-NN: 21 (lab 2), 20 (lab 5), 12 (lab 3) — votes 1:1:1
+        # → lowest label among the max-vote labels
+        assert got[1] == (2, 1)
+
+    def test_all_long_schema(self, spark):
+        from ppocr_spark.functions.similarity import knn_classify
+
+        rows = [(i, [float(i % 3), float(i % 5)], i % 2) for i in range(12)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = knn_classify(emb, emb.filter(F.col("vec_id") < 2), k=3)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint", "bigint", "bigint"
+        ]
+
+
+class TestClusterLabelPurity:
+    def test_hand_computed(self, spark):
+        from ppocr_spark.functions.similarity import cluster_label_purity
+
+        asg = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 2)],
+            "vec_id long, cluster long",
+        )
+        lab = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 4), (4, 5), (5, 6), (6, 8)],
+            "vec_id long, label int",
+        )
+        got = {
+            r.cluster: (r.n_vecs, r.top_label, r.top_n, r.purity_ppm)
+            for r in cluster_label_purity(asg, lab).collect()
+        }
+        # cluster 0: 2x label 9, 1x label 4 → purity 666666 ppm (floor)
+        assert got[0] == (3, 9, 2, 666666)
+        # cluster 1: 1:1 tie between 5 and 6 → lowest label
+        assert got[1] == (2, 5, 1, 500000)
+        assert got[2] == (1, 8, 1, 1000000)
