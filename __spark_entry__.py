@@ -4266,8 +4266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. entries with no driver row in the previous round (stalest);
     #   3. new entries added this round (never driver-checked);
     #   4. entries driver-green last round, oldest coverage first.
-    # Union of CORRECTNESS_r04 + r05 windows covers all entries; every
-    # entry has a driver-green row no older than one round.
+    # Round 5: 52 entries fall in tiers 1-3 but the window holds 50, so
+    # the two lowest-risk stale entries (q1/q3 — see the note at the
+    # bottom of this dict) sit below the cut; with that exception the
+    # union of CORRECTNESS_r04 + r05 windows covers all entries.
     return {
         # --- red in r4 (fixed: oracle NULL-vs-'' on fully-cut docs) ---
         "dedup_substring_rewrite": _substring_rewrite,
@@ -4280,8 +4282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": _html_main,
         "table_cell_match": _table_cell_match,
         "table_html": _table_html,
-        "q1_pricing_summary": _q1,
-        "q3_shipping_priority": _q3,
         "q5_region_revenue": _q5,
         "top_customers_window": _top_customers,
         "events_daily": _events_daily,
@@ -4375,6 +4375,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _image_metadata,
         "image_features": _image_features,
         "audio_metadata": _audio_metadata,
+        # --- demoted below the r5 cut (52 stale/new entries vs a 50-entry
+        # window): the two lowest-risk stale entries — pure TPC-H SQL,
+        # untouched since round 1, driver-green in r3, local-green every
+        # session since. Documented here so the choice is auditable.
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
     }
 
 
