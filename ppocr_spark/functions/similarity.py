@@ -1394,7 +1394,13 @@ def knn_classify(
 
     At scale: queries are the SMALL labeled/probe side (broadcast by
     ``brute_force_topk``); the corpus streams through one scored pass.
-    The vote path is |Q|*k slim rows — two shuffles on query_id."""
+    The vote path is |Q|*k slim rows — two shuffles on query_id.
+
+    Contract (same pattern as ``dedup.keep_best_copy``'s score): corpus
+    labels must be NON-NULL — a NULL label would form a NULL vote group
+    whose struct-max ordering is engine-specific, and a query whose k
+    neighbors are all unlabeled would vanish from the output. Filter or
+    impute labels upstream."""
     topk = brute_force_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     )
@@ -1442,7 +1448,11 @@ def cluster_label_purity(
 
     At scale: one equi-join on id (both sides slim int64 projections),
     then two groupBys whose rows are bounded by |clusters| x |labels| —
-    corpus-size-independent after the first aggregate."""
+    corpus-size-independent after the first aggregate.
+
+    Contract: ``labels`` rows must carry NON-NULL labels (a NULL label
+    group's struct-max ordering is engine-specific); unlabeled ids
+    simply don't join and don't count toward ``n_vecs``."""
     lab = labels.select(
         F.col(id_col).alias("__cp_id"),
         F.col(label_col).cast("long").alias("__cp_lab"),
