@@ -4246,6 +4246,46 @@ FROM per ORDER BY doc_id
 """
 
 
+def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-audit report card (library
+    text.source_quality_report): doc/token/char mass, short-doc ppm,
+    language diversity, and majority-language share per source — the
+    per-crawl/per-domain quality table that decides source weights.
+    Integer-ppm ratios; majority lang ties to the lowest lang via one
+    min(struct(-n, lang)) aggregate (no per-source window)."""
+    from ppocr_spark.functions.text import source_quality_report
+
+    d = _load(spark, sf_dir, "documents")
+    return source_quality_report(d, short_chars=112)
+
+
+_SOURCE_QUALITY_SQL = f"""
+WITH per AS (
+  SELECT source, lang, n_chars, len({_DUCK_TOKS}) AS nt
+  FROM documents
+), by_lang AS (
+  SELECT source, lang, count(*) AS n, sum(nt) AS t, sum(n_chars) AS c,
+         sum(CASE WHEN n_chars < 112 THEN 1 ELSE 0 END) AS s
+  FROM per GROUP BY 1, 2
+), top AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang) AS rn
+  FROM by_lang
+)
+SELECT b.source,
+       sum(b.n)::BIGINT AS n_docs,
+       sum(b.t)::BIGINT AS n_tokens,
+       sum(b.c)::BIGINT AS n_chars_total,
+       ((1000000 * sum(b.s)) // sum(b.n))::BIGINT AS short_ppm,
+       count(DISTINCT b.lang)::BIGINT AS n_langs,
+       max(t.lang) AS top_lang,
+       ((1000000 * max(t.n)) // sum(b.n))::BIGINT AS top_lang_ppm
+FROM by_lang b JOIN top t ON t.source = b.source AND t.rn = 1
+GROUP BY b.source ORDER BY b.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4381,6 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session since. Documented here so the choice is auditable.
         "q1_pricing_summary": _q1,
         "q3_shipping_priority": _q3,
+        # --- added after the r5 window was frozen: local-gate coverage
+        # only this round (check_oracles value-checks it every session).
+        "source_quality_report": _source_quality_report,
     }
 
 
@@ -4488,4 +4531,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_fine": _ann_ivf_fine_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "text_tfidf_terms": _tfidf_terms_sql(),
+        "source_quality_report": _SOURCE_QUALITY_SQL,
     }

@@ -826,3 +826,73 @@ def token_entropy(
             .alias("entropy_milli"),
         )
     )
+
+
+def source_quality_report(
+    docs: DataFrame,
+    short_chars: int = 112,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source data-audit report card — the rollup a 100 TB pipeline
+    publishes per crawl/domain to decide source weights (cf. the
+    per-dump quality tables of CCNet and the per-domain audits of
+    RefinedWeb): document/token/char mass, short-document rate, and
+    language mix (diversity + majority language share).
+
+    All ratios are integer ppm (``(1e6 * num) DIV den`` — exact and
+    engine-identical; float round() ties are the documented
+    cross-engine hazard). The majority language ties to the
+    lexicographically-LOWEST lang via one ``min(struct(-n, lang))``
+    aggregate — no per-source window, so a mega-source never becomes
+    one unsplittable window key.
+
+    At scale: text is projected away after the slim per-doc measure
+    row (source, lang, n_toks, n_chars) — two groupBys on
+    (source, lang) then source, both bounded by |sources| x |langs|
+    after the first aggregate; nothing document-sized ever shuffles.
+    Output: (source, n_docs, n_tokens, n_chars_total, short_ppm,
+    n_langs, top_lang, top_lang_ppm), counts all int64."""
+    per_doc = spread(
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("__lang"),
+            F.col(chars_col).cast("long").alias("__nc"),
+            token_count(F.col(text_col)).cast("long").alias("__nt"),
+        )
+    )
+    by_lang = per_doc.groupBy("source", "__lang").agg(
+        F.count("*").alias("__n"),
+        F.sum("__nt").alias("__t"),
+        F.sum("__nc").alias("__c"),
+        F.sum(F.when(F.col("__nc") < short_chars, 1).otherwise(0)).alias(
+            "__s"
+        ),
+    )
+    rep = by_lang.groupBy("source").agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+        F.sum("__c").cast("long").alias("n_chars_total"),
+        F.sum("__s").alias("__short"),
+        F.countDistinct("__lang").cast("long").alias("n_langs"),
+        F.min(
+            F.struct((-F.col("__n")).alias("nn"), F.col("__lang"))
+        ).alias("__top"),
+    )
+    return rep.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars_total",
+        F.expr("(1000000 * __short) DIV n_docs").cast("long").alias(
+            "short_ppm"
+        ),
+        "n_langs",
+        F.col("__top.__lang").alias("top_lang"),
+        F.expr("(1000000 * -`__top`.nn) DIV n_docs").cast("long").alias(
+            "top_lang_ppm"
+        ),
+    ).orderBy("source")

@@ -247,12 +247,28 @@ def write_bucketed(
     cost is paid once at ingest and amortized over every downstream
     query. Pinned by ``tests/test_plans.py::TestBucketedColocatedJoin``.
     """
+    _drop_managed(df.sparkSession, table)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, bucket_col
     )
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.saveAsTable(table)
+
+
+def _drop_managed(spark: SparkSession, table: str) -> None:
+    """Drop ``table`` and clear any ORPHAN managed location. A crashed
+    session leaves the warehouse directory behind while the (in-memory)
+    catalog entry dies with the JVM; the next ``saveAsTable`` — even with
+    mode=overwrite — fails LOCATION_ALREADY_EXISTS. Overwrite semantics
+    here mean 'replace the layout', so an orphan dir is stale by
+    definition and safe to remove."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
 
 
 def write_extraction_layout(
@@ -293,6 +309,7 @@ def write_extraction_layout(
         "base_ref",
         n_buckets=n_buckets,
     )
+    _drop_managed(documents.sparkSession, f"{prefix}_text_spans")
     spans.filter(F.col("kind") == "text").write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(f"{prefix}_text_spans")

@@ -1693,3 +1693,49 @@ class TestClusterLabelPurity:
         # cluster 1: 1:1 tie between 5 and 6 → lowest label
         assert got[1] == (2, 5, 1, 500000)
         assert got[2] == (1, 8, 1, 1000000)
+
+
+class TestSourceQualityReport:
+    def test_hand_computed(self, spark):
+        from ppocr_spark.functions.text import source_quality_report
+
+        rows = [
+            # srcA: 2 en + 1 fr; one doc right AT the threshold (not short)
+            (1, "a b c", "en", "srcA", 50),
+            (2, "d e", "en", "srcA", 112),
+            (3, "f", "fr", "srcA", 300),
+            # srcB: 1:1 en/fr tie on majority lang → lowest lang wins
+            (4, "g h i j", "fr", "srcB", 400),
+            (5, "k", "en", "srcB", 500),
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        )
+        got = {
+            r.source: (r.n_docs, r.n_tokens, r.n_chars_total, r.short_ppm,
+                       r.n_langs, r.top_lang, r.top_lang_ppm)
+            for r in source_quality_report(d, short_chars=112).collect()
+        }
+        # srcA: only n_chars=50 is short (112 is NOT < 112) → 333333 ppm
+        assert got["srcA"] == (3, 6, 462, 333333, 2, "en", 666666)
+        # srcB tie 1:1 → 'en' (lexicographically lowest), share 500000
+        assert got["srcB"] == (2, 5, 900, 0, 2, "en", 500000)
+
+    def test_all_counts_long(self, spark):
+        from ppocr_spark.functions.text import source_quality_report
+
+        d = spark.createDataFrame(
+            [(1, "x y", "en", "s", 10)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        out = source_quality_report(d)
+        types = {f.name: f.dataType.simpleString()
+                 for f in out.schema.fields}
+        assert types == {
+            "source": "string", "n_docs": "bigint", "n_tokens": "bigint",
+            "n_chars_total": "bigint", "short_ppm": "bigint",
+            "n_langs": "bigint", "top_lang": "string",
+            "top_lang_ppm": "bigint",
+        }
