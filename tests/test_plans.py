@@ -422,6 +422,37 @@ class TestBucketedColocatedJoin:
             spark.sql("DROP TABLE IF EXISTS spans_b")
             spark.sql("DROP TABLE IF EXISTS media_b")
 
+    def test_overwrite_survives_orphan_warehouse_dir(self, spark):
+        """A crashed session leaves the managed-table directory in
+        spark-warehouse while its (in-memory) catalog entry dies with the
+        JVM; the next saveAsTable then fails LOCATION_ALREADY_EXISTS even
+        with mode=overwrite. write_bucketed must clear the orphan and
+        succeed (regression: test_full_document_equality failed on the
+        leftovers of a killed run)."""
+        import os
+        from urllib.parse import urlparse
+
+        from ppocr_spark.sources.readers import write_bucketed
+
+        df = spark.createDataFrame(
+            [(f"m{i}", i) for i in range(16)], "media_ref string, v long"
+        )
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        orphan = f"{warehouse}/orphan_tbl"
+        try:
+            # simulate the crash artifact: location exists, no catalog row
+            spark.sql("DROP TABLE IF EXISTS orphan_tbl")
+            os.makedirs(orphan, exist_ok=True)
+            with open(f"{orphan}/part-stale.parquet", "w") as f:
+                f.write("stale")
+            write_bucketed(df, "orphan_tbl", "media_ref", n_buckets=4)
+            assert spark.table("orphan_tbl").count() == 16
+            assert not os.path.exists(f"{orphan}/part-stale.parquet")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS orphan_tbl")
+
 
 class TestColocatedExtraction:
     def test_media_branch_zero_exchange_and_equal_output(
