@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ppocr_spark.config import PPOCRConfig  # noqa: E402
+from ppocr_spark.functions.sketch import K_MILLI as sketch_K_MILLI  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -4286,6 +4287,73 @@ GROUP BY b.source ORDER BY b.source
 """
 
 
+def _distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-replayable HyperLogLog distinct count over document
+    content (library sketch.hll_registers/hll_summary): md5-keyed
+    buckets, string-arithmetic rank, exact integer harmonic sum, and an
+    estimate that is ONE integer division by a shared constant — every
+    register and the estimate itself value-check against DuckDB. Result
+    = the ≤256-row register table (the mergeable sketch state) with the
+    1-row summary and the exact distinct count (calibration column —
+    at gate scale the exact pass is cheap; at 100 TB you would publish
+    the sketch alone) attached via whitelisted 1-row broadcasts."""
+    from ppocr_spark.functions import sketch
+
+    d = _load(spark, sf_dir, "documents")
+    regs = sketch.hll_registers(d, "text")
+    summ = sketch.hll_summary(regs)
+    exact = d.agg(
+        F.countDistinct(F.md5(F.concat(F.lit("hll:"), F.col("text"))))
+        .cast("long")
+        .alias("n_exact")
+    )
+    return (
+        regs.alias("__hr")
+        .crossJoin(F.broadcast(summ.alias("__hs")))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "bucket", "register", "zeros", "sum_nano", "est_milli",
+            "n_exact",
+        )
+        .orderBy("bucket")
+    )
+
+
+_DISTINCT_HLL_SQL = f"""
+WITH hx AS (
+  SELECT md5('hll:' || text) AS h FROM documents
+), st AS (
+  SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+         ltrim(substr(h, 3, 14), '0') AS s
+  FROM hx
+), rho AS (
+  SELECT bucket,
+         CASE WHEN s = '' THEN 57
+              ELSE 4 * (14 - length(s))
+                   + CASE WHEN substr(s, 1, 1) >= '8' THEN 1
+                          WHEN substr(s, 1, 1) >= '4' THEN 2
+                          WHEN substr(s, 1, 1) >= '2' THEN 3
+                          ELSE 4 END
+         END AS r
+  FROM st
+), regs AS (
+  SELECT bucket, max(r)::BIGINT AS register FROM rho GROUP BY bucket
+), summ AS (
+  SELECT (256 - count(*))::BIGINT AS zeros,
+         (sum(1000000000 // (CAST(1 AS BIGINT) << register))
+          + (256 - count(*)) * 1000000000)::BIGINT AS sum_nano
+  FROM regs
+), ex AS (
+  SELECT count(DISTINCT md5('hll:' || text))::BIGINT AS n_exact
+  FROM documents
+)
+SELECT bucket, register, zeros, sum_nano,
+       ({sketch_K_MILLI} // sum_nano)::BIGINT AS est_milli, n_exact
+FROM regs, summ, ex
+ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4424,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added after the r5 window was frozen: local-gate coverage
         # only this round (check_oracles value-checks it every session).
         "source_quality_report": _source_quality_report,
+        "distinct_hll": _distinct_hll,
     }
 
 
@@ -4532,4 +4601,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _dedup_semantic_sql(),
         "text_tfidf_terms": _tfidf_terms_sql(),
         "source_quality_report": _SOURCE_QUALITY_SQL,
+        "distinct_hll": _DISTINCT_HLL_SQL,
     }

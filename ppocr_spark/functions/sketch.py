@@ -1,0 +1,132 @@
+"""Distributed cardinality sketch: a HyperLogLog whose every step is
+engine-replayable (portable hash, string-arithmetic rank, exact integer
+harmonic sum).
+
+Why hand-roll when Spark ships ``approx_count_distinct``: the built-in's
+HLL++ state is an opaque binary blob with engine-specific hashing and
+bias tables — the estimate cannot be value-checked against any other
+engine, and the sketch cannot be stored next to the data and merged by
+plain SQL. This variant keys registers off ``md5`` (bit-identical in
+every engine), derives the rank with pure substring/CASE arithmetic,
+and carries the harmonic mean in exact integer nano-units, so the whole
+chain — registers, harmonic sum, estimate — replays bit-for-bit in
+DuckDB (see ``distinct_hll`` in ``__spark_entry__``).
+
+Scale shape (the reason this family exists at 100 TB): an exact
+``countDistinct`` over content hashes shuffles every distinct key; the
+sketch is O(m) state. Partial aggregation reduces EACH partition to at
+most ``m = 256`` register rows (2 KB) before the one tiny shuffle, so a
+10^12-row distinct count runs as a map-side-combine scan plus a 256-row
+reduce. Two shards' sketches merge with ``GROUP BY bucket →
+max(register)`` — set union is register max — which also makes the
+register table a storable, incrementally-updatable audit artifact
+(per-crawl sketches unioned into a corpus-wide distinct count without
+rescanning old crawls).
+
+Format constants are fixed, not knobs: ``m = 256`` (p=8) means the
+bucket is exactly the first md5 byte and the rank reads the next 14 hex
+chars — changing them changes the on-disk sketch format. Standard error
+is 1.04/sqrt(256) ≈ 6.5%. Below ~2.5·m distinct keys raw HLL reads high
+(the regime where the classic estimator switches to linear counting);
+``hll_summary`` emits ``zeros`` so a consumer can apply
+``m·ln(m/zeros)`` — deliberately NOT emitted here because ``ln`` is a
+libm call whose last ulp differs across engines, the documented
+cross-engine hazard class.
+
+The reference (hiroi-sora/PaddleOCR-json) has no sketch family; this
+extends the corpus-audit surface (cf. ``text.source_quality_report``)
+that a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed sketch format: p=8 → m=256 buckets (first md5 byte); rank over
+# the next 14 hex chars (56 bits) → rho ∈ [1, 57].
+M = 256
+_SUF = 14
+_RHO_MAX = 4 * _SUF + 1
+
+# alpha_256 * m^2 * 10^12 as one exact integer constant, embedded
+# identically in the Spark expression and the DuckDB oracle so the
+# estimate is a single integer division in both engines:
+# alpha_m = 0.7213 / (1 + 1.079/m) = 923264/1285395 exactly at m=256.
+K_MILLI = 923264 * M * M * 10**12 // 1285395
+
+
+def hll_registers(
+    df: DataFrame, key_col: str = "text", salt: str = "hll"
+) -> DataFrame:
+    """(bucket, register) sketch rows — at most ``M`` of them, whatever
+    the input size. All string/CASE arithmetic, JVM-side, one groupBy
+    over 256 keys (partial max per partition, then a 256-row shuffle).
+
+    The rank is HLL's geometric rho read off hex digits: 4 bits per
+    leading '0' char, plus 1–4 bits from the first non-zero hex digit
+    (d≥8 → its top bit is 1 → one more trial; d=1 → three more zero
+    bits first). P(rho ≥ j) = 2^-j exactly, same as bit-level HLL."""
+    d = df.select(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col))).alias("__hx")
+    ).select(
+        F.conv(F.substring("__hx", 1, 2), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+        F.expr(f"trim(LEADING '0' FROM substring(__hx, 3, {_SUF}))").alias(
+            "__st"
+        ),
+    )
+    first = F.substring("__st", 1, 1)
+    rho = F.when(F.col("__st") == "", F.lit(_RHO_MAX)).otherwise(
+        F.lit(4) * (F.lit(_SUF) - F.length("__st"))
+        + F.when(first >= "8", 1)
+        .when(first >= "4", 2)
+        .when(first >= "2", 3)
+        .otherwise(4)
+    )
+    return (
+        d.select("bucket", rho.cast("long").alias("__rho"))
+        .groupBy("bucket")
+        .agg(F.max("__rho").cast("long").alias("register"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of the underlying key sets ≡ per-bucket register max —
+    merging K shard/crawl sketches is a ≤ K·M-row aggregate, no rescan."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(
+        F.max("register").cast("long").alias("register")
+    )
+
+
+def hll_summary(regs: DataFrame) -> DataFrame:
+    """One row: (zeros, sum_nano, est_milli).
+
+    The harmonic sum is exact integers: each hit bucket contributes
+    ``1e9 DIV 2^register`` nano-units (truncation is identical integer
+    division in any engine; total truncation error < m nano-units) and
+    each never-hit bucket a whole 1e9. The estimate is then ONE integer
+    division by the shared constant ``K_MILLI`` — no float touches the
+    chain, so the number is engine-identical by construction."""
+    agg = regs.agg(
+        (F.lit(M) - F.count("*")).cast("long").alias("zeros"),
+        (
+            F.sum(
+                F.expr(
+                    "1000000000 DIV shiftleft(cast(1 as bigint), register)"
+                )
+            )
+            + (F.lit(M) - F.count("*")) * F.lit(1000000000)
+        )
+        .cast("long")
+        .alias("sum_nano"),
+    )
+    return agg.select(
+        "zeros",
+        "sum_nano",
+        F.expr(f"{K_MILLI} DIV sum_nano").cast("long").alias("est_milli"),
+    )

@@ -1739,3 +1739,90 @@ class TestSourceQualityReport:
             "n_langs": "bigint", "top_lang": "string",
             "top_lang_ppm": "bigint",
         }
+
+
+class TestHllSketch:
+    """Engine-replayable HyperLogLog (functions/sketch.py)."""
+
+    def test_rho_matches_bitlevel_definition(self, spark):
+        # rho derived from hex chars must equal 1 + (number of leading
+        # zero BITS of the 56-bit suffix), the bit-level HLL rank.
+        import hashlib
+
+        from ppocr_spark.functions.sketch import hll_registers
+
+        keys = [f"k{i}" for i in range(200)]
+        d = spark.createDataFrame([(k,) for k in keys], "text string")
+        regs = {
+            r["bucket"]: r["register"]
+            for r in hll_registers(d, "text").collect()
+        }
+        # python replay: same md5, bit-level rank, same buckets
+        expect: dict[int, int] = {}
+        for k in keys:
+            h = hashlib.md5(f"hll:{k}".encode()).hexdigest()
+            bucket = int(h[:2], 16)
+            bits = bin(int(h[2:16], 16))[2:].zfill(56)
+            rho = (bits + "1").index("1") + 1  # all-zero suffix → 57
+            expect[bucket] = max(expect.get(bucket, 0), rho)
+        assert regs == expect
+
+    def test_merge_is_union(self, spark):
+        from ppocr_spark.functions.sketch import hll_merge, hll_registers
+
+        a = spark.createDataFrame(
+            [(f"d{i}",) for i in range(0, 300)], "text string"
+        )
+        b = spark.createDataFrame(
+            [(f"d{i}",) for i in range(150, 450)], "text string"
+        )
+        both = spark.createDataFrame(
+            [(f"d{i}",) for i in range(0, 450)], "text string"
+        )
+        merged = {
+            (r["bucket"], r["register"])
+            for r in hll_merge(
+                hll_registers(a, "text"), hll_registers(b, "text")
+            ).collect()
+        }
+        whole = {
+            (r["bucket"], r["register"])
+            for r in hll_registers(both, "text").collect()
+        }
+        assert merged == whole
+
+    def test_estimate_accuracy_at_scale(self, spark):
+        # 50k distinct keys, m=256 → stderr ≈ 6.5%; assert within 4σ
+        # (deterministic input, so this pins the estimator, it cannot
+        # flake).
+        from ppocr_spark.functions.sketch import hll_registers, hll_summary
+
+        n = 50_000
+        d = spark.range(n).selectExpr("concat('doc-', id) AS text")
+        row = hll_summary(hll_registers(d, "text")).collect()[0]
+        est = row["est_milli"] / 1000.0
+        assert row["zeros"] == 0
+        assert abs(est - n) / n < 0.26
+
+    def test_summary_is_integer_exact(self, spark):
+        # sum_nano replayed from collected registers in exact python
+        # ints must equal the Spark aggregate bit-for-bit.
+        from ppocr_spark.functions.sketch import (
+            K_MILLI,
+            M,
+            hll_registers,
+            hll_summary,
+        )
+
+        d = spark.createDataFrame(
+            [(f"v{i}",) for i in range(777)], "text string"
+        )
+        regs = hll_registers(d, "text")
+        row = hll_summary(regs).collect()[0]
+        rs = [r["register"] for r in regs.collect()]
+        sum_nano = sum(10**9 // (1 << r) for r in rs) + (
+            M - len(rs)
+        ) * 10**9
+        assert row["sum_nano"] == sum_nano
+        assert row["zeros"] == M - len(rs)
+        assert row["est_milli"] == K_MILLI // sum_nano

@@ -46,6 +46,9 @@ WHITELIST: dict[str, set[str]] = {
     # corpus via brute_force_topk — the same deliberate exact-scoring
     # BNLJ as ann_topk_bruteforce; the vote path is hash joins only.
     "knn_classify": {"BroadcastNestedLoopJoin"},
+    # 1-row summary + 1-row exact-count attaches onto the ≤256-row
+    # register table (the whitelisted constant-attach pattern).
+    "distinct_hll": {"BroadcastNestedLoopJoin"},
 }
 
 
