@@ -4354,6 +4354,72 @@ ORDER BY bucket
 """
 
 
+def _freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (library sketch.cms_build/
+    cms_query) evaluated against exact counts: build the d×w counter
+    grid over the full corpus token stream (cell table bounded at 16k
+    rows — map-side combine, the exact groupBy's full-vocabulary
+    shuffle never happens), then probe the exact top-32 tokens and emit
+    (token, n_exact, n_est, over_count). CMS never undercounts, so
+    over_count ≥ 0 is part of the checked contract; the identical
+    salted-md5 cell layout replays in DuckDB, so even collision
+    overcounts match bit-for-bit."""
+    from ppocr_spark.functions import sketch
+    from ppocr_spark.functions.text import tokens
+
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(32)
+    )
+    cms = sketch.cms_build(tok, "token")
+    est = sketch.cms_query(cms, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact"))
+            .cast("long")
+            .alias("over_count"),
+        )
+        .orderBy("token")
+    )
+
+
+_FREQ_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+), top AS (
+  SELECT token, count(*)::BIGINT AS n_exact
+  FROM tok GROUP BY token ORDER BY n_exact DESC, token LIMIT 32
+), hj AS (
+  SELECT unnest([0, 1, 2, 3]) AS j
+), cells AS (
+  SELECT j,
+         ('0x' || substr(md5('cms' || j::VARCHAR || ':' || token), 1, 15))
+             ::BIGINT % 4096 AS col,
+         count(*)::BIGINT AS cnt
+  FROM tok, hj GROUP BY 1, 2
+), probe AS (
+  SELECT t.token, t.n_exact, j,
+         ('0x' || substr(md5('cms' || j::VARCHAR || ':' || t.token), 1, 15))
+             ::BIGINT % 4096 AS col
+  FROM top t, hj
+), est AS (
+  SELECT token, n_exact, min(coalesce(c.cnt, 0))::BIGINT AS n_est
+  FROM probe p LEFT JOIN cells c ON c.j = p.j AND c.col = p.col
+  GROUP BY 1, 2
+)
+SELECT token, n_exact, n_est, (n_est - n_exact)::BIGINT AS over_count
+FROM est ORDER BY token
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4493,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # only this round (check_oracles value-checks it every session).
         "source_quality_report": _source_quality_report,
         "distinct_hll": _distinct_hll,
+        "freq_cms": _freq_cms,
     }
 
 
@@ -4602,4 +4669,5 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_terms": _tfidf_terms_sql(),
         "source_quality_report": _SOURCE_QUALITY_SQL,
         "distinct_hll": _DISTINCT_HLL_SQL,
+        "freq_cms": _FREQ_CMS_SQL,
     }

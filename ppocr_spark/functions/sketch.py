@@ -40,7 +40,7 @@ that a training-data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # fixed sketch format: p=8 → m=256 buckets (first md5 byte); rank over
@@ -129,4 +129,95 @@ def hll_summary(regs: DataFrame) -> DataFrame:
         "zeros",
         "sum_nano",
         F.expr(f"{K_MILLI} DIV sum_nano").cast("long").alias("est_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — the frequency member of the bounded-state family
+# (HLL above = distinct counts, dedup.bloom_decontaminate = membership)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 4096
+
+
+def _cms_positions(key: Column, salt: str) -> Column:
+    """Array of (row, col) cells for one key — the same portable
+    md5-15-hex-chars → bigint % w convention as the Bloom filter
+    (dedup.bloom_decontaminate), one salted hash row per sketch row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cms{j}:{salt}"), key)),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(CMS_W)
+                ).alias("col"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str = "token", salt: str = ""
+) -> DataFrame:
+    """(row, col, cnt) counter cells from a key stream — at most
+    ``CMS_D x CMS_W`` (16,384) rows whatever the input size: partial
+    aggregation combines each partition down to the cell grid before
+    the one bounded shuffle, so frequency estimation over a 10^12-token
+    stream is a map-side-combine scan plus a 16k-row reduce where the
+    exact groupBy would shuffle every distinct token.
+
+    The sketch is LINEAR: two shards'/crawls' sketches merge by
+    cell-wise SUM (``cms_merge``), and the standard guarantee holds —
+    point estimates overcount by at most ``e/CMS_W`` of the stream
+    length with probability ``1 - e^-CMS_D``, never undercount."""
+    return (
+        df.select(F.explode(_cms_positions(F.col(key_col), salt)).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — stream concatenation ≡ counter addition."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_query(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str = "token",
+    salt: str = "",
+) -> DataFrame:
+    """Point-frequency estimates: min over the key's ``CMS_D`` cells
+    (missing cell ⇒ 0). |keys| x CMS_D slim probe rows equi-join the
+    cell table — corpus-size-independent."""
+    probes = keys.select(
+        F.col(key_col).alias("__ck"),
+        F.explode(_cms_positions(F.col(key_col), salt)).alias("p"),
+    ).select("__ck", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    j = probes.alias("__cp").join(cms.alias("__cs"), ["row", "col"], "left")
+    return (
+        j.groupBy("__ck")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("n_est")
+        )
+        .withColumnRenamed("__ck", key_col)
     )

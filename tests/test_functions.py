@@ -1826,3 +1826,88 @@ class TestHllSketch:
         assert row["sum_nano"] == sum_nano
         assert row["zeros"] == M - len(rs)
         assert row["est_milli"] == K_MILLI // sum_nano
+
+
+class TestCmsSketch:
+    """Count-min sketch (functions/sketch.py)."""
+
+    def test_cells_match_python_replay(self, spark):
+        import hashlib
+        from collections import Counter
+
+        from ppocr_spark.functions.sketch import CMS_D, CMS_W, cms_build
+
+        keys = [f"t{i % 37}" for i in range(500)]
+        d = spark.createDataFrame([(k,) for k in keys], "token string")
+        got = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in cms_build(d, "token").collect()
+        }
+        expect: Counter = Counter()
+        for k in keys:
+            for j in range(CMS_D):
+                h = hashlib.md5(f"cms{j}:{k}".encode()).hexdigest()
+                expect[(j, int(h[:15], 16) % CMS_W)] += 1
+        assert got == dict(expect)
+
+    def test_never_undercounts_and_min_is_tight(self, spark):
+        from collections import Counter
+
+        from ppocr_spark.functions.sketch import cms_build, cms_query
+
+        keys = [f"w{i % 53}" for i in range(1000)]
+        truth = Counter(keys)
+        d = spark.createDataFrame([(k,) for k in keys], "token string")
+        cms = cms_build(d, "token")
+        probes = spark.createDataFrame(
+            [(k,) for k in sorted(truth)], "token string"
+        )
+        est = {
+            r["token"]: r["n_est"]
+            for r in cms_query(cms, probes, "token").collect()
+        }
+        assert set(est) == set(truth)
+        for k, n in truth.items():
+            assert est[k] >= n  # one-sided error, always
+        # 53 keys x 4 rows into 16k cells: collisions are unlikely
+        # enough that at least the MAJORITY of estimates are exact
+        exact = sum(1 for k in truth if est[k] == truth[k])
+        assert exact > len(truth) * 0.9
+
+    def test_merge_is_stream_concat(self, spark):
+        from ppocr_spark.functions.sketch import cms_build, cms_merge
+
+        a = spark.createDataFrame(
+            [(f"x{i % 11}",) for i in range(200)], "token string"
+        )
+        b = spark.createDataFrame(
+            [(f"x{i % 17}",) for i in range(300)], "token string"
+        )
+        both = a.unionByName(b)
+        merged = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in cms_merge(
+                cms_build(a, "token"), cms_build(b, "token")
+            ).collect()
+        }
+        whole = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in cms_build(both, "token").collect()
+        }
+        assert merged == whole
+
+    def test_absent_key_estimates_from_collisions_only(self, spark):
+        from ppocr_spark.functions.sketch import cms_build, cms_query
+
+        d = spark.createDataFrame(
+            [(f"p{i}",) for i in range(50)], "token string"
+        )
+        cms = cms_build(d, "token")
+        probes = spark.createDataFrame(
+            [("never-seen-key",)], "token string"
+        )
+        row = cms_query(cms, probes, "token").collect()[0]
+        # 50 keys x 4 cells in 16k: the probe's 4 cells are almost
+        # surely untouched -> estimate 0 via the coalesce(left-join)
+        # path (this pins the missing-cell => 0 branch)
+        assert row["n_est"] == 0
