@@ -4420,6 +4420,45 @@ FROM est ORDER BY token
 """
 
 
+def _stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth VALUE-checked streaming row (library
+    streaming.stream_hll_registers): the HLL register aggregation as a
+    streaming query — where dropDuplicates-based streaming distinct
+    grows state per distinct key, the sketch caps streaming state at
+    256 register rows forever. Register max is commutative/associative,
+    so arrival order and batch boundaries cannot change the final
+    complete-mode table; the oracle is the batch ``distinct_hll``
+    register CTE chain."""
+    from ppocr_spark.streaming.stream import stream_hll_registers
+
+    return stream_hll_registers(
+        spark, f"{sf_dir}/documents.parquet"
+    ).orderBy("bucket")
+
+
+_STREAM_HLL_SQL = """
+WITH hx AS (
+  SELECT md5('hll:' || text) AS h FROM documents
+), st AS (
+  SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+         ltrim(substr(h, 3, 14), '0') AS s
+  FROM hx
+), rho AS (
+  SELECT bucket,
+         CASE WHEN s = '' THEN 57
+              ELSE 4 * (14 - length(s))
+                   + CASE WHEN substr(s, 1, 1) >= '8' THEN 1
+                          WHEN substr(s, 1, 1) >= '4' THEN 2
+                          WHEN substr(s, 1, 1) >= '2' THEN 3
+                          ELSE 4 END
+         END AS r
+  FROM st
+)
+SELECT bucket, max(r)::BIGINT AS register
+FROM rho GROUP BY bucket ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4560,6 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": _source_quality_report,
         "distinct_hll": _distinct_hll,
         "freq_cms": _freq_cms,
+        "stream_hll_registers": _stream_hll,
     }
 
 
@@ -4670,4 +4710,5 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_report": _SOURCE_QUALITY_SQL,
         "distinct_hll": _DISTINCT_HLL_SQL,
         "freq_cms": _FREQ_CMS_SQL,
+        "stream_hll_registers": _STREAM_HLL_SQL,
     }

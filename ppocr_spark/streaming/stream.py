@@ -725,6 +725,51 @@ def _drain_distinct_stream(
     )
 
 
+def stream_hll_registers(
+    spark: SparkSession,
+    documents_path: str,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Fifth VALUE-checked streaming gate row — the HyperLogLog register
+    aggregation (``functions.sketch.hll_registers``) run as a streaming
+    query: groupBy(bucket) → max(rho) in complete mode.
+
+    Why this row earns its place: streaming distinct-count over an
+    unbounded key domain is exactly where ``dropDuplicates`` state grows
+    without bound (one state row per distinct key, the
+    ``stream_distinct_content`` shape) — the sketch caps the streaming
+    state at 256 register rows FOREVER, whatever the key cardinality.
+    That is the production shape for "distinct documents ingested so
+    far" over an endless crawl: a complete-mode 256-row result table,
+    refreshed every micro-batch, mergeable across independent streams
+    by the same GROUP BY bucket → max(register).
+
+    Value-checkable by algebra: register max is commutative and
+    associative, so file splits, batch boundaries, and arrival order
+    cannot change the final register table — it equals the batch
+    ``hll_registers`` over the same fixture, and the DuckDB twin
+    replays it exactly (the ``distinct_hll`` CTE chain)."""
+    from pyspark.sql import types as T
+
+    from ppocr_spark.functions.sketch import hll_registers
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+
+    def build(stream: DataFrame) -> DataFrame:
+        return hll_registers(stream, "text")
+
+    return _drain_stream(
+        spark, documents_path, schema, build, query_name,
+        prefix="shr", output_mode="complete",
+    )
+
+
 def _drain_stream(
     spark: SparkSession,
     src_path: str,

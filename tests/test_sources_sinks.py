@@ -889,3 +889,34 @@ class TestStreamAssembleAtLeastOnce:
         assert rows[0]["complete"] and rows[0]["n_spans"] == 3
         spans = json.loads(rows[0]["spans_json"])
         assert [s["order"] for s in spans] == [0, 1, 2]  # deduped
+
+
+class TestStreamHllRegisters:
+    def test_streaming_equals_batch_registers(self, spark, tmp_path):
+        """The streaming HLL drain must equal batch hll_registers over
+        the same fixture — register max is order/batch-independent, and
+        the 256-row cap is the whole point of the operator."""
+        from ppocr_spark.functions.sketch import M, hll_registers
+        from ppocr_spark.streaming.stream import stream_hll_registers
+
+        rows = [
+            (i, f"doc body {i % 97}", "en", "s0", 10) for i in range(300)
+        ]
+        schema = ("doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        pq = tmp_path / "docs.parquet"
+        df = spark.createDataFrame(rows, schema)
+        df.toPandas().to_parquet(pq)
+
+        got = {
+            (r["bucket"], r["register"])
+            for r in stream_hll_registers(
+                spark, str(pq), query_name="shr_t"
+            ).collect()
+        }
+        exp = {
+            (r["bucket"], r["register"])
+            for r in hll_registers(df, "text").collect()
+        }
+        assert got == exp
+        assert len(got) <= M
