@@ -4340,7 +4340,7 @@ WITH hx AS (
   SELECT bucket, max(r)::BIGINT AS register FROM rho GROUP BY bucket
 ), summ AS (
   SELECT (256 - count(*))::BIGINT AS zeros,
-         (sum(1000000000 // (CAST(1 AS BIGINT) << register))
+         (coalesce(sum(1000000000 // (CAST(1 AS BIGINT) << register)), 0)
           + (256 - count(*)) * 1000000000)::BIGINT AS sum_nano
   FROM regs
 ), ex AS (
@@ -4348,7 +4348,8 @@ WITH hx AS (
   FROM documents
 )
 SELECT bucket, register, zeros, sum_nano,
-       ({sketch_K_MILLI} // sum_nano)::BIGINT AS est_milli, n_exact
+       ({sketch_K_MILLI} // greatest(sum_nano, 1))::BIGINT AS est_milli,
+       n_exact
 FROM regs, summ, ex
 ORDER BY bucket
 """

@@ -115,20 +115,34 @@ def hll_summary(regs: DataFrame) -> DataFrame:
     agg = regs.agg(
         (F.lit(M) - F.count("*")).cast("long").alias("zeros"),
         (
-            F.sum(
-                F.expr(
-                    "1000000000 DIV shiftleft(cast(1 as bigint), register)"
-                )
+            # coalesce: SUM over an EMPTY register table is NULL, which
+            # would poison the zeros-only sum (empty input is the valid
+            # "sketch of nothing": zeros = m, est ≈ alpha·m, the raw-HLL
+            # n→0 regime the zeros column exists to flag)
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "1000000000 DIV "
+                        "shiftleft(cast(1 as bigint), register)"
+                    )
+                ),
+                F.lit(0),
             )
             + (F.lit(M) - F.count("*")) * F.lit(1000000000)
         )
         .cast("long")
         .alias("sum_nano"),
     )
+    # greatest(…,1): sum_nano hits 0 only when every bucket's register
+    # ≥ 30 (≳3·10^11 distinct keys) — unreachable at gate scale, but a
+    # bare DIV would NULL on Spark and ERROR on DuckDB there; the guard
+    # is written identically on both sides so the expressions stay twins
     return agg.select(
         "zeros",
         "sum_nano",
-        F.expr(f"{K_MILLI} DIV sum_nano").cast("long").alias("est_milli"),
+        F.expr(f"{K_MILLI} DIV greatest(sum_nano, 1)")
+        .cast("long")
+        .alias("est_milli"),
     )
 
 

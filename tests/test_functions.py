@@ -1827,6 +1827,23 @@ class TestHllSketch:
         assert row["zeros"] == M - len(rs)
         assert row["est_milli"] == K_MILLI // sum_nano
 
+    def test_empty_input_is_the_sketch_of_nothing(self, spark):
+        # SUM over an empty register table is NULL in SQL — the summary
+        # must still emit the zeros-only row (zeros=m, sum_nano=m*1e9,
+        # est = alpha*m in milli — the raw-HLL n->0 regime).
+        from ppocr_spark.functions.sketch import (
+            K_MILLI,
+            M,
+            hll_registers,
+            hll_summary,
+        )
+
+        d = spark.createDataFrame([], "text string")
+        row = hll_summary(hll_registers(d, "text")).collect()[0]
+        assert row["zeros"] == M
+        assert row["sum_nano"] == M * 10**9
+        assert row["est_milli"] == K_MILLI // (M * 10**9)
+
 
 class TestCmsSketch:
     """Count-min sketch (functions/sketch.py)."""
