@@ -4460,6 +4460,38 @@ FROM rho GROUP BY bucket ORDER BY bucket
 """
 
 
+def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (library sampling.key_skew_report): top-20
+    heaviest event users with exact counts and integer-ppm load shares
+    — the number every skew valve (salt width, max_bucket/max_cell,
+    AQE skew-join) is sized from. One map-side-combined groupBy; top-k
+    via TakeOrderedAndProject; the cumulative window runs over the
+    already-limited 20-row table, never the keyspace."""
+    from ppocr_spark.functions.sampling import key_skew_report
+
+    e = _load(spark, sf_dir, "events")
+    return key_skew_report(e, "user_id", top=20)
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(n)::BIGINT AS t FROM counts
+), head AS (
+  SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY n DESC, key)::BIGINT AS rank,
+       key, n,
+       ((1000000 * n) // t)::BIGINT AS share_ppm,
+       ((1000000 * sum(n) OVER (ORDER BY n DESC, key
+                                ROWS UNBOUNDED PRECEDING)) // t)::BIGINT
+           AS cum_share_ppm
+FROM head, tot ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4601,6 +4633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hll": _distinct_hll,
         "freq_cms": _freq_cms,
         "stream_hll_registers": _stream_hll,
+        "key_skew_report": _key_skew_report,
     }
 
 
@@ -4712,4 +4745,5 @@ def oracle_sql() -> dict[str, str]:
         "distinct_hll": _DISTINCT_HLL_SQL,
         "freq_cms": _FREQ_CMS_SQL,
         "stream_hll_registers": _STREAM_HLL_SQL,
+        "key_skew_report": _KEY_SKEW_SQL,
     }

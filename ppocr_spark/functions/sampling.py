@@ -676,3 +676,67 @@ def sample_exact_k(
         .limit(int(k))
         .drop("__h")
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """Hot-key diagnostic — the measurement you run BEFORE choosing a
+    salt factor, bucket count, or broadcast threshold: the ``top``
+    heaviest keys with exact counts, per-key load share, and cumulative
+    share, all in integer ppm (``(1e6*n) DIV total`` — exact and
+    engine-identical; float shares + round() tie-break differently
+    across engines).
+
+    Why it's first-class: every skew valve in this repo (wave
+    cost-ordering, ``max_bucket``/``max_cell``, salted reassembly, the
+    groupBy+broadcast-back forms) needs a NUMBER to be sized — at
+    100 TB you run this slim report on a sample or the full table and
+    read off "the hottest key is 3.1% of all rows, the top 20 are 40%",
+    which decides salt width and whether AQE skew-join handles it.
+
+    Scale shape: one map-side-combined ``groupBy(key)`` (the only
+    full shuffle, over slim (key, count) partials); the top-k is
+    ``orderBy(n DESC, key).limit(k)`` → TakeOrderedAndProject (per-task
+    k-row heaps, no global sort); the grand total is a 1-row broadcast
+    attach (whitelisted pattern); the cumulative-share window runs over
+    the ALREADY-LIMITED k-row table — the single-partition sort it
+    implies is k rows, never the keyspace. (count DESC, key ASC) is a
+    total order, so ranks and the boundary are deterministic.
+
+    Output: (rank, key — cast to string for schema stability, n,
+    share_ppm, cum_share_ppm), counts int64."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("__tot"))
+    head = (
+        counts.orderBy(F.col("n").desc(), "key")
+        .limit(int(top))
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n").desc(), "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        head.select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "key",
+            "n",
+            F.expr("(1000000 * n) DIV __tot").cast("long").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "(1000000 * sum(n) OVER (ORDER BY n DESC, key "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+                "DIV __tot"
+            )
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+        .orderBy("rank")
+    )

@@ -874,3 +874,30 @@ class TestCapThresholdResolution:
                 source_cap(df, cap=bad)
             with pytest.raises(ValueError):
                 mix_sources(df, budget=bad)
+
+
+class TestKeySkewReport:
+    def test_hand_computed_shares_and_boundary(self, spark):
+        from ppocr_spark.functions.sampling import key_skew_report
+
+        # a:5 b:3 c:1 d:1 — top 3 cuts at the (c,d) tie; key ASC keeps c
+        rows = (["a"] * 5) + (["b"] * 3) + ["c", "d"]
+        d = spark.createDataFrame([(k,) for k in rows], "k string")
+        got = [tuple(r) for r in key_skew_report(d, "k", top=3).collect()]
+        assert got == [
+            (1, "a", 5, 500000, 500000),
+            (2, "b", 3, 300000, 800000),
+            (3, "c", 1, 100000, 900000),
+        ]
+
+    def test_plan_is_topk_not_global_sort(self, spark):
+        from ppocr_spark.functions.sampling import key_skew_report
+
+        d = spark.range(1000).selectExpr("id % 37 AS k")
+        plan = (
+            key_skew_report(d, "k", top=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan

@@ -49,6 +49,8 @@ WHITELIST: dict[str, set[str]] = {
     # 1-row summary + 1-row exact-count attaches onto the ≤256-row
     # register table (the whitelisted constant-attach pattern).
     "distinct_hll": {"BroadcastNestedLoopJoin"},
+    # 1-row grand-total attach onto the 20-row top-k table
+    "key_skew_report": {"BroadcastNestedLoopJoin"},
 }
 
 
