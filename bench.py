@@ -113,6 +113,9 @@ def main():
         "events_attribution_asof",
         "events_interval_join",
         "events_funnel",
+        "distinct_hll",
+        "freq_cms",
+        "key_skew_report",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
