@@ -4512,10 +4512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. entries with no driver row in the previous round (stalest);
     #   3. new entries added this round (never driver-checked);
     #   4. entries driver-green last round, oldest coverage first.
-    # Round 5: 52 entries fall in tiers 1-3 but the window holds 50, so
-    # the two lowest-risk stale entries (q1/q3 — see the note at the
-    # bottom of this dict) sit below the cut; with that exception the
-    # union of CORRECTNESS_r04 + r05 windows covers all entries.
+    # Round 5: more never-driver-checked entries exist than the window
+    # holds, so tier 3 (no driver row EVER) outranks tier 2 (driver-green
+    # in r3, untouched pure-SQL, local-green every session since): a
+    # first-ever driver row is worth more than a third row for a query
+    # that hasn't changed in four rounds. The demoted tier-2 entries are
+    # listed at the bottom of this dict so the choice is auditable.
     return {
         # --- red in r4 (fixed: oracle NULL-vs-'' on fully-cut docs) ---
         "dedup_substring_rewrite": _substring_rewrite,
@@ -4529,15 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cell_match": _table_cell_match,
         "table_html": _table_html,
         "q5_region_revenue": _q5,
-        "top_customers_window": _top_customers,
-        "events_daily": _events_daily,
-        "events_windowed": _events_windowed,
         "events_percentiles": _events_percentiles,
-        "distinct_event_types": _distinct_event_types,
-        "orders_case_projection": _orders_case,
-        "semi_anti_join": _semi_anti_join,
-        "set_ops_nations": _set_ops,
-        "rollup_revenue": _rollup_revenue,
         "events_sessionize": _events_sessionize,
         "events_attribution_asof": _events_attribution_asof,
         "events_interval_join": _events_interval_join,
@@ -4570,6 +4564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _events_json_props,
         "knn_classify": _knn_classify,
         "cluster_label_purity": _cluster_label_purity,
+        "source_quality_report": _source_quality_report,
+        "distinct_hll": _distinct_hll,
+        "freq_cms": _freq_cms,
+        "stream_hll_registers": _stream_hll,
+        "key_skew_report": _key_skew_report,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -4621,19 +4620,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _image_metadata,
         "image_features": _image_features,
         "audio_metadata": _audio_metadata,
-        # --- demoted below the r5 cut (52 stale/new entries vs a 50-entry
-        # window): the two lowest-risk stale entries — pure TPC-H SQL,
-        # untouched since round 1, driver-green in r3, local-green every
-        # session since. Documented here so the choice is auditable.
+        # --- demoted below the r5 cut (more stale/new entries than the
+        # 50-entry window holds): the lowest-risk tier-2 entries — pure
+        # TPC-H/window/set-op SQL, untouched since round 1, driver-green
+        # in r3, local-green every session since (check_oracles still
+        # value-checks every one of these each run). Documented here so
+        # the choice is auditable; each slot freed went to an entry with
+        # no driver row EVER (the post-freeze sketch family + this
+        # session's additions above).
         "q1_pricing_summary": _q1,
         "q3_shipping_priority": _q3,
-        # --- added after the r5 window was frozen: local-gate coverage
-        # only this round (check_oracles value-checks it every session).
-        "source_quality_report": _source_quality_report,
-        "distinct_hll": _distinct_hll,
-        "freq_cms": _freq_cms,
-        "stream_hll_registers": _stream_hll,
-        "key_skew_report": _key_skew_report,
+        "top_customers_window": _top_customers,
+        "events_daily": _events_daily,
+        "events_windowed": _events_windowed,
+        "distinct_event_types": _distinct_event_types,
+        "orders_case_projection": _orders_case,
+        "semi_anti_join": _semi_anti_join,
+        "set_ops_nations": _set_ops,
+        "rollup_revenue": _rollup_revenue,
     }
 
 
