@@ -4460,6 +4460,93 @@ FROM rho GROUP BY bucket ORDER BY bucket
 """
 
 
+def _events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch (library sketch.quantile_hist
+    family — the third bounded-state member: HLL = distinct, CMS =
+    frequency, this = quantiles): per-event-type p50/p90/p99 from a
+    ≤2^16-cell histogram whose every step — power-of-two binning,
+    cell-wise merge, integer ceil-rank selection — replays bit-for-bit
+    in DuckDB. Where Spark's exact ``percentile`` shuffles and sorts
+    every value and ``percentile_approx``'s KLL state is an
+    engine-private blob, this sketch is map-side-combined to a bounded
+    cell table and is storable/mergeable across shards. ``exact_p50``
+    is the calibration column (same integer rank applied to the raw
+    values — the sketch's lower edge must sit within 1/64 below it); at
+    100 TB you publish the sketch alone, the exact pick is gate-scale
+    evidence like ``distinct_hll.n_exact``."""
+    from pyspark.sql import Window
+
+    from ppocr_spark.functions import sketch
+
+    e = _load(spark, sf_dir, "events")
+    hist = sketch.quantile_hist(e, "value", ("event_type",))
+    q = sketch.quantile_hist_quantiles(hist, group_cols=("event_type",))
+    w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ex = (
+        e.select(
+            "event_type",
+            "value",
+            F.row_number().over(w_ord).alias("__rn"),
+            F.count("*").over(w_all).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(500000 * __n + 999999) DIV 1000000"))
+        .select("event_type", F.col("value").alias("exact_p50"))
+    )
+    return (
+        q.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p50_lo_micro",
+            "p90_lo_micro",
+            "p99_lo_micro",
+            "exact_p50",
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_QSKETCH_SQL = """
+WITH b AS (
+  SELECT event_type,
+         least(greatest(CAST(floor(value * 64) AS BIGINT), -32768),
+               32767) AS bin
+  FROM events
+), h AS (
+  SELECT event_type, bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM h
+), q AS (
+  SELECT event_type, max(n)::BIGINT AS n,
+         (min(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+                   THEN bin END) * 15625)::BIGINT AS p50_lo_micro,
+         (min(CASE WHEN cum >= (900000 * n + 999999) // 1000000
+                   THEN bin END) * 15625)::BIGINT AS p90_lo_micro,
+         (min(CASE WHEN cum >= (990000 * n + 999999) // 1000000
+                   THEN bin END) * 15625)::BIGINT AS p99_lo_micro
+  FROM c GROUP BY event_type
+), ex AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT q.event_type, q.n, p50_lo_micro, p90_lo_micro, p99_lo_micro,
+       e.value AS exact_p50
+FROM q JOIN ex e ON e.event_type = q.event_type
+   AND e.rn = (500000 * e.n + 999999) // 1000000
+ORDER BY q.event_type
+"""
+
+
 def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnostic (library sampling.key_skew_report): top-20
     heaviest event users with exact counts and integer-ppm load shares
@@ -4569,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_cms": _freq_cms,
         "stream_hll_registers": _stream_hll,
         "key_skew_report": _key_skew_report,
+        "events_quantile_sketch": _events_quantile_sketch,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -4750,4 +4838,5 @@ def oracle_sql() -> dict[str, str]:
         "freq_cms": _FREQ_CMS_SQL,
         "stream_hll_registers": _STREAM_HLL_SQL,
         "key_skew_report": _KEY_SKEW_SQL,
+        "events_quantile_sketch": _EVENTS_QSKETCH_SQL,
     }

@@ -212,6 +212,119 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
+# fixed sketch format (like the HLL's m and the CMS grid, these are the
+# on-disk layout, not knobs): 2^6 = 64 bins per value unit, bin ids
+# clamped to +/-2^15 — at most 65,536 cells per group whatever the
+# input size, and each cell's lower edge is an EXACT integer number of
+# micro-units (10^6 / 64 = 15,625).
+QH_SHIFT = 6
+QH_SCALE = 1 << QH_SHIFT
+QH_BIN_MIN = -(1 << 15)
+QH_BIN_MAX = (1 << 15) - 1
+QH_LO_MICRO = 10**6 >> QH_SHIFT  # exact: 15625
+
+
+def _clamped_bin(value: Column) -> Column:
+    """Histogram bin for one value — every step float-exact: ``value *
+    QH_SCALE`` multiplies by a power of two (an exponent shift, never a
+    rounded mantissa), ``floor`` is exact, and the clamp is integer
+    ``least/greatest`` — so the bin is bit-identical in any IEEE-754
+    engine. Out-of-range values land in the edge bins (documented lossy
+    tails, same rule both engines)."""
+    return F.least(
+        F.greatest(
+            F.floor(value * F.lit(QH_SCALE)).cast("long"),
+            F.lit(QH_BIN_MIN),
+        ),
+        F.lit(QH_BIN_MAX),
+    )
+
+
+def quantile_hist(
+    df: DataFrame, value_col: str = "value", group_cols: tuple = ()
+) -> DataFrame:
+    """(group..., bin, cnt) histogram cells — the quantile member of the
+    bounded-state sketch family (HLL = distinct counts, CMS = point
+    frequencies, Bloom = membership). At most ``2^16`` cells per group
+    whatever the input size: partial aggregation combines each partition
+    down to its cell set before the one bounded shuffle, so a
+    10^12-row percentile estimate runs as a map-side-combine scan plus
+    a tiny reduce where Spark's exact ``percentile`` shuffles and sorts
+    every value. The sketch is LINEAR (``quantile_hist_merge`` =
+    cell-wise sum), so per-shard/per-crawl histograms are storable audit
+    artifacts that roll up into corpus-wide quantiles without rescans —
+    and unlike ``percentile_approx`` (whose KLL-style state is an
+    engine-private blob), every cell and every derived quantile replays
+    bit-for-bit in DuckDB (``events_quantile_sketch``)."""
+    keys = [F.col(c) for c in group_cols]
+    return (
+        df.select(*keys, _clamped_bin(F.col(value_col)).alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def quantile_hist_merge(
+    *hists: DataFrame, group_cols: tuple = ()
+) -> DataFrame:
+    """Stream concatenation ≡ cell-wise count addition."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def quantile_hist_quantiles(
+    hist: DataFrame,
+    qs: dict[str, int] | None = None,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Per-group quantile estimates from the cell table: one row per
+    group with ``n`` plus, for each requested quantile, the LOWER EDGE
+    of the bin holding rank ``ceil(q_ppm * n / 1e6)`` in exact integer
+    micro-units (``bin * 15625``); the true value lies within
+    ``1/QH_SCALE`` above it. All integer arithmetic — quantile targets
+    in ppm, ceil as ``(q*n + 999999) DIV 1e6`` — so the estimates are
+    engine-identical by construction (float ranks + round() tie-break
+    differently across engines, the documented hazard class).
+
+    Scale shape: the cumulative window and the final groupBy run over
+    the ALREADY-BOUNDED cell table (≤ 2^16 rows per group), never the
+    value stream."""
+    from pyspark.sql import Window
+
+    if qs is None:
+        qs = {"p50": 500_000, "p90": 900_000, "p99": 990_000}
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w_cum).cast("long").alias("__cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("__n"),
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for name, q_ppm in qs.items():
+        rank = F.expr(f"({int(q_ppm)} * __n + 999999) DIV 1000000")
+        aggs.append(
+            (
+                F.min(F.when(F.col("__cum") >= rank, F.col("bin")))
+                * F.lit(QH_LO_MICRO)
+            )
+            .cast("long")
+            .alias(f"{name}_lo_micro")
+        )
+    return c.groupBy(*group_cols).agg(*aggs)
+
+
 def cms_query(
     cms: DataFrame,
     keys: DataFrame,

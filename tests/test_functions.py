@@ -1928,3 +1928,127 @@ class TestCmsSketch:
         # surely untouched -> estimate 0 via the coalesce(left-join)
         # path (this pins the missing-cell => 0 branch)
         assert row["n_est"] == 0
+
+
+class TestQuantileHist:
+    """Mergeable histogram-quantile sketch (functions/sketch.py)."""
+
+    def test_bins_match_python_replay(self, spark):
+        import math
+
+        from ppocr_spark.functions.sketch import (
+            QH_BIN_MAX,
+            QH_BIN_MIN,
+            QH_SCALE,
+            quantile_hist,
+        )
+
+        vals = [0.01, 1.5, -3.2, 489.99, 1e9, -1e9, 0.0]
+        d = spark.createDataFrame([(v,) for v in vals], "value double")
+        got = {
+            r["bin"]: r["cnt"] for r in quantile_hist(d, "value").collect()
+        }
+        expect: dict[int, int] = {}
+        for v in vals:
+            b = min(max(math.floor(v * QH_SCALE), QH_BIN_MIN), QH_BIN_MAX)
+            expect[b] = expect.get(b, 0) + 1
+        assert got == expect
+        # the two out-of-range values landed in the edge bins
+        assert QH_BIN_MIN in got and QH_BIN_MAX in got
+
+    def test_merge_is_concatenation(self, spark):
+        from ppocr_spark.functions.sketch import (
+            quantile_hist,
+            quantile_hist_merge,
+        )
+
+        a = spark.createDataFrame(
+            [(float(i % 13),) for i in range(200)], "value double"
+        )
+        b = spark.createDataFrame(
+            [(float(i % 7) / 4,) for i in range(150)], "value double"
+        )
+        merged = {
+            (r["bin"], r["cnt"])
+            for r in quantile_hist_merge(
+                quantile_hist(a, "value"), quantile_hist(b, "value")
+            ).collect()
+        }
+        whole = {
+            (r["bin"], r["cnt"])
+            for r in quantile_hist(a.unionByName(b), "value").collect()
+        }
+        assert merged == whole
+
+    def test_quantiles_bound_the_exact_value(self, spark):
+        # lower edge <= exact disc quantile < lower edge + 1/QH_SCALE
+        # (holds whenever the value is inside the clamp range)
+        from ppocr_spark.functions.sketch import (
+            QH_SCALE,
+            quantile_hist,
+            quantile_hist_quantiles,
+        )
+
+        vals = [((i * 37) % 1000) / 8.0 for i in range(1000)]
+        d = spark.createDataFrame([(v,) for v in vals], "value double")
+        row = quantile_hist_quantiles(quantile_hist(d, "value")).collect()[0]
+        assert row["n"] == 1000
+        s = sorted(vals)
+        for name, q_ppm in (
+            ("p50", 500_000), ("p90", 900_000), ("p99", 990_000)
+        ):
+            rank = (q_ppm * 1000 + 999_999) // 1_000_000
+            exact = s[rank - 1]
+            lo = row[f"{name}_lo_micro"] / 1e6
+            assert lo <= exact < lo + 1.0 / QH_SCALE
+
+    def test_grouped_quantiles_are_integer_exact(self, spark):
+        # per-group replay in exact python ints must match bit-for-bit
+        from ppocr_spark.functions.sketch import (
+            QH_LO_MICRO,
+            QH_SCALE,
+            quantile_hist,
+            quantile_hist_quantiles,
+        )
+
+        rows = [("a", float(i)) for i in range(10)] + [
+            ("b", float(i) / 16) for i in range(100)
+        ]
+        d = spark.createDataFrame(rows, "g string, value double")
+        got = {
+            r["g"]: r
+            for r in quantile_hist_quantiles(
+                quantile_hist(d, "value", ("g",)), group_cols=("g",)
+            ).collect()
+        }
+        import math
+
+        for g in ("a", "b"):
+            vs = sorted(v for gg, v in rows if gg == g)
+            bins = sorted(
+                {min(max(math.floor(v * QH_SCALE), -(1 << 15)),
+                     (1 << 15) - 1) for v in vs}
+            )
+            cnts = {
+                b: sum(
+                    1
+                    for v in vs
+                    if min(max(math.floor(v * QH_SCALE), -(1 << 15)),
+                           (1 << 15) - 1) == b
+                )
+                for b in bins
+            }
+            n = len(vs)
+            assert got[g]["n"] == n
+            for name, q_ppm in (
+                ("p50", 500_000), ("p90", 900_000), ("p99", 990_000)
+            ):
+                rank = (q_ppm * n + 999_999) // 1_000_000
+                cum = 0
+                pick = None
+                for b in bins:
+                    cum += cnts[b]
+                    if cum >= rank:
+                        pick = b
+                        break
+                assert got[g][f"{name}_lo_micro"] == pick * QH_LO_MICRO
