@@ -690,6 +690,62 @@ ORDER BY event_id
 """
 
 
+def _events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1h rolling stats (count / min / max / sum) —
+    the sliding-window member of the time-series family (sessionize =
+    gap windows, interval_join = fixed lookback JOIN, this = a RANGE
+    frame per event). One shuffle on user_id, then a single in-partition
+    sort serves the whole frame: Spark evaluates the RANGE frame with a
+    sliding pointer pair over the sorted run, O(n) per user, no
+    candidate explosion — at 100 TB this is strictly cheaper than the
+    equivalent self-join (which interval_join exists for when the two
+    sides differ). Skewed users are the hazard; ``key_skew_report``
+    is the sizing tool. Exactness: frame bounds compare integer
+    microseconds (engine-identical); min/max are order-independent on
+    doubles; the sum runs in decimal so addition order cannot change
+    the rounded result."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    us = _ntz_us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.withColumn("__us", us)
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("long").alias("n_1h"),
+            F.round(F.min("value").over(w), 6).alias("vmin_1h"),
+            F.round(F.max("value").over(w), 6).alias("vmax_1h"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .over(w)
+                .cast("double"),
+                4,
+            ).alias("vsum_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w::BIGINT AS n_1h,
+       round(min(value) OVER w, 6) AS vmin_1h,
+       round(max(value) OVER w, 6) AS vmax_1h,
+       round((sum(CAST(value AS DECIMAL(18,6))) OVER w)::DOUBLE, 4)
+           AS vsum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -4547,6 +4603,75 @@ ORDER BY q.event_type
 """
 
 
+def _layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for two-dimensional file pruning
+    (library sampling.zorder_key / zorder_layout): events bucketed on
+    (day-of-month, user_id % 256), keyed onto the Z-curve, then rolled
+    up per 10-bit key prefix — each prefix is one curve segment, i.e.
+    one would-be file, and the emitted min/max rectangle IS the
+    file-statistics tightness that lets EITHER predicate prune: a
+    prefix leaves 5 free bits per dimension, so BOTH spans are ≤ 32 by
+    construction, where a single-dim sort leaves the other dimension
+    unbounded (every file spans all 256 user buckets).
+    The key is pure shift/mask integer arithmetic in whole-stage
+    codegen; the oracle rebuilds it bit-for-bit from the same unrolled
+    terms (``_zorder_sql_expr`` — one generator, two engines). One
+    map-side-combined groupBy over ≤ 2^6 prefixes; the actual layout
+    write (range repartition + in-partition sort on the key) is
+    exercised by the layout test, not the gate."""
+    from ppocr_spark.functions.sampling import zorder_key
+
+    e = _load(spark, sf_dir, "events")
+    x = (F.dayofmonth("ts") - 1).cast("long")
+    y = (F.col("user_id") % 256).cast("long")
+    d = e.select(
+        x.alias("x"), y.alias("y"), zorder_key(x, y, 8).alias("zkey")
+    )
+    return (
+        d.groupBy(F.expr("zkey DIV 1024").cast("long").alias("prefix"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("x").cast("long").alias("xmin"),
+            F.max("x").cast("long").alias("xmax"),
+            F.min("y").cast("long").alias("ymin"),
+            F.max("y").cast("long").alias("ymax"),
+            (
+                (F.max("x") - F.min("x") + 1)
+                * (F.max("y") - F.min("y") + 1)
+            )
+            .cast("long")
+            .alias("rect_area"),
+        )
+        .orderBy("prefix")
+    )
+
+
+def _zorder_sql_expr(x: str, y: str, bits: int = 8) -> str:
+    """The DuckDB spelling of sampling.zorder_key's unrolled terms —
+    generated from the same loop shape so the twins cannot drift."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k + 1})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k})")
+    return " + ".join(terms)
+
+
+_LAYOUT_ZORDER_SQL = f"""
+WITH z AS (
+  SELECT x, y, ({_zorder_sql_expr('x', 'y')})::BIGINT AS zkey
+  FROM (
+    SELECT (day(ts) - 1)::BIGINT AS x, (user_id % 256)::BIGINT AS y
+    FROM events
+  )
+)
+SELECT (zkey // 1024)::BIGINT AS prefix, count(*)::BIGINT AS n,
+       min(x)::BIGINT AS xmin, max(x)::BIGINT AS xmax,
+       min(y)::BIGINT AS ymin, max(y)::BIGINT AS ymax,
+       ((max(x) - min(x) + 1) * (max(y) - min(y) + 1))::BIGINT AS rect_area
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnostic (library sampling.key_skew_report): top-20
     heaviest event users with exact counts and integer-ppm load shares
@@ -4657,6 +4782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_registers": _stream_hll,
         "key_skew_report": _key_skew_report,
         "events_quantile_sketch": _events_quantile_sketch,
+        "events_rolling_stats": _events_rolling_stats,
+        "layout_zorder": _layout_zorder,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -4839,4 +4966,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll_registers": _STREAM_HLL_SQL,
         "key_skew_report": _KEY_SKEW_SQL,
         "events_quantile_sketch": _EVENTS_QSKETCH_SQL,
+        "events_rolling_stats": _EVENTS_ROLLING_SQL,
+        "layout_zorder": _LAYOUT_ZORDER_SQL,
     }

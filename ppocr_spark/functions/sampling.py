@@ -678,6 +678,60 @@ def sample_exact_k(
     )
 
 
+def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    pre-bucketed dimensions (each must already be in ``[0, 2^bits)`` —
+    callers bucket by range/quantile/modulo first). Pure integer
+    shift/mask arithmetic, unrolled at plan-build time into one
+    whole-stage-codegen expression; the disjoint bit positions sum, so
+    ``+`` is bitwise-or and the key replays bit-for-bit in any engine
+    (``layout_zorder`` value-checks it against DuckDB).
+
+    Why first-class at 100 TB: min/max file pruning only skips files
+    for predicates on the SORT key — sorting by ``x`` leaves ``y``
+    scattered across every file. A Z-order key maps the (x, y) grid
+    onto a locality-preserving curve, so ranging on the key yields
+    files TIGHT IN BOTH dimensions and either predicate prunes (the
+    Delta/Iceberg OPTIMIZE ZORDER strategy, here as a plain column +
+    range repartition — engine-neutral, nothing to vendored-format)."""
+    terms = []
+    for k in range(int(bits)):
+        terms.append(
+            F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    partitions: int | None = None,
+    key_col: str = "zkey",
+) -> DataFrame:
+    """Cluster rows for two-dimensional file pruning: attach the Morton
+    key and range-repartition + sort on it, so each output file covers
+    one compact segment of the Z-curve — a small rectangle in (x, y).
+    Write the result with any sink; both dimensions' min/max file stats
+    stay tight. ``repartitionByRange`` samples boundaries (one pass)
+    and balances output sizes; the in-partition sort is the only other
+    cost — no extra shuffle over a plain repartition-for-write."""
+    d = df.withColumn(
+        key_col, zorder_key(F.col(x_col), F.col(y_col), bits)
+    )
+    n = int(partitions) if partitions else int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return d.repartitionByRange(n, key_col).sortWithinPartitions(key_col)
+
+
 def key_skew_report(
     df: DataFrame,
     key_col: str,

@@ -901,3 +901,70 @@ class TestKeySkewReport:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestZorderLayout:
+    def test_key_matches_python_morton_replay(self, spark):
+        from ppocr_spark.functions.sampling import zorder_key
+
+        import pyspark.sql.functions as F
+
+        d = spark.createDataFrame(
+            [(x, y) for x in (0, 1, 5, 130, 255) for y in (0, 3, 64, 255)],
+            "x long, y long",
+        )
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in d.select(
+                "x", "y", zorder_key(F.col("x"), F.col("y"), 8).alias("z")
+            ).collect()
+        }
+
+        def morton(x, y):
+            z = 0
+            for k in range(8):
+                z |= ((x >> k) & 1) << (2 * k + 1)
+                z |= ((y >> k) & 1) << (2 * k)
+            return z
+
+        assert got == {
+            (x, y): morton(x, y) for (x, y) in got
+        }
+        # interleave basics: (1,0) -> 2, (0,1) -> 1, (255,255) -> 65535
+        assert got[(1, 0)] == 2 and got[(0, 3)] == 5
+        assert got[(255, 255)] == 65535
+
+    def test_layout_bounds_both_dims_per_partition(self, spark):
+        # the pruning property: after zorder_layout every partition
+        # (one would-be file) has a SMALL span in x AND in y, while a
+        # single-dim range layout leaves y unbounded in every file.
+        from ppocr_spark.functions.sampling import zorder_layout
+
+        import pyspark.sql.functions as F
+
+        grid = spark.createDataFrame(
+            [(i % 64, i // 64) for i in range(4096)],
+            "x long, y long",
+        )
+        z = zorder_layout(grid, "x", "y", bits=6, partitions=16)
+        spans = (
+            z.groupBy(F.spark_partition_id().alias("p"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .collect()
+        )
+        assert len(spans) == 16
+        # 4096/16 = 256 keys per partition -> each curve segment spans
+        # at most a few 16x16 quads; both dims far below the full 0-63
+        assert max(r["dx"] for r in spans) <= 32
+        assert max(r["dy"] for r in spans) <= 32
+        xonly = grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+        xspans = (
+            xonly.groupBy(F.spark_partition_id().alias("p"))
+            .agg((F.max("y") - F.min("y")).alias("dy"))
+            .collect()
+        )
+        # the single-dim layout leaves y at (or near) full span everywhere
+        assert min(r["dy"] for r in xspans) >= 48
