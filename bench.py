@@ -116,6 +116,9 @@ def main():
         "distinct_hll",
         "freq_cms",
         "key_skew_report",
+        "events_quantile_sketch",
+        "events_rolling_stats",
+        "layout_zorder",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
