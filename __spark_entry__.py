@@ -4603,6 +4603,73 @@ ORDER BY q.event_type
 """
 
 
+def _events_distinct_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped HLL (library sketch.hll_registers/hll_summary with
+    group_cols): distinct users per event type from ONE bounded
+    |types|×256-row register table — the realistic audit shape, where
+    exact per-group countDistinct shuffles every (group, key) pair.
+    The whole chain (per-group registers → exact integer harmonic sum →
+    one integer division) replays in DuckDB GROUP BY for GROUP BY;
+    ``n_exact`` is the gate-scale calibration column. At ~150 users per
+    type the sketch sits in raw-HLL's documented high-read regime
+    (n < 2.5·m) — the ``zeros`` column exists to flag exactly that, and
+    both engines compute the identical number either way."""
+    from ppocr_spark.functions import sketch
+
+    e = _load(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    regs = sketch.hll_registers(e, "uid", group_cols=("event_type",))
+    summ = sketch.hll_summary(regs, group_cols=("event_type",))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("uid").cast("long").alias("n_exact")
+    )
+    return (
+        summ.join(exact, "event_type")
+        .select("event_type", "zeros", "sum_nano", "est_milli", "n_exact")
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_DISTINCT_HLL_SQL = f"""
+WITH hx AS (
+  SELECT event_type, md5('hll:' || user_id::VARCHAR) AS h FROM events
+), st AS (
+  SELECT event_type, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+         ltrim(substr(h, 3, 14), '0') AS s
+  FROM hx
+), rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN s = '' THEN 57
+              ELSE 4 * (14 - length(s))
+                   + CASE WHEN substr(s, 1, 1) >= '8' THEN 1
+                          WHEN substr(s, 1, 1) >= '4' THEN 2
+                          WHEN substr(s, 1, 1) >= '2' THEN 3
+                          ELSE 4 END
+         END AS r
+  FROM st
+), regs AS (
+  SELECT event_type, bucket, max(r)::BIGINT AS register
+  FROM rho GROUP BY 1, 2
+), summ AS (
+  SELECT event_type, (256 - count(*))::BIGINT AS zeros,
+         (coalesce(sum(1000000000 // (CAST(1 AS BIGINT) << register)), 0)
+          + (256 - count(*)) * 1000000000)::BIGINT AS sum_nano
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT s.event_type, zeros, sum_nano,
+       ({sketch_K_MILLI} // greatest(sum_nano, 1))::BIGINT AS est_milli,
+       n_exact
+FROM summ s JOIN ex ON ex.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+
 def _layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key for two-dimensional file pruning
     (library sampling.zorder_key / zorder_layout): events bucketed on
@@ -4784,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch": _events_quantile_sketch,
         "events_rolling_stats": _events_rolling_stats,
         "layout_zorder": _layout_zorder,
+        "events_distinct_users_hll": _events_distinct_users_hll,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -4968,4 +5036,5 @@ def oracle_sql() -> dict[str, str]:
         "events_quantile_sketch": _EVENTS_QSKETCH_SQL,
         "events_rolling_stats": _EVENTS_ROLLING_SQL,
         "layout_zorder": _LAYOUT_ZORDER_SQL,
+        "events_distinct_users_hll": _EVENTS_DISTINCT_HLL_SQL,
     }

@@ -57,19 +57,28 @@ K_MILLI = 923264 * M * M * 10**12 // 1285395
 
 
 def hll_registers(
-    df: DataFrame, key_col: str = "text", salt: str = "hll"
+    df: DataFrame,
+    key_col: str = "text",
+    salt: str = "hll",
+    group_cols: tuple = (),
 ) -> DataFrame:
-    """(bucket, register) sketch rows — at most ``M`` of them, whatever
-    the input size. All string/CASE arithmetic, JVM-side, one groupBy
-    over 256 keys (partial max per partition, then a 256-row shuffle).
+    """(group..., bucket, register) sketch rows — at most ``M`` per
+    group, whatever the input size. All string/CASE arithmetic,
+    JVM-side, one groupBy over ``|groups| x 256`` keys (partial max per
+    partition, then a slim shuffle). With ``group_cols`` this is the
+    realistic audit shape — distinct users per day/type/source as one
+    bounded table instead of one exact countDistinct shuffle per group.
 
     The rank is HLL's geometric rho read off hex digits: 4 bits per
     leading '0' char, plus 1–4 bits from the first non-zero hex digit
     (d≥8 → its top bit is 1 → one more trial; d=1 → three more zero
     bits first). P(rho ≥ j) = 2^-j exactly, same as bit-level HLL."""
+    keys = [F.col(c) for c in group_cols]
     d = df.select(
-        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col))).alias("__hx")
+        *keys,
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col))).alias("__hx"),
     ).select(
+        *group_cols,
         F.conv(F.substring("__hx", 1, 2), 16, 10)
         .cast("long")
         .alias("bucket"),
@@ -86,33 +95,36 @@ def hll_registers(
         .otherwise(4)
     )
     return (
-        d.select("bucket", rho.cast("long").alias("__rho"))
-        .groupBy("bucket")
+        d.select(*group_cols, "bucket", rho.cast("long").alias("__rho"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("__rho").cast("long").alias("register"))
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(*sketches: DataFrame, group_cols: tuple = ()) -> DataFrame:
     """Union of the underlying key sets ≡ per-bucket register max —
     merging K shard/crawl sketches is a ≤ K·M-row aggregate, no rescan."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bucket").agg(
+    return out.groupBy(*group_cols, "bucket").agg(
         F.max("register").cast("long").alias("register")
     )
 
 
-def hll_summary(regs: DataFrame) -> DataFrame:
-    """One row: (zeros, sum_nano, est_milli).
+def hll_summary(regs: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """One row per group: (group..., zeros, sum_nano, est_milli).
 
     The harmonic sum is exact integers: each hit bucket contributes
     ``1e9 DIV 2^register`` nano-units (truncation is identical integer
     division in any engine; total truncation error < m nano-units) and
     each never-hit bucket a whole 1e9. The estimate is then ONE integer
     division by the shared constant ``K_MILLI`` — no float touches the
-    chain, so the number is engine-identical by construction."""
-    agg = regs.agg(
+    chain, so the number is engine-identical by construction. With
+    ``group_cols`` the global-aggregate form becomes one bounded
+    groupBy (``groupBy()`` with no columns IS the global aggregate, so
+    the empty-input one-row contract is unchanged)."""
+    agg = regs.groupBy(*group_cols).agg(
         (F.lit(M) - F.count("*")).cast("long").alias("zeros"),
         (
             # coalesce: SUM over an EMPTY register table is NULL, which
@@ -138,6 +150,7 @@ def hll_summary(regs: DataFrame) -> DataFrame:
     # bare DIV would NULL on Spark and ERROR on DuckDB there; the guard
     # is written identically on both sides so the expressions stay twins
     return agg.select(
+        *group_cols,
         "zeros",
         "sum_nano",
         F.expr(f"{K_MILLI} DIV greatest(sum_nano, 1)")

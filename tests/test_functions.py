@@ -1827,6 +1827,42 @@ class TestHllSketch:
         assert row["zeros"] == M - len(rs)
         assert row["est_milli"] == K_MILLI // sum_nano
 
+    def test_grouped_registers_equal_per_group_runs(self, spark):
+        # the grouped form must be exactly the ungrouped sketch applied
+        # within each group — same buckets, same registers, same summary
+        from ppocr_spark.functions.sketch import hll_registers, hll_summary
+
+        rows = [("a", f"u{i}") for i in range(120)] + [
+            ("b", f"u{i}") for i in range(40, 300)
+        ]
+        d = spark.createDataFrame(rows, "g string, k string")
+        grouped = {
+            (r["g"], r["bucket"]): r["register"]
+            for r in hll_registers(d, "k", group_cols=("g",)).collect()
+        }
+        for g in ("a", "b"):
+            solo = {
+                (g, r["bucket"]): r["register"]
+                for r in hll_registers(
+                    d.filter(F.col("g") == g), "k"
+                ).collect()
+            }
+            assert {k: v for k, v in grouped.items() if k[0] == g} == solo
+        summ = {
+            r["g"]: (r["zeros"], r["sum_nano"], r["est_milli"])
+            for r in hll_summary(
+                hll_registers(d, "k", group_cols=("g",)), group_cols=("g",)
+            ).collect()
+        }
+        for g in ("a", "b"):
+            row = hll_summary(
+                hll_registers(d.filter(F.col("g") == g), "k")
+            ).collect()[0]
+            assert summ[g] == (
+                row["zeros"], row["sum_nano"], row["est_milli"]
+            )
+
+
     def test_empty_input_is_the_sketch_of_nothing(self, spark):
         # SUM over an empty register table is NULL in SQL — the summary
         # must still emit the zeros-only row (zeros=m, sum_nano=m*1e9,
