@@ -1421,6 +1421,41 @@ ORDER BY a, b
 """
 
 
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (library
+    dedup.ngram_containment_pairs): the asymmetric subset-dup signal —
+    a doc quoted inside a longer one scores ~1e6 ppm short→long even
+    when Jaccard is tiny. Integer-ppm exact; same gram-equi-join
+    candidate generator as the Jaccard baseline (scale path = run it
+    over MinHash-banded candidates only)."""
+    from ppocr_spark.functions.dedup import ngram_containment_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        ngram_containment_pairs(d, threshold_ppm=300_000, n=3)
+        .orderBy("a", "b")
+    )
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH g AS (
+  SELECT doc_id AS id, unnest(grams) AS g FROM (
+    SELECT doc_id, {_DUCK_GRAMS} AS grams
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+  )
+), sizes AS (SELECT id, count(*) AS n_g FROM g GROUP BY id),
+shared AS (
+  SELECT x.id AS a, y.id AS b, count(*) AS inter
+  FROM g x JOIN g y ON x.g = y.g AND x.id <> y.id
+  GROUP BY x.id, y.id
+)
+SELECT a, b, ((1000000 * inter) // sa.n_g)::BIGINT AS cont_ppm
+FROM shared JOIN sizes sa ON sa.id = a
+WHERE (1000000 * inter) // sa.n_g >= 300000
+ORDER BY a, b
+"""
+
+
 def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup spans (Lee et al. style at word granularity):
     maximal token ranges covered by a 12-token window occurring >1 time in
@@ -4852,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_stats": _events_rolling_stats,
         "layout_zorder": _layout_zorder,
         "events_distinct_users_hll": _events_distinct_users_hll,
+        "dedup_containment": _dedup_containment,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5037,4 +5073,5 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_stats": _EVENTS_ROLLING_SQL,
         "layout_zorder": _LAYOUT_ZORDER_SQL,
         "events_distinct_users_hll": _EVENTS_DISTINCT_HLL_SQL,
+        "dedup_containment": _DEDUP_CONTAINMENT_SQL,
     }

@@ -242,6 +242,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold_ppm: int = 500_000,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, cont_ppm) DIRECTED pairs with n-gram containment
+    |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold — the asymmetric
+    near-dup signal Jaccard misses: a short doc fully quoted inside a
+    long one has tiny Jaccard (union is dominated by the long doc) but
+    containment ≈ 1 in the short→long direction. This is the
+    subset-dedup rule (drop the contained side) used alongside
+    symmetric Jaccard/MinHash in corpus cleaning.
+
+    Containment is exact integer ppm (``(1e6 * inter) DIV |grams(a)|``
+    — engine-identical; float ratios + round() tie-break differently
+    across engines). Same gram-equi-join candidate generator as
+    ``ngram_jaccard_pairs`` and the same scale label: a verification
+    baseline — hot grams fan out quadratically, so at corpus scale the
+    candidate set comes from the MinHash/LSH path and this join runs
+    only within banded candidate pairs."""
+    grams = (
+        _spread(df.select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("t")))
+        .select("id", tokens(F.col("t")).alias("toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("toks"), n))
+            ).alias("g"),
+        )
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_g"))
+    shared = (
+        grams.alias("x")
+        .join(grams.alias("y"), (F.col("x.g") == F.col("y.g"))
+              & (F.col("x.id") != F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "a")
+                    .withColumnRenamed("n_g", "na"), "a")
+        .select(
+            "a",
+            "b",
+            F.expr("(1000000 * inter) DIV na")
+            .cast("long")
+            .alias("cont_ppm"),
+        )
+        .filter(F.col("cont_ppm") >= F.lit(int(threshold_ppm)))
+    )
+
+
 def gram_signature_rows(
     df: DataFrame,
     k: int,

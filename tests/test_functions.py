@@ -107,6 +107,34 @@ class TestDedup:
         assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
         assert (1, 4) not in pairs
 
+    def test_containment_catches_subset_jaccard_misses(self, spark):
+        # a short doc fully quoted in a long one: containment short→long
+        # is exactly 1e6 ppm while Jaccard stays below any dedup
+        # threshold — the asymmetric signal this operator exists for.
+        from ppocr_spark.functions.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta eta theta"
+        long = short + " " + " ".join(f"w{i}" for i in range(40))
+        d = spark.createDataFrame(
+            [(1, short), (2, long), (3, "totally different text here ok")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r["a"], r["b"]): r["cont_ppm"]
+            for r in ngram_containment_pairs(
+                d, threshold_ppm=500_000
+            ).collect()
+        }
+        assert cont == {(1, 2): 1_000_000}  # only short→long; no (2,1)
+        jac = {
+            (r["a"], r["b"])
+            for r in ngram_jaccard_pairs(d, threshold=0.3).collect()
+        }
+        assert (1, 2) not in jac
+
     def test_minhash_lsh_finds_dups(self, docs):
         from ppocr_spark.functions.dedup import minhash_dedup_pairs
 
