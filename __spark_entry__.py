@@ -4638,6 +4638,41 @@ ORDER BY q.event_type
 """
 
 
+def _sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional fixed-size sampling (library
+    sampling.priority_sample — Duffield/Lund/Thorup priority sampling):
+    top-50 docs by ``floor(n_chars / u)`` with deterministic md5 ``u``,
+    plus the Horvitz–Thompson ``w_est = max(w, τ)`` column whose sum
+    unbiasedly estimates subset weight totals. The priority is one
+    int64 expression — ``(w << 40) DIV (h+1)`` — so the sample set, the
+    boundary rank, and τ replay exactly in DuckDB. Plans as
+    TakeOrderedAndProject + a 1-row τ broadcast: zero shuffles."""
+    from ppocr_spark.functions.sampling import priority_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return priority_sample(d, 50, "n_chars").orderBy("doc_id")
+
+
+_SAMPLE_PRIORITY_SQL = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         (n_chars::BIGINT << 40)
+           // (('0x' || substr(md5('prio:' || doc_id::VARCHAR), 1, 10))
+               ::BIGINT + 1) AS priority
+  FROM documents
+), top AS (
+  SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 51
+), tau AS (
+  SELECT CASE WHEN count(*) = 51 THEN min(priority) ELSE 0 END AS t
+  FROM top
+)
+SELECT doc_id, n_chars, priority,
+       greatest(n_chars, t)::BIGINT AS w_est
+FROM (SELECT * FROM top ORDER BY priority DESC, doc_id LIMIT 50), tau
+ORDER BY doc_id
+"""
+
+
 def _events_distinct_users_hll(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4888,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder": _layout_zorder,
         "events_distinct_users_hll": _events_distinct_users_hll,
         "dedup_containment": _dedup_containment,
+        "sample_priority_weighted": _sample_priority,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5074,4 +5110,5 @@ def oracle_sql() -> dict[str, str]:
         "layout_zorder": _LAYOUT_ZORDER_SQL,
         "events_distinct_users_hll": _EVENTS_DISTINCT_HLL_SQL,
         "dedup_containment": _DEDUP_CONTAINMENT_SQL,
+        "sample_priority_weighted": _SAMPLE_PRIORITY_SQL,
     }

@@ -678,6 +678,91 @@ def sample_exact_k(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a fixed-size
+    weight-proportional sample with Horvitz–Thompson subset-sum
+    estimates — the principled way to carve a k-doc sample where big/
+    high-quality docs matter more (weight = tokens, chars, or a quality
+    score). Each item gets priority ``floor(w / u)`` with ``u`` a
+    deterministic md5-uniform in (0, 1]; the top-k by priority are the
+    sample, and ``w_est = max(w, τ)`` (τ = the (k+1)-th priority) makes
+    ``sum(w_est)`` an unbiased estimator of any subset's total weight.
+
+    Exactness: ``u = (h+1)/2^40`` over a 40-bit hash, so the priority
+    is ONE integer expression ``(w << 40) DIV (h+1)`` — engine-
+    identical, no float ``w/u`` whose rounding could flip the boundary
+    rank (ties then break on id). Requires ``0 ≤ w < 2^23`` so the
+    shift cannot overflow int64 — enforced INSIDE the priority
+    expression (a ``raise_error`` branch; a separate check column would
+    be pruned by Catalyst and silently skipped).
+
+    Scale shape: zero shuffles — the hash/priority are per-row JVM
+    expressions and both the k-row and (k+1)-row heads plan as
+    TakeOrderedAndProject (per-task heaps, driver merges k+1 rows); τ
+    is a whitelisted 1-row broadcast attach. A 10^12-doc weighted
+    sample costs one scan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h")
+    )
+    prio = F.expr(
+        f"CASE WHEN {weight_col} >= 0 AND {weight_col} < 8388608 "
+        f"THEN shiftleft(CAST({weight_col} AS BIGINT), 40) DIV (__h + 1) "
+        f"ELSE raise_error('priority_sample weight out of [0, 2^23): ' "
+        f"|| CAST({weight_col} AS STRING)) END"
+    )
+    cand = (
+        df.select(F.col(id_col), F.col(weight_col), h)
+        .select(
+            id_col,
+            weight_col,
+            prio.cast("long").alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(int(k) + 1)
+    )
+    tau = cand.agg(
+        F.when(F.count("*") == int(k) + 1, F.min("priority"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__tau")
+    )
+    return (
+        cand.orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(int(k))
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            weight_col,
+            "priority",
+            F.greatest(F.col(weight_col).cast("long"), F.col("__tau"))
+            .cast("long")
+            .alias("w_est"),
+        )
+    )
+
+
 def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
     """Morton (Z-order) key: interleave the low ``bits`` bits of two
     pre-bucketed dimensions (each must already be in ``[0, 2^bits)`` —

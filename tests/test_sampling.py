@@ -968,3 +968,69 @@ class TestZorderLayout:
         )
         # the single-dim layout leaves y at (or near) full span everywhere
         assert min(r["dy"] for r in xspans) >= 48
+
+
+class TestPrioritySample:
+    def test_matches_python_replay(self, spark):
+        import hashlib
+
+        from ppocr_spark.functions.sampling import priority_sample
+
+        rows = [(i, (i * 137) % 5000 + 1) for i in range(200)]
+        d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {
+            r["doc_id"]: (r["n_chars"], r["priority"], r["w_est"])
+            for r in priority_sample(d, 20, "n_chars").collect()
+        }
+
+        def prio(i, w):
+            h = int(
+                hashlib.md5(f"prio:{i}".encode()).hexdigest()[:10], 16
+            )
+            return (w << 40) // (h + 1)
+
+        ps = sorted(
+            ((prio(i, w), -i, i, w) for i, w in rows), reverse=True
+        )
+        tau = ps[20][0]
+        expect = {
+            i: (w, p, max(w, tau)) for p, _, i, w in ps[:20]
+        }
+        assert got == expect
+
+    def test_small_input_keeps_raw_weights(self, spark):
+        from ppocr_spark.functions.sampling import priority_sample
+
+        d = spark.createDataFrame(
+            [(1, 10), (2, 20)], "doc_id long, n_chars long"
+        )
+        out = {
+            r["doc_id"]: r["w_est"]
+            for r in priority_sample(d, 5, "n_chars").collect()
+        }
+        # n <= k: tau = 0, every estimate is the raw weight
+        assert out == {1: 10, 2: 20}
+
+    def test_out_of_range_weight_raises(self, spark):
+        from ppocr_spark.functions.sampling import priority_sample
+
+        d = spark.createDataFrame(
+            [(1, 1 << 23)], "doc_id long, n_chars long"
+        )
+        with pytest.raises(Exception, match="out of"):
+            priority_sample(d, 1, "n_chars").collect()
+
+    def test_plan_is_topk_not_global_sort(self, spark):
+        from ppocr_spark.functions.sampling import priority_sample
+
+        d = spark.range(1000).selectExpr(
+            "id AS doc_id", "id % 100 + 1 AS n_chars"
+        )
+        plan = (
+            priority_sample(d, 10, "n_chars")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
