@@ -4638,6 +4638,78 @@ ORDER BY q.event_type
 """
 
 
+def _embeddings_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-health audit (library similarity.embedding_quality_report):
+    per-label counts, dim bounds, zero-vector count and integer-exact
+    squared-norm stats over the shared ``_quantized`` int64 contract —
+    the pre-index QA card for a new embedding drop. One slim groupBy;
+    decimal(38) group sums so no scale overflows the mean."""
+    from ppocr_spark.functions.similarity import embedding_quality_report
+
+    d = _load(spark, sf_dir, "embeddings")
+    return embedding_quality_report(d)
+
+
+_EMBEDDINGS_QUALITY_SQL = """
+WITH per AS (
+  SELECT label,
+         len(embedding)::BIGINT AS dim,
+         list_aggregate(
+           list_transform(
+             embedding,
+             x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)
+                  * CAST(round(x::DOUBLE * 1000000) AS BIGINT)
+           ),
+           'sum'
+         )::BIGINT AS ssq,
+         (len(list_filter(
+            embedding,
+            x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT) <> 0
+          )) = 0)::BIGINT AS zero
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       min(dim)::BIGINT AS dim_min, max(dim)::BIGINT AS dim_max,
+       sum(zero)::BIGINT AS n_zero,
+       min(ssq)::BIGINT AS ssq_min, max(ssq)::BIGINT AS ssq_max,
+       (sum(ssq::HUGEINT) // count(*))::BIGINT AS ssq_mean
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+def _documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (library profile.profile_table): per
+    column of `documents` — nulls, exact distinct, native-typed min/max
+    — the ANALYZE-style audit run before trusting a data drop. One
+    aggregate (multi-distinct = Spark's Expand through a single
+    shuffle) + a zero-shuffle stack unpivot; the oracle is the same
+    stats as per-column UNION ALL. All profiled columns are int/string,
+    so the min/max string casts are engine-identical (doubles would
+    not be — documented in the module)."""
+    from ppocr_spark.functions.profile import profile_table
+
+    d = _load(spark, sf_dir, "documents")
+    return profile_table(d).orderBy("col_name")
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(({c} IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+FROM documents"""
+
+
+_DOCUMENTS_PROFILE_SQL = (
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+    + " ORDER BY col_name"
+)
+
+
 def _sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional fixed-size sampling (library
     sampling.priority_sample — Duffield/Lund/Thorup priority sampling):
@@ -4924,6 +4996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users_hll": _events_distinct_users_hll,
         "dedup_containment": _dedup_containment,
         "sample_priority_weighted": _sample_priority,
+        "documents_profile": _documents_profile,
+        "embeddings_quality_report": _embeddings_quality,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5111,4 +5185,6 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users_hll": _EVENTS_DISTINCT_HLL_SQL,
         "dedup_containment": _DEDUP_CONTAINMENT_SQL,
         "sample_priority_weighted": _SAMPLE_PRIORITY_SQL,
+        "documents_profile": _DOCUMENTS_PROFILE_SQL,
+        "embeddings_quality_report": _EMBEDDINGS_QUALITY_SQL,
     }

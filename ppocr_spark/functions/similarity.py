@@ -1480,3 +1480,53 @@ def cluster_label_purity(
         F.expr("(`__t`.n * 1000000) DIV n_vecs").cast("long")
         .alias("purity_ppm"),
     ).orderBy("cluster")
+
+
+def embedding_quality_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = QUANT,
+) -> DataFrame:
+    """Vector-health audit card — the check run BEFORE building any
+    index over a new embedding drop: per label group, vector counts,
+    dimension min/max (a mixed-dim group breaks every matmul path),
+    zero-vector count (cosine is undefined on them; the brute/LSH paths
+    document their guard), and squared-norm stats. One map-side-combined
+    groupBy over slim per-row scalars.
+
+    Exactness: norms use the shared int64 quantizer (``_quantized`` —
+    round-half-away identical in Spark and DuckDB), each vector's
+    sum-of-squares stays far inside 2^53, and the per-group SUM runs in
+    decimal(38,0) so group size cannot overflow int64 at any scale;
+    the emitted mean is one integer DIV. No float aggregation order
+    anywhere — the card replays bit-for-bit in SQL."""
+    q = _quantized(F.col(vec_col), quant)
+    per = df.select(
+        F.col(label_col).alias("label"),
+        F.size(F.col(vec_col)).alias("__dim"),
+        F.aggregate(
+            F.transform(q, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("__ssq"),
+        (F.size(F.filter(q, lambda x: x != F.lit(0))) == 0)
+        .cast("long")
+        .alias("__zero"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("__dim").cast("long").alias("dim_min"),
+            F.max("__dim").cast("long").alias("dim_max"),
+            F.sum("__zero").cast("long").alias("n_zero"),
+            F.min("__ssq").cast("long").alias("ssq_min"),
+            F.max("__ssq").cast("long").alias("ssq_max"),
+            F.expr(
+                "CAST(sum(CAST(`__ssq` AS DECIMAL(38,0))) DIV count(*) "
+                "AS BIGINT)"
+            ).alias("ssq_mean"),
+        )
+        .orderBy("label")
+    )

@@ -2116,3 +2116,63 @@ class TestQuantileHist:
                         pick = b
                         break
                 assert got[g][f"{name}_lo_micro"] == pick * QH_LO_MICRO
+
+
+class TestProfileTable:
+    def test_hand_computed_stats(self, spark):
+        from ppocr_spark.functions.profile import profile_table
+
+        d = spark.createDataFrame(
+            [(1, "a"), (2, None), (10, "b"), (9, "a"), (None, "c")],
+            "k long, s string",
+        )
+        got = {r["col_name"]: r for r in profile_table(d).collect()}
+        assert set(got) == {"k", "s"}
+        k = got["k"]
+        # min/max computed on the NATIVE type: 1..10, not "1".."9"
+        assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (5, 1, 4)
+        assert (k["min_value"], k["max_value"]) == ("1", "10")
+        s = got["s"]
+        assert (s["n_nulls"], s["n_distinct"]) == (1, 3)
+        assert (s["min_value"], s["max_value"]) == ("a", "c")
+
+    def test_single_aggregate_plan(self, spark):
+        from ppocr_spark.functions.profile import profile_table
+
+        d = spark.range(100).selectExpr("id AS a", "id % 3 AS b")
+        plan = (
+            profile_table(d)._jdf.queryExecution().executedPlan().toString()
+        )
+        # ONE scan feeds every column's stats (multi-distinct via
+        # Expand; its canonical shape is 2 exchanges — grouped partial
+        # + final single row), never one scan per column
+        assert plan.count("Range (") == 1
+        assert plan.count("Exchange") <= 2
+        assert "Expand" in plan
+
+
+class TestEmbeddingQualityReport:
+    def test_hand_computed_card(self, spark):
+        from ppocr_spark.functions.similarity import (
+            embedding_quality_report,
+        )
+
+        rows = [
+            (0, [0.5, -0.25]),
+            (0, [0.0, 0.0]),          # zero vector
+            (1, [1.0, 2.0, 2.0]),     # different dim in another group
+        ]
+        d = spark.createDataFrame(
+            rows, "label int, embedding array<float>"
+        )
+        got = {r["label"]: r for r in embedding_quality_report(d).collect()}
+        q = 1_000_000
+        s0a = (q // 2) ** 2 + (q // 4) ** 2
+        g0 = got[0]
+        assert (g0["n_vecs"], g0["dim_min"], g0["dim_max"]) == (2, 2, 2)
+        assert g0["n_zero"] == 1
+        assert (g0["ssq_min"], g0["ssq_max"]) == (0, s0a)
+        assert g0["ssq_mean"] == s0a // 2
+        g1 = got[1]
+        assert (g1["n_vecs"], g1["dim_min"], g1["n_zero"]) == (1, 3, 0)
+        assert g1["ssq_max"] == q * q * 9
