@@ -119,6 +119,11 @@ def main():
         "events_quantile_sketch",
         "events_rolling_stats",
         "layout_zorder",
+        "events_distinct_users_hll",
+        "dedup_containment",
+        "sample_priority_weighted",
+        "documents_profile",
+        "embeddings_quality_report",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
