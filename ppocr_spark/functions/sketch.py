@@ -268,10 +268,23 @@ def quantile_hist(
     artifacts that roll up into corpus-wide quantiles without rescans —
     and unlike ``percentile_approx`` (whose KLL-style state is an
     engine-private blob), every cell and every derived quantile replays
-    bit-for-bit in DuckDB (``events_quantile_sketch``)."""
+    bit-for-bit in DuckDB (``events_quantile_sketch``).
+
+    Totality: NULL/NaN/±Inf rows are EXCLUDED up front — Spark's
+    non-ANSI double→long cast would fold them into edge/null bins while
+    DuckDB errors on them, the exact cross-engine divergence class this
+    module exists to rule out. A DuckDB twin mirrors the rule with
+    ``WHERE isfinite(value)``."""
     keys = [F.col(c) for c in group_cols]
+    v = F.col(value_col).cast("double")
+    finite = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != F.lit(float("inf")))
+    )
     return (
-        df.select(*keys, _clamped_bin(F.col(value_col)).alias("bin"))
+        df.filter(finite)
+        .select(*keys, _clamped_bin(F.col(value_col)).alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

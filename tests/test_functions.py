@@ -2176,3 +2176,19 @@ class TestEmbeddingQualityReport:
         g1 = got[1]
         assert (g1["n_vecs"], g1["dim_min"], g1["n_zero"]) == (1, 3, 0)
         assert g1["ssq_max"] == q * q * 9
+
+
+class TestQuantileHistTotality:
+    def test_non_finite_values_are_excluded(self, spark):
+        # NaN/Inf/NULL must not reach the bin cast: Spark's non-ANSI
+        # cast folds them into edge/null bins while DuckDB errors —
+        # the documented cross-engine divergence class.
+        from ppocr_spark.functions.sketch import quantile_hist
+
+        d = spark.createDataFrame(
+            [(1.0,), (float("nan"),), (float("inf",),),
+             (float("-inf"),), (None,), (2.5,)],
+            "value double",
+        )
+        got = {r["bin"]: r["cnt"] for r in quantile_hist(d, "value").collect()}
+        assert got == {64: 1, 160: 1}  # only the two finite values
