@@ -3026,6 +3026,96 @@ ORDER BY prio, status
 """
 
 
+def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k grouping sets) over event type × day with the
+    grouping_id bitmask — the OLAP companion to ROLLUP
+    (`rollup_revenue`): one pass emits per-cell, per-type, per-day and
+    grand totals, each row tagged with which dimensions are aggregated
+    (Spark ``grouping_id()`` ≡ DuckDB ``GROUPING(a, b)``, first column
+    = MSB in both). Value sums run in decimal so the 4 grouping sets
+    cannot round differently; Spark plans CUBE as one Expand (k
+    row-replicas) + one map-side-combined aggregate — no per-set
+    rescans."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("long").alias("d"),
+            "value",
+        )
+        .cube("event_type", "d")
+        .agg(
+            F.grouping_id().cast("long").alias("gmask"),
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("d", F.lit(-1)).cast("long").alias("d"),
+            "gmask",
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_EVENTS_CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(d, -1)::BIGINT AS d,
+       grouping(event_type, d)::BIGINT AS gmask,
+       count(*)::BIGINT AS n,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS total_value
+FROM (SELECT event_type, day(ts)::BIGINT AS d, value FROM events)
+GROUP BY CUBE (event_type, d)
+ORDER BY event_type, d
+"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the wide daily activity matrix (one column per event
+    type) — the reshape every dashboard export needs. The pivot value
+    list is EXPLICIT (the stable taxonomy), which is also the scale
+    rule: with literal values Spark skips the distinct-value discovery
+    job (a full extra scan + driver collect) and plans ONE scan into
+    its two-level pivot aggregate (slim (d, type) partials, then the
+    wide fold — both map-side combined). Missing cells surface as 0 on
+    both engines (coalesce here, conditional-sum in the oracle)."""
+    e = _load(spark, sf_dir, "events")
+    p = (
+        e.select("event_type", F.dayofmonth("ts").cast("long").alias("d"))
+        .groupBy("d")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    return p.select(
+        "d",
+        *[
+            F.coalesce(F.col(t), F.lit(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    ).orderBy("d")
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT day(ts)::BIGINT AS d,
+       sum((event_type = 'click')::INT)::BIGINT AS n_click,
+       sum((event_type = 'error')::INT)::BIGINT AS n_error,
+       sum((event_type = 'purchase')::INT)::BIGINT AS n_purchase,
+       sum((event_type = 'signup')::INT)::BIGINT AS n_signup,
+       sum((event_type = 'view')::INT)::BIGINT AS n_view
+FROM events GROUP BY 1 ORDER BY d
+"""
+
+
 # --- HTML boilerplate strip / DOM heuristics (north-rule text tier;
 # oracle tier 1 = the same portable regex chain run by DuckDB, tier 2 =
 # generation-time authored main text) ---
@@ -4998,6 +5088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_priority_weighted": _sample_priority,
         "documents_profile": _documents_profile,
         "embeddings_quality_report": _embeddings_quality,
+        "events_cube": _events_cube,
+        "events_pivot_daily": _events_pivot,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5187,4 +5279,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_priority_weighted": _SAMPLE_PRIORITY_SQL,
         "documents_profile": _DOCUMENTS_PROFILE_SQL,
         "embeddings_quality_report": _EMBEDDINGS_QUALITY_SQL,
+        "events_cube": _EVENTS_CUBE_SQL,
+        "events_pivot_daily": _EVENTS_PIVOT_SQL,
     }

@@ -124,6 +124,8 @@ def main():
         "sample_priority_weighted",
         "documents_profile",
         "embeddings_quality_report",
+        "events_cube",
+        "events_pivot_daily",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
