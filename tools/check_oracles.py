@@ -17,6 +17,9 @@ from ppocr_spark import cache  # noqa: E402
 from ppocr_spark.pipeline import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+# rebind the corpus-derived oracles' embedded parquet paths to the same
+# scale (oracle_sql() defaults to the driver's sf0.01 contract)
+os.environ["PPOCR_ORACLE_SF_DIR"] = SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
