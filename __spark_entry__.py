@@ -1350,10 +1350,14 @@ GROUP BY tok ORDER BY n_tok DESC, tok LIMIT {_VOCAB_TOPK}
 
 def _winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=8 char grams, window 5) — classic
-    near-identity document sketch; JVM expressions only."""
-    from ppocr_spark.functions.text import winnowing_fingerprint
+    near-identity document sketch; JVM expressions only. The per-char
+    md5 chain is the heaviest per-row expression in the text family, so
+    the input is spread to cluster parallelism (a single local parquet
+    file otherwise pins the whole corpus to one core; at real scale
+    maxPartitionBytes already splits the scan and spread is a no-op)."""
+    from ppocr_spark.functions.text import spread, winnowing_fingerprint
 
-    d = _load(spark, sf_dir, "documents")
+    d = spread(_load(spark, sf_dir, "documents"))
     fp = winnowing_fingerprint(F.col("text"), k=8, w=5)
     return d.select(
         "doc_id",
