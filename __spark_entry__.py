@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ppocr_spark.config import PPOCRConfig  # noqa: E402
+from ppocr_spark.functions.graph import (  # noqa: E402
+    PAGERANK_SCALE as _PAGERANK_SCALE,
+)
 from ppocr_spark.functions.sketch import K_MILLI as sketch_K_MILLI  # noqa: E402
 
 
@@ -1675,10 +1678,9 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_representatives(pairs, d).orderBy("doc_id")
 
 
-# shared CTE chain: MinHash LSH pairs → recursive reachability → cc
-# (node, cluster_id); consumed by dedup_clusters AND dedup_keep_best
-_MINHASH_CC_CTE = f"""
-WITH RECURSIVE base AS (
+# shared CTE chain prefix: MinHash LSH → verified near-dup pairs (a < b);
+# consumed by the cc chain below AND the PageRank oracle
+_MINHASH_PAIRS_CTES = f"""base AS (
   SELECT doc_id AS id, {_DUCK_GRAMS} AS grams
   FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
 ), sigs AS (
@@ -1695,7 +1697,12 @@ WITH RECURSIVE base AS (
   FROM cands JOIN base ga ON ga.id = a JOIN base gb ON gb.id = b
   WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
         len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.12
-), edges AS (
+)"""
+
+# shared CTE chain: MinHash LSH pairs → recursive reachability → cc
+# (node, cluster_id); consumed by dedup_clusters AND dedup_keep_best
+_MINHASH_CC_CTE = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES}, edges AS (
   SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
 ), reach AS (
   SELECT u AS node, u AS lab FROM edges
@@ -1754,6 +1761,71 @@ lab AS (
 )
 SELECT cluster_size::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def _dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the symmetrized MinHash near-dup graph
+    (library graph.pagerank): the iterative link-analysis member of the
+    dedup family — rank near-dup cluster members by how connected they
+    are (most-central representative, diversity-aware sample weighting).
+    Integer pico-mass ranks: every step is int64 add/mul/truncating DIV
+    (Spark ``DIV`` ≡ DuckDB ``//``), so the oracle replays all three
+    iterations bit-for-bit. Per iteration: one slim equi-join + map-side-
+    combinable sum (celebrity in-degree safe) and two 1-row constant
+    attaches (n, dangling mass — whitelisted BNLJ-as-map)."""
+    from ppocr_spark.functions.dedup import minhash_dedup_pairs
+    from ppocr_spark.functions.graph import pagerank
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    edges = pairs.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    pr = pagerank(edges, nodes, iters=3)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.col("pr").alias("pagerank_pico")
+    ).orderBy("doc_id")
+
+
+def _pagerank_iter_ctes(iters: int, scale: int) -> str:
+    """Unrolled PageRank iteration CTEs (generator pattern follows
+    ``_kmeans_fine_cte``): d{t} = dangling mass, c{t} = received
+    contributions, r{t} = damped update — the exact integer expression
+    graph.pagerank evaluates."""
+    parts = []
+    for t in range(1, iters + 1):
+        p = f"r{t - 1}"
+        parts.append(f"""
+d{t} AS (
+  SELECT coalesce(sum(pr), 0)::BIGINT AS dang
+  FROM {p} LEFT JOIN deg ON deg.u = {p}.node WHERE deg.u IS NULL
+),
+c{t} AS (
+  SELECT e.v AS node, sum(r.pr // g.deg)::BIGINT AS recv
+  FROM edges e JOIN {p} r ON r.node = e.u JOIN deg g ON g.u = e.u
+  GROUP BY e.v
+),
+r{t} AS (
+  SELECT nd.node,
+         ((15 * ({scale} // nn.n)) // 100
+          + (85 * (coalesce(c{t}.recv, 0) + d{t}.dang // nn.n)) // 100
+         )::BIGINT AS pr
+  FROM nodes nd LEFT JOIN c{t} ON c{t}.node = nd.node, nn, d{t}
+)""")
+    return ",".join(parts)
+
+
+_DEDUP_PAGERANK_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES},
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM edges GROUP BY u),
+nodes AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, ({_PAGERANK_SCALE} // n)::BIGINT AS pr FROM nodes, nn),
+{_pagerank_iter_ctes(3, _PAGERANK_SCALE)}
+SELECT node AS doc_id, pr AS pagerank_pico FROM r3 ORDER BY doc_id
 """
 
 
@@ -5094,6 +5166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quality_report": _embeddings_quality,
         "events_cube": _events_cube,
         "events_pivot_daily": _events_pivot,
+        "dedup_pagerank": _dedup_pagerank,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5292,4 +5365,5 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_quality_report": _EMBEDDINGS_QUALITY_SQL,
         "events_cube": _EVENTS_CUBE_SQL,
         "events_pivot_daily": _EVENTS_PIVOT_SQL,
+        "dedup_pagerank": _DEDUP_PAGERANK_SQL,
     }

@@ -1,0 +1,115 @@
+"""Graph analytics over derived document graphs — the iterative link-
+analysis family a curation pipeline runs AFTER pair finding: PageRank
+centrality over the near-dup similarity graph (pick the most-central
+representative, weight diversity-aware sampling) or over any edge list
+(citation/link graphs at web scale).
+
+Spark-first shape (per iteration, exactly like the classic Pregel
+formulation lowered to DataFrame ops):
+
+- ``contrib``: edges ⋈ ranks equi-join on the source node (ranks is a
+  slim (node BIGINT/str, pr int64) relation) → groupBy(dst) integer sum.
+  The sum is map-side combinable, so a celebrity node with 10⁹ in-edges
+  partial-aggregates before the shuffle — no hot-key blowup.
+- ``dangling``: one slim aggregate over rank rows without out-edges,
+  attached back as a 1-row constant (broadcast of a single row — the
+  whitelisted constant-attach pattern, a map in disguise).
+- lineage is cut per round with ``localCheckpoint`` (the connected-
+  components pattern) so the plan does not double per iteration.
+
+Integer exactness contract (the repo-wide oracle discipline): ranks are
+int64 "pico-mass" units (total mass = ``scale``), every step is integer
+add / multiply / truncating DIV — Spark ``DIV`` ≡ DuckDB ``//`` ≡ C
+truncation — so any engine replaying the same edge list reproduces every
+rank bit-for-bit, independent of partitioning or arrival order.
+
+Update rule per iteration (all integer ops, evaluation order pinned):
+
+    base      = scale DIV n
+    contrib_u = pr_u DIV outdeg_u                 (per out-edge)
+    recv_v    = Σ contrib_u over in-edges of v    (exact int64 sum)
+    dang      = Σ pr_u over nodes with outdeg 0
+    pr'_v     = (15·base) DIV 100 + (85·(recv_v + dang DIV n)) DIV 100
+
+(The damping split 15/85 over DIV 100 is the α=0.85 standard; DIV
+truncation leaks a few pico-units of mass per round — deterministically,
+identically in every engine.)
+
+Reference parity note: the reference engine (PaddleOCR-json) has no graph
+operator; this is part of the beyond-reference training-data-pipeline
+surface (SURVEY.md §6) next to connected components (dedup.py), which
+shares the same per-round join+checkpoint skeleton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ppocr_spark import cache
+
+#: total rank mass in integer units (per-node ranks ≈ scale/n). 10^12
+#: keeps per-node ranks ≥ 10^3 units out to 10^9-node graphs, and every
+#: intermediate (85 · Σ contrib ≤ 85 · scale) well inside int64.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    scale: int = PAGERANK_SCALE,
+    src_col: str = "u",
+    dst_col: str = "v",
+    node_col: str = "node",
+) -> DataFrame:
+    """Integer-exact PageRank over a DIRECTED edge list.
+
+    ``edges``: (src, dst) rows — symmetrize upstream for an undirected
+    graph. ``nodes``: one row per node (isolated nodes allowed; they
+    become dangling mass). Returns (node, pr) with ``pr`` in integer
+    mass units summing to ≈ ``scale`` (truncation leaks a bounded,
+    deterministic number of units per round).
+
+    Every per-round relation is slim (node + one int64); document
+    payloads never enter the loop. ``iters`` is fixed and small (3 by
+    default — near-dup components are near-cliques, so ranks separate
+    by then); no convergence collect beyond the localCheckpoint cut.
+    """
+    e = cache.track(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    )
+    nd = nodes.select(F.col(node_col).alias("node"))
+    deg = cache.track(e.groupBy("u").agg(F.count("*").alias("deg")))
+    n1 = nd.agg(F.count("*").alias("n"))  # 1-row constant attach
+    ranks = (
+        nd.crossJoin(n1)
+        .select("node", F.expr(f"{scale} DIV n").alias("pr"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        dang = (
+            ranks.join(deg.withColumnRenamed("u", "node"), "node",
+                       "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dang"))
+        )
+        contrib = (
+            e.join(deg, "u")
+            .join(ranks.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr("pr DIV deg")).alias("recv"))
+        )
+        ranks = (
+            nd.crossJoin(n1)
+            .crossJoin(dang)
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * ({scale} DIV n)) DIV 100"
+                    " + (85 * (coalesce(recv, 0) + dang DIV n)) DIV 100"
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -53,6 +53,10 @@ WHITELIST: dict[str, set[str]] = {
     "key_skew_report": {"BroadcastNestedLoopJoin"},
     # 1-row τ (boundary-priority) attach onto the k-row sample
     "sample_priority_weighted": {"BroadcastNestedLoopJoin"},
+    # per-iteration 1-row n / dangling-mass attaches onto the slim rank
+    # relation (the constant-attach pattern; the rank propagation itself
+    # is hash equi-joins + map-side-combinable sums)
+    "dedup_pagerank": {"BroadcastNestedLoopJoin"},
 }
 
 
