@@ -4843,6 +4843,60 @@ FROM per GROUP BY label ORDER BY label
 """
 
 
+def _embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix (library
+    linalg.pca_power_top): the spectral anisotropy diagnostic — which
+    direction dominates an embedding drop. The only corpus-scale pass
+    is the Arrow-batched integer Gram accumulation (one 64×64 matmul
+    per batch → 4096-key map-side-combined sum); three power iterations
+    then run on the 4096-row Gram relation with exact decimal matvecs
+    and one truncating-DIV renormalization each (1-row max attach —
+    whitelisted BNLJ-as-map). Oracle replays the identical arithmetic
+    in HUGEINT."""
+    from ppocr_spark.functions.linalg import pca_power_top
+
+    d = _load(spark, sf_dir, "embeddings")
+    return pca_power_top(d, dim=64, iters=3).orderBy("dim")
+
+
+def _pca_iter_ctes(iters: int, vscale: int) -> str:
+    """Unrolled power-iteration CTEs (generator pattern follows
+    ``_pagerank_iter_ctes``): w{t} = Gram matvec, m{t} = max |w|
+    normalizer, v{t} = renormalized loading — the exact expressions
+    linalg.pca_power_top evaluates."""
+    parts = []
+    for t in range(1, iters + 1):
+        parts.append(f"""
+w{t} AS (
+  SELECT g.i, sum(g.g * v.v) AS w FROM g JOIN v{t - 1} v ON v.j = g.j
+  GROUP BY g.i
+),
+m{t} AS (SELECT greatest(max(abs(w)), 1::HUGEINT) AS m FROM w{t}),
+v{t} AS (
+  SELECT i AS j, ((w * {vscale}) // m{t}.m) AS v FROM w{t}, m{t}
+)""")
+    return ",".join(parts)
+
+
+_EMBEDDINGS_PCA_SQL = f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> round(x::DOUBLE * 1000000)::BIGINT) AS vq
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, generate_subscripts(vq, 1) AS p, unnest(vq) AS x FROM eq
+), g AS (
+  SELECT a.p - 1 AS i, b.p - 1 AS j, sum(a.x::HUGEINT * b.x) AS g
+  FROM cells a JOIN cells b USING (vec_id) GROUP BY a.p, b.p
+), v0 AS (
+  SELECT i AS j, 1000000::HUGEINT AS v FROM range(64) t(i)
+),
+{_pca_iter_ctes(3, 1000000)}
+SELECT j::BIGINT AS dim, v::BIGINT AS loading_micro FROM v3 ORDER BY dim
+"""
+
+
 def _documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (library profile.profile_table): per
     column of `documents` — nulls, exact distinct, native-typed min/max
@@ -5167,6 +5221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _events_cube,
         "events_pivot_daily": _events_pivot,
         "dedup_pagerank": _dedup_pagerank,
+        "embeddings_pca_power": _embeddings_pca_power,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5366,4 +5421,5 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": _EVENTS_CUBE_SQL,
         "events_pivot_daily": _EVENTS_PIVOT_SQL,
         "dedup_pagerank": _DEDUP_PAGERANK_SQL,
+        "embeddings_pca_power": _EMBEDDINGS_PCA_SQL,
     }

@@ -57,6 +57,10 @@ WHITELIST: dict[str, set[str]] = {
     # relation (the constant-attach pattern; the rank propagation itself
     # is hash equi-joins + map-side-combinable sums)
     "dedup_pagerank": {"BroadcastNestedLoopJoin"},
+    # per-iteration 1-row max-|w| normalizer attach onto the 64-row
+    # loading vector (constant-attach pattern; the Gram matvec is a
+    # hash equi-join + 4096-key sum)
+    "embeddings_pca_power": {"BroadcastNestedLoopJoin"},
 }
 
 
