@@ -4544,6 +4544,49 @@ GROUP BY b.source ORDER BY b.source
 """
 
 
+def _source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (library
+    sketch.source_minhash_sigs + minhash_overlap_matrix): each source's
+    union-of-grams MinHash signature is the element-wise min over its
+    docs' signatures (one map-side-combinable groupBy; min is the merge
+    law, so shard sketches union without rescanning), and the pairwise
+    matching-permutation ppm estimates the Jaccard overlap of the gram
+    universes — the audit a mixture designer runs before weighting
+    sources. The pair join is |sources|² over the sketch table (the
+    matrix IS the output — whitelisted), never corpus rows."""
+    from ppocr_spark.functions.sketch import (minhash_overlap_matrix,
+                                              source_minhash_sigs)
+
+    d = _load(spark, sf_dir, "documents")
+    sigs = source_minhash_sigs(d, group_col="source", k=8, n=3)
+    return minhash_overlap_matrix(sigs, k=8).orderBy(
+        "source_a", "source_b"
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH base AS (
+  SELECT source, {_DUCK_GRAMS} AS grams
+  FROM (SELECT source, {_DUCK_TOKS} AS toks FROM documents)
+), sigs AS (
+  SELECT source, {_minhash_sig('duck')} AS sig
+  FROM base WHERE len(grams) > 0
+), src AS (
+  SELECT source,
+         [{', '.join(f'min(sig[{i + 1}])' for i in range(8))}] AS ssig
+  FROM sigs GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       len(list_filter(range(8), i -> a.ssig[i+1] = b.ssig[i+1]))::BIGINT
+         AS matches,
+       ((1000000 * len(list_filter(range(8),
+                                   i -> a.ssig[i+1] = b.ssig[i+1]))) // 8
+       )::BIGINT AS overlap_ppm
+FROM src a JOIN src b ON a.source < b.source
+ORDER BY source_a, source_b
+"""
+
+
 def _distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-replayable HyperLogLog distinct count over document
     content (library sketch.hll_registers/hll_summary): md5-keyed
@@ -5222,6 +5265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_daily": _events_pivot,
         "dedup_pagerank": _dedup_pagerank,
         "embeddings_pca_power": _embeddings_pca_power,
+        "source_overlap_minhash": _source_overlap_minhash,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5422,4 +5466,5 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": _EVENTS_PIVOT_SQL,
         "dedup_pagerank": _DEDUP_PAGERANK_SQL,
         "embeddings_pca_power": _EMBEDDINGS_PCA_SQL,
+        "source_overlap_minhash": _SOURCE_OVERLAP_SQL,
     }

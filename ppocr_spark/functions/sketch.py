@@ -374,3 +374,95 @@ def cms_query(
         )
         .withColumnRenamed("__ck", key_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group MinHash union signatures → cross-group overlap matrix
+# ---------------------------------------------------------------------------
+#
+# The set-similarity member of the mergeable-sketch family: each group's
+# signature is the k-permutation MinHash of the UNION of its documents'
+# n-gram sets — because min is associative, the per-group signature is
+# just element-wise min over the per-document signatures (one map-side-
+# combinable groupBy; the same min merges shard sketches, so per-crawl
+# signatures union into corpus-wide ones without rescanning). The
+# pairwise matrix estimates cross-source content overlap (Jaccard of the
+# gram universes) at |groups|² sketch comparisons — corpus-size-
+# independent, the audit a mixture designer runs before weighting
+# sources. Signature arithmetic (md5-permutation string mins) is the
+# proven dedup_minhash cross-engine contract.
+
+
+def source_minhash_sigs(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(grp, ssig, n_docs): per-group union MinHash signature — element-
+    wise min over the per-doc signatures of the shared dedup chain
+    (tokens → ≥n filter → distinct word n-grams → k md5 permutations)."""
+    from ppocr_spark.functions.text import (minhash_from_grams,
+                                            ngrams_from_tokens, tokens)
+
+    rows = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        .filter(F.size("toks") >= n)
+        .select(
+            "grp",
+            F.array_distinct(
+                ngrams_from_tokens(F.col("toks"), n)
+            ).alias("grams"),
+        )
+        .select(
+            "grp", minhash_from_grams(F.col("grams"), k).alias("sig")
+        )
+    )
+    return rows.groupBy("grp").agg(
+        F.array(*[F.min(F.col("sig")[i]) for i in range(k)]).alias("ssig"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def minhash_sigs_merge(*sketches: DataFrame, k: int = 8) -> DataFrame:
+    """Merge shard signature tables: element-wise min + doc-count sum
+    (set union is signature min — same law the per-group aggregate
+    uses, so merge(shards) ≡ sketch(union of shards)."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, sketches)
+    ex = u.select("grp", "n_docs", *[
+        F.col("ssig")[i].alias(f"__h{i}") for i in range(k)
+    ])
+    return ex.groupBy("grp").agg(
+        F.array(*[F.min(f"__h{i}") for i in range(k)]).alias("ssig"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+
+
+def minhash_overlap_matrix(sigs: DataFrame, k: int = 8) -> DataFrame:
+    """All ordered pairs (a < b) of group signatures with the matching-
+    permutation count and the integer-ppm overlap estimate. The pair
+    join runs on the |groups|-row SKETCH table (the matrix IS the
+    output), never on corpus rows."""
+    a = sigs.select(
+        F.col("grp").alias("source_a"), F.col("ssig").alias("sa")
+    )
+    b = sigs.select(
+        F.col("grp").alias("source_b"), F.col("ssig").alias("sb")
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
+            .cast("long")
+            .alias("matches"),
+        )
+        .withColumn("overlap_ppm", F.expr(f"(1000000 * matches) DIV {k}"))
+    )

@@ -2192,3 +2192,86 @@ class TestQuantileHistTotality:
         )
         got = {r["bin"]: r["cnt"] for r in quantile_hist(d, "value").collect()}
         assert got == {64: 1, 160: 1}  # only the two finite values
+
+
+class TestSourceMinhashOverlap:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+    T1 = "alpha beta gamma delta epsilon zeta"
+    T2 = "one two three four five six seven"
+    T3 = "red green blue cyan magenta yellow"
+
+    def test_exact_md5_replay(self, spark):
+        # per-source signature == python md5 replay of the union gram set
+        import hashlib
+
+        from ppocr_spark.functions.sketch import source_minhash_sigs
+
+        d = self._docs(
+            spark,
+            [("d1", "s1", self.T1), ("d2", "s1", self.T2),
+             ("d3", "s2", self.T1)],
+        )
+        got = {r["grp"]: (list(r["ssig"]), r["n_docs"])
+               for r in source_minhash_sigs(d).collect()}
+
+        def grams(text):
+            t = text.split()
+            return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+        def sig(gs):
+            return [
+                min(hashlib.md5(f"{i}:{g}".encode()).hexdigest()
+                    for g in gs)
+                for i in range(8)
+            ]
+
+        assert got["s1"] == (sig(grams(self.T1) | grams(self.T2)), 2)
+        assert got["s2"] == (sig(grams(self.T1)), 1)
+
+    def test_merge_law_equals_whole(self, spark):
+        from ppocr_spark.functions.sketch import (minhash_sigs_merge,
+                                                  source_minhash_sigs)
+
+        rows = [("d1", "s1", self.T1), ("d2", "s1", self.T2),
+                ("d3", "s2", self.T3), ("d4", "s2", self.T1)]
+        whole = {r["grp"]: (list(r["ssig"]), r["n_docs"])
+                 for r in source_minhash_sigs(
+                     self._docs(spark, rows)).collect()}
+        sh1 = source_minhash_sigs(self._docs(spark, rows[:2]))
+        sh2 = source_minhash_sigs(self._docs(spark, rows[2:]))
+        merged = {r["grp"]: (list(r["ssig"]), r["n_docs"])
+                  for r in minhash_sigs_merge(sh1, sh2).collect()}
+        assert merged == whole
+
+    def test_identical_sources_full_overlap(self, spark):
+        from ppocr_spark.functions.sketch import (minhash_overlap_matrix,
+                                                  source_minhash_sigs)
+
+        d = self._docs(
+            spark,
+            [("d1", "a", self.T1), ("d2", "a", self.T2),
+             ("d3", "b", self.T1), ("d4", "b", self.T2),
+             ("d5", "c", self.T3)],
+        )
+        got = {(r["source_a"], r["source_b"]): (r["matches"],
+                                                r["overlap_ppm"])
+               for r in minhash_overlap_matrix(
+                   source_minhash_sigs(d)).collect()}
+        assert got[("a", "b")] == (8, 1000000)
+        # c shares nothing with a/b; 8 independent md5 mins colliding is
+        # astronomically unlikely on disjoint gram sets
+        assert got[("a", "c")][0] == 0 and got[("b", "c")][0] == 0
+
+    def test_layout_independence(self, spark):
+        from ppocr_spark.functions.sketch import source_minhash_sigs
+
+        rows = [(f"d{i}", f"s{i % 3}", f"{self.T1} tail{i} {self.T2}")
+                for i in range(30)]
+        d = self._docs(spark, rows)
+        a = {r["grp"]: list(r["ssig"])
+             for r in source_minhash_sigs(d).collect()}
+        b = {r["grp"]: list(r["ssig"])
+             for r in source_minhash_sigs(d.repartition(11)).collect()}
+        assert a == b

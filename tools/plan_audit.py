@@ -61,6 +61,9 @@ WHITELIST: dict[str, set[str]] = {
     # loading vector (constant-attach pattern; the Gram matvec is a
     # hash equi-join + 4096-key sum)
     "embeddings_pca_power": {"BroadcastNestedLoopJoin"},
+    # |sources|² pair join over the per-group SKETCH table (the overlap
+    # matrix IS the output); corpus rows never enter the pair join
+    "source_overlap_minhash": {"BroadcastNestedLoopJoin"},
 }
 
 
