@@ -126,6 +126,9 @@ def main():
         "embeddings_quality_report",
         "events_cube",
         "events_pivot_daily",
+        "dedup_pagerank",
+        "embeddings_pca_power",
+        "source_overlap_minhash",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
