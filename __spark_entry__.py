@@ -1829,6 +1829,74 @@ SELECT node AS doc_id, pr AS pagerank_pico FROM r3 ORDER BY doc_id
 """
 
 
+def _dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the MinHash
+    near-dup graph (library graph.triangle_stats): the cohesion
+    diagnostic — tight cliques (high clustering) are safe keep-one
+    clusters, low-clustering chains flag transitive over-deletion risk.
+    Degree-ordered edge orientation caps wedge fan-out at O(√m) (the
+    celebrity-node valve); all joins are hash equi-joins; coefficients
+    are integer ppm ((2·10⁶·tri) DIV deg(deg−1) — exact both engines)."""
+    from ppocr_spark.functions.dedup import minhash_dedup_pairs
+    from ppocr_spark.functions.graph import triangle_stats
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return (
+        triangle_stats(pairs.select("a", "b"), nodes)
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            "triangles",
+            "clustering_ppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_TRIANGLES_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES},
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM edges GROUP BY u),
+orient AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND p.a < p.b)
+              THEN p.a ELSE p.b END AS s,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND p.a < p.b)
+              THEN p.b ELSE p.a END AS t
+  FROM pairs p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b
+),
+wedge AS (
+  SELECT o1.s AS u, o1.t AS x, o2.t AS y
+  FROM orient o1 JOIN orient o2 ON o1.s = o2.s
+  JOIN deg dx ON dx.node = o1.t JOIN deg dy ON dy.node = o2.t
+  WHERE (dx.deg < dy.deg) OR (dx.deg = dy.deg AND o1.t < o2.t)
+),
+tri AS (
+  SELECT w.u, w.x, w.y
+  FROM wedge w JOIN orient o ON o.s = w.x AND o.t = w.y
+),
+pern AS (
+  SELECT node, count(*)::BIGINT AS triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(g.deg, 0)::BIGINT AS degree,
+       coalesce(p.triangles, 0)::BIGINT AS triangles,
+       (CASE WHEN coalesce(g.deg, 0) >= 2
+             THEN (2000000 * coalesce(p.triangles, 0))
+                  // (g.deg * (g.deg - 1))
+             ELSE 0 END)::BIGINT AS clustering_ppm
+FROM documents d
+LEFT JOIN deg g ON g.node = d.doc_id
+LEFT JOIN pern p ON p.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5266,6 +5334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pagerank": _dedup_pagerank,
         "embeddings_pca_power": _embeddings_pca_power,
         "source_overlap_minhash": _source_overlap_minhash,
+        "dedup_triangles": _dedup_triangles,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5467,4 +5536,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pagerank": _DEDUP_PAGERANK_SQL,
         "embeddings_pca_power": _EMBEDDINGS_PCA_SQL,
         "source_overlap_minhash": _SOURCE_OVERLAP_SQL,
+        "dedup_triangles": _DEDUP_TRIANGLES_SQL,
     }

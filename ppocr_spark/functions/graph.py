@@ -113,3 +113,90 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient over an
+    UNDIRECTED pair list (a < b, distinct) — the cohesion diagnostic of
+    a near-dup graph: high clustering = tight duplicate cliques (safe to
+    keep one), low clustering = chains of borderline matches (policy
+    risk — transitive dedup may over-delete).
+
+    Scale shape is the degree-ordered ORIENTATION formulation (the
+    standard O(m^1.5) bound): each undirected edge is directed from the
+    (degree, id)-lesser endpoint to the greater, which caps every
+    node's out-degree at O(√m) — so the wedge self-join on the source
+    node cannot blow up on a celebrity node the way a naive
+    neighbor-list join would. Wedges (two out-edges of one node,
+    ordered by the same total order) close into triangles via one
+    equi-join back onto the oriented edge list; every triangle is
+    counted exactly once, at its order-lowest vertex. All joins are
+    hash equi-joins on node ids; per-node counts come from a 3-way
+    explode + map-side-combined sum.
+
+    Returns (node, degree, triangles, clustering_ppm) for EVERY input
+    node — clustering_ppm = (2·10⁶·triangles) DIV (deg·(deg−1)), the
+    integer-ppm local clustering coefficient (0 when deg < 2).
+    """
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = cache.track(
+        e.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = cache.track(
+        p.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        )
+    )
+    o1 = orient.select("s", F.col("t").alias("x"))
+    o2 = orient.select("s", F.col("t").alias("y"))
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    wedges = (
+        o1.join(o2, "s")
+        .join(dx, "x")
+        .join(dy, "y")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("s", "x", "y")
+    )
+    tri = wedges.join(
+        orient.select(F.col("s").alias("x"), F.col("t").alias("y")),
+        ["x", "y"],
+    )
+    per_node = (
+        tri.select(F.explode(F.array("s", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(deg, "node", "left")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("deg", F.lit(0)).alias("degree"),
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.expr(
+                "CASE WHEN coalesce(deg, 0) >= 2 THEN"
+                " (2000000 * coalesce(triangles, 0))"
+                " DIV (deg * (deg - 1)) ELSE 0 END"
+            ).alias("clustering_ppm"),
+        )
+    )

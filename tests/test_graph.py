@@ -113,3 +113,85 @@ class TestPagerankScaleShape:
         )
         plan = pagerank(e, nd, iters=1)._jdf.queryExecution().toString()
         assert "CartesianProduct" not in plan
+
+
+def ref_triangles(pairs, nodes):
+    """Naive reference: count triangles by set intersection of
+    neighbor sets; clustering via the same integer-ppm rule."""
+    nb = {v: set() for v in nodes}
+    for a, b in pairs:
+        nb[a].add(b)
+        nb[b].add(a)
+    tri = {v: 0 for v in nodes}
+    seen = set()
+    for a, b in pairs:
+        for c in nb[a] & nb[b]:
+            key = tuple(sorted((a, b, c)))
+            if key not in seen:
+                seen.add(key)
+                for v in key:
+                    tri[v] += 1
+    out = {}
+    for v in nodes:
+        d = len(nb[v])
+        ppm = (2000000 * tri[v]) // (d * (d - 1)) if d >= 2 else 0
+        out[v] = (d, tri[v], ppm)
+    return out
+
+
+class TestTriangles:
+    PAIRS = [
+        # clique {a,b,c,d} (4 triangles), triangle {c,e,f}? no —
+        # separate triangle {e,f,g}, chain h-i-j (no triangles)
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+        ("e", "f"), ("e", "g"), ("f", "g"),
+        ("h", "i"), ("i", "j"),
+    ]
+    NODES = list("abcdefghijk")  # k isolated
+
+    def _run(self, spark, pairs, nodes):
+        from ppocr_spark.functions.graph import triangle_stats
+
+        p = spark.createDataFrame(pairs, "a string, b string")
+        nd = spark.createDataFrame([(x,) for x in nodes], "node string")
+        return {
+            r["node"]: (r["degree"], r["triangles"], r["clustering_ppm"])
+            for r in triangle_stats(p, nd).collect()
+        }
+
+    def test_matches_naive_reference(self, spark):
+        got = self._run(spark, self.PAIRS, self.NODES)
+        assert got == ref_triangles(self.PAIRS, self.NODES)
+
+    def test_known_counts(self, spark):
+        got = self._run(spark, self.PAIRS, self.NODES)
+        # clique-of-4 members: deg 3, 3 triangles each, clustering 1.0
+        assert got["a"] == (3, 3, 1000000)
+        # triangle members: deg 2, 1 triangle, clustering 1.0
+        assert got["e"] == (2, 1, 1000000)
+        # chain middle: deg 2, no triangle
+        assert got["i"] == (2, 0, 0)
+        # isolated node present with zeros
+        assert got["k"] == (0, 0, 0)
+
+    def test_layout_independence(self, spark):
+        from ppocr_spark.functions.graph import triangle_stats
+
+        p = spark.createDataFrame(self.PAIRS, "a string, b string")
+        nd = spark.createDataFrame(
+            [(x,) for x in self.NODES], "node string"
+        )
+        a = {r["node"]: r["triangles"]
+             for r in triangle_stats(p, nd).collect()}
+        b = {r["node"]: r["triangles"]
+             for r in triangle_stats(
+                 p.repartition(5, "b"), nd.repartition(2)).collect()}
+        assert a == b
+
+    def test_star_has_no_triangles(self, spark):
+        pairs = [("hub", f"s{i}") for i in range(6)]
+        nodes = ["hub"] + [f"s{i}" for i in range(6)]
+        got = self._run(spark, pairs, nodes)
+        assert got["hub"] == (6, 0, 0)
+        assert all(got[f"s{i}"] == (1, 0, 0) for i in range(6))
