@@ -1897,6 +1897,69 @@ ORDER BY d.doc_id
 """
 
 
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two corpus snapshots (library
+    incremental.snapshot_diff): per-doc added/removed/changed/unchanged
+    verdicts — what an ingest pipeline runs on every crawl drop to
+    decide the reprocess set. Both snapshots collapse to slim
+    (id, md5) rows BEFORE the one co-partitioned full-outer equi-join;
+    payloads never shuffle. The "old" snapshot is derived
+    deterministically from the same table via md5(doc_id) hex
+    predicates (≈25% added, ≈12.5% removed via '-retired' ids, a
+    quarter of the retained docs content-changed), so the oracle
+    replays the derivation and the diff exactly."""
+    from ppocr_spark.functions.incremental import snapshot_diff
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    h1 = F.substring(F.md5(F.col("doc_id")), 1, 1)
+    h2 = F.substring(F.md5(F.col("doc_id")), 2, 1)
+    old = (
+        d.filter(h1 < F.lit("c"))
+        .select(
+            "doc_id",
+            F.when(
+                h2 < F.lit("4"), F.concat(F.col("text"), F.lit(" stale"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .union(
+            d.filter(h1 >= F.lit("e")).select(
+                F.concat(F.col("doc_id"), F.lit("-retired")).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+        )
+    )
+    return snapshot_diff(old, d).orderBy("doc_id")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH docs AS (
+  SELECT doc_id::VARCHAR AS doc_id, text FROM documents
+), old AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(doc_id), 2, 1) < '4'
+              THEN text || ' stale' ELSE text END AS text
+  FROM docs WHERE substr(md5(doc_id), 1, 1) < 'c'
+  UNION ALL
+  SELECT doc_id || '-retired', text FROM docs
+  WHERE substr(md5(doc_id), 1, 1) >= 'e'
+), oh AS (SELECT doc_id AS id, md5(text) AS h_old FROM old),
+nh AS (SELECT doc_id AS id, md5(text) AS h_new FROM docs)
+SELECT coalesce(oh.id, nh.id) AS doc_id,
+       CASE WHEN oh.id IS NULL THEN 'added'
+            WHEN nh.id IS NULL THEN 'removed'
+            WHEN h_old <> h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM oh FULL OUTER JOIN nh ON oh.id = nh.id
+ORDER BY doc_id
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5335,6 +5398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_pca_power": _embeddings_pca_power,
         "source_overlap_minhash": _source_overlap_minhash,
         "dedup_triangles": _dedup_triangles,
+        "snapshot_diff": _snapshot_diff,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5537,4 +5601,5 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_pca_power": _EMBEDDINGS_PCA_SQL,
         "source_overlap_minhash": _SOURCE_OVERLAP_SQL,
         "dedup_triangles": _DEDUP_TRIANGLES_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     }

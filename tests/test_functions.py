@@ -2275,3 +2275,60 @@ class TestSourceMinhashOverlap:
         b = {r["grp"]: list(r["ssig"])
              for r in source_minhash_sigs(d.repartition(11)).collect()}
         assert a == b
+
+
+class TestSnapshotDiff:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_all_four_statuses(self, spark):
+        from ppocr_spark.functions.incremental import (snapshot_diff,
+                                                       snapshot_diff_summary)
+
+        old = self._df(spark, [("a", "same"), ("b", "v1"), ("c", "gone")])
+        new = self._df(spark, [("a", "same"), ("b", "v2"), ("d", "fresh")])
+        got = {r["doc_id"]: r["status"]
+               for r in snapshot_diff(old, new).collect()}
+        assert got == {"a": "unchanged", "b": "changed",
+                       "c": "removed", "d": "added"}
+        summ = {r["status"]: r["n_docs"]
+                for r in snapshot_diff_summary(
+                    snapshot_diff(old, new)).collect()}
+        assert summ == {"unchanged": 1, "changed": 1,
+                        "removed": 1, "added": 1}
+
+    def test_multi_column_hash_and_separator(self, spark):
+        # ("ab","c") vs ("a","bc") must NOT alias (0x1f separator)
+        from ppocr_spark.functions.incremental import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("x", "ab", "c")], "doc_id string, t1 string, t2 string"
+        )
+        new = spark.createDataFrame(
+            [("x", "a", "bc")], "doc_id string, t1 string, t2 string"
+        )
+        got = snapshot_diff(old, new, hash_cols=("t1", "t2")).collect()
+        assert got[0]["status"] == "changed"
+
+    def test_identical_snapshots_all_unchanged(self, spark):
+        from ppocr_spark.functions.incremental import snapshot_diff
+
+        d = self._df(spark, [(f"d{i}", f"text {i}") for i in range(20)])
+        got = snapshot_diff(d, d).collect()
+        assert len(got) == 20
+        assert all(r["status"] == "unchanged" for r in got)
+
+    def test_layout_independence(self, spark):
+        from ppocr_spark.functions.incremental import snapshot_diff
+
+        old = self._df(spark, [(f"d{i}", f"t{i}") for i in range(30)])
+        new = self._df(
+            spark,
+            [(f"d{i}", f"t{i}" if i % 3 else "mut") for i in range(5, 35)],
+        )
+        a = {r["doc_id"]: r["status"]
+             for r in snapshot_diff(old, new).collect()}
+        b = {r["doc_id"]: r["status"]
+             for r in snapshot_diff(
+                 old.repartition(7), new.repartition(3)).collect()}
+        assert a == b
