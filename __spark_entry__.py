@@ -1960,6 +1960,63 @@ ORDER BY doc_id
 """
 
 
+def _dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity join via PREFIX FILTERING
+    (library dedup.ssjoin_prefix_pairs — SSJoin/AllPairs/PPJoin
+    family): tokens globally ordered by ascending document frequency,
+    each doc joins only on its first n − ceil(t·n) + 1 tokens (the
+    prefix lemma guarantees no lost pair), candidates verified with an
+    exact integer-ppm Jaccard. The exact-AND-sub-quadratic leg next to
+    the probabilistic MinHash path and the quadratic gram-join
+    baseline."""
+    from ppocr_spark.functions.dedup import ssjoin_prefix_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        ssjoin_prefix_pairs(d, threshold_ppm=900_000)
+        .orderBy("a", "b")
+    )
+
+
+_SSJOIN_PREFIX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*)::BIGINT AS dfreq FROM toks GROUP BY tok
+), ranked AS (
+  SELECT t.id, t.tok,
+         row_number() OVER (PARTITION BY t.id ORDER BY f.dfreq, t.tok)
+           AS rn,
+         count(*) OVER (PARTITION BY t.id) AS n
+  FROM toks t JOIN freq f USING (tok)
+), pref AS (
+  SELECT id, tok FROM ranked
+  WHERE rn <= n - ((900000::BIGINT * n + 999999) // 1000000) + 1
+), cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM pref x JOIN pref y ON x.tok = y.tok AND x.id < y.id
+), sizes AS (
+  SELECT id, count(*)::BIGINT AS n FROM toks GROUP BY id
+), inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN toks ta ON ta.id = c.a
+  JOIN toks tb ON tb.id = c.b AND tb.tok = ta.tok
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, i.inter,
+       (sa.n + sb.n - i.inter)::BIGINT AS union_n,
+       ((1000000 * i.inter) // (sa.n + sb.n - i.inter))::BIGINT
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.id = i.a
+JOIN sizes sb ON sb.id = i.b
+WHERE (1000000 * i.inter) // (sa.n + sb.n - i.inter) >= 900000
+ORDER BY a, b
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5399,6 +5456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_minhash": _source_overlap_minhash,
         "dedup_triangles": _dedup_triangles,
         "snapshot_diff": _snapshot_diff,
+        "dedup_ssjoin_prefix": _dedup_ssjoin_prefix,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5602,4 +5660,5 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_minhash": _SOURCE_OVERLAP_SQL,
         "dedup_triangles": _DEDUP_TRIANGLES_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "dedup_ssjoin_prefix": _SSJOIN_PREFIX_SQL,
     }

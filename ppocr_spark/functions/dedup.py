@@ -18,7 +18,7 @@ embedding-cosine) — the training-data-pipeline staples, built Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ppocr_spark import cache
@@ -894,4 +894,96 @@ def cluster_size_histogram(
         sizes.groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+def ssjoin_prefix_pairs(
+    df: DataFrame,
+    threshold_ppm: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (Chaudhuri et al. SSJoin 2006 / Bayardo AllPairs 2007 / Xiao PPJoin
+    2011) — the third leg of the near-dup-pairs stool: the gram
+    equi-join (`ngram_jaccard_pairs`) is exact but quadratic in hot
+    keys; MinHash/LSH is sub-quadratic but probabilistic; prefix
+    filtering is BOTH exact and sub-quadratic. Tokens get a global
+    total order by ascending document frequency (rarest first, token
+    string as tie-break); a doc with n distinct tokens only emits its
+    first  p = n − ceil(t·n) + 1  tokens in that order as join keys.
+    Prefix lemma: J(A,B) ≥ t ⟹ |A∩B| ≥ ceil(t·max(|A|,|B|)) ⟹ the
+    (|A|−ceil(t·|A|)+1)-prefixes of A and B under any shared total
+    order intersect — so the prefix-token equi-join loses NO true pair
+    (pinned against the brute-force scan by test), while the corpus's
+    hottest tokens (stopwords — the quadratic blow-up in the gram
+    join) sort LAST and never enter a prefix at realistic thresholds.
+
+    Candidates then verify exactly: join back each side's full token
+    set, count the intersection, and keep  (10⁶·inter) DIV union ≥
+    threshold_ppm  (exact integer ppm — engine-identical, no float
+    round() ties).
+
+    Scale shape: document frequency is one (tok) groupBy of the
+    per-doc-distinct token table; the rank is a per-document window
+    (partition key = doc_id — unique, unskewable, doc-length bounded);
+    candidate generation shuffles only PREFIX tokens whose buckets are
+    small by construction (a token with document frequency f costs
+    f²/2 pairs ONLY while it is rare enough to be in prefixes);
+    verification joins token rows of candidate pairs only. Every
+    shuffle key is a token string or doc id — high cardinality,
+    AQE-spread. Returns (a, b, inter, union_n, jaccard_ppm), a < b.
+    Reference behavior anchor: the same pair set the reference would
+    get from an all-pairs token-set scan (no reference analog — this
+    is pipeline-extras surface)."""
+    t = int(threshold_ppm)
+    toks = cache.track_if_large(
+        df,
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        )
+        .select("id", F.explode(F.array_distinct(tokens(F.col("t"))))
+                .alias("tok")),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("id")
+    ranked = (
+        toks.join(freq, "tok")
+        .select(
+            "id", "tok",
+            F.row_number().over(w.orderBy("dfreq", "tok")).alias("rn"),
+            F.count("*").over(w).alias("n"),
+        )
+    )
+    # p = n - ceil(t*n/1e6) + 1; ceil via integer (t*n + 999999) DIV 1e6
+    pref = ranked.filter(
+        F.expr(f"rn <= n - ((({t}::BIGINT) * n + 999999) DIV 1000000) + 1")
+    )
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), (F.col("x.tok") == F.col("y.tok"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(toks.alias("ta"), F.col("a") == F.col("ta.id"))
+        .join(toks.alias("tb"), (F.col("b") == F.col("tb.id"))
+              & (F.col("ta.tok") == F.col("tb.tok")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"),
+                                F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("n").alias("nb")), "b")
+        .select(
+            "a", "b", "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("union_n"),
+            F.expr("(1000000 * inter) DIV (na + nb - inter)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= F.lit(t))
     )

@@ -135,6 +135,60 @@ class TestDedup:
         }
         assert (1, 2) not in jac
 
+    def test_ssjoin_prefix_equals_brute_force(self, spark):
+        # prefix-lemma guarantee: the prefix-filtered join must return
+        # EXACTLY the pairs a brute-force all-pairs token-set scan finds
+        # at the threshold — no false negatives (the lemma), no false
+        # positives (the verify step). Mixed corpus: exact dups, near
+        # dups at several overlap levels, disjoint docs, tiny docs.
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(30):
+            base = rng.sample(vocab, rng.randint(3, 14))
+            rows.append((2 * i, " ".join(base)))
+            mut = list(base)
+            if rng.random() < 0.6 and len(mut) > 3:  # near dup
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((2 * i + 1, " ".join(mut)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        t = 600_000
+        sets = {i: set(txt.split()) for i, txt in rows}
+        expect = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and (1_000_000 * inter) // union >= t:
+                    expect[(a, b)] = (
+                        inter, union, (1_000_000 * inter) // union
+                    )
+
+        from ppocr_spark.functions.dedup import ssjoin_prefix_pairs
+
+        got = {
+            (r["a"], r["b"]): (r["inter"], r["union_n"], r["jaccard_ppm"])
+            for r in ssjoin_prefix_pairs(df, threshold_ppm=t).collect()
+        }
+        assert got == expect and expect  # non-vacuous: dups exist
+
+    def test_ssjoin_prefix_is_selective(self, spark):
+        # the point of the operator: at a high threshold the hottest
+        # token (in every doc) must never be a join key — docs sharing
+        # ONLY the stopword produce zero candidate pairs, which shows
+        # as an empty result without the verify stage ever seeing them.
+        rows = [(i, "the " + " ".join(f"u{i}_{j}" for j in range(9)))
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from ppocr_spark.functions.dedup import ssjoin_prefix_pairs
+
+        assert ssjoin_prefix_pairs(df, threshold_ppm=500_000).count() == 0
+
     def test_minhash_lsh_finds_dups(self, docs):
         from ppocr_spark.functions.dedup import minhash_dedup_pairs
 
