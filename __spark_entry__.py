@@ -2017,6 +2017,53 @@ ORDER BY a, b
 """
 
 
+def _source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence vs the corpus in
+    integer micro-nats (library text.source_token_kl): the
+    source-drift diagnostic behind mixture reweighting. Exact
+    support-restricted KL — round(ln, 9) nano-lifts, decimal(38,0)/
+    HUGEINT sums (int64-safe at 10¹² tokens), one non-negative
+    integer DIV; the corpus distribution re-aggregates the slim
+    (source, token) table, no second corpus pass."""
+    from ppocr_spark.functions.text import source_token_kl
+
+    d = _load(spark, sf_dir, "documents")
+    return source_token_kl(d).orderBy("source")
+
+
+_SOURCE_TOKEN_KL_SQL = f"""
+WITH counts AS (
+  SELECT source AS src, tok, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+), corpus AS (
+  SELECT tok, sum(c)::BIGINT AS cc FROM counts GROUP BY tok
+), tot AS (
+  SELECT sum(c)::BIGINT AS n FROM counts
+), per AS (
+  SELECT src,
+         sum(c)::BIGINT AS n_toks,
+         count(*)::BIGINT AS n_types,
+         sum(c::HUGEINT
+             * (((round(ln(c::DOUBLE), 9)::DECIMAL(28,9)) * 1000000000)
+                ::BIGINT
+                - ((round(ln(cc::DOUBLE), 9)::DECIMAL(28,9)) * 1000000000)
+                ::BIGINT)::HUGEINT) AS s
+  FROM counts JOIN corpus USING (tok) GROUP BY src
+)
+SELECT src AS source, n_toks, n_types,
+       (greatest(
+          s + n_toks::HUGEINT
+              * (((round(ln((SELECT n FROM tot)::DOUBLE), 9)
+                   ::DECIMAL(28,9)) * 1000000000)::BIGINT
+                 - ((round(ln(n_toks::DOUBLE), 9)::DECIMAL(28,9))
+                    * 1000000000)::BIGINT)::HUGEINT,
+          0::HUGEINT)
+        // (n_toks::HUGEINT * 1000))::BIGINT AS kl_micro
+FROM per ORDER BY source
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5457,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_triangles": _dedup_triangles,
         "snapshot_diff": _snapshot_diff,
         "dedup_ssjoin_prefix": _dedup_ssjoin_prefix,
+        "source_token_kl": _source_token_kl,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5661,4 +5709,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_triangles": _DEDUP_TRIANGLES_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "dedup_ssjoin_prefix": _SSJOIN_PREFIX_SQL,
+        "source_token_kl": _SOURCE_TOKEN_KL_SQL,
     }

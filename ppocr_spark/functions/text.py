@@ -896,3 +896,90 @@ def source_quality_report(
             "top_lang_ppm"
         ),
     ).orderBy("source")
+
+
+def source_token_kl(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence of the token distribution vs the whole
+    corpus, KL(P_source ‖ P_corpus), in integer MICRO-NATS — the
+    source-drift diagnostic behind mixture reweighting (a source whose
+    unigram distribution diverges from the blend it feeds is the one
+    to up/down-weight; cf. the per-domain distribution audits of DSIR
+    and The Pile). Support-restricted exact form: terms with
+    p_source(w)=0 contribute 0, and p_corpus(w)>0 on the source's
+    support by construction, so no smoothing enters —
+      KL = [Σ_w c_s(w)·(ln c_s(w) − ln c(w)) + n_s·(ln n − ln n_s)] / n_s.
+
+    Determinism: every ln is the driver-proven round(ln, 9) lifted to
+    exact integer nano-units (the ``dsir_weights``/``token_entropy``
+    contract); products/sums are decimal(38,0) (DuckDB HUGEINT) so the
+    arithmetic stays EXACT past int64 at 10¹²-token corpus scale; the
+    result is one integer DIV of a non-negative numerator (KL ≥ 0 in
+    exact math; greatest(·,0) absorbs sub-micro ln-rounding residue
+    identically in both engines, closing the truncation-sign hazard).
+
+    Scale: one corpus-sized explode → groupBy(source, token) with
+    map-side combine; the corpus distribution RE-AGGREGATES that slim
+    table (no second corpus pass); the join back is vocabulary-bounded
+    on a high-cardinality token key; the grand total is a 1-scalar
+    bounded driver sync. A source with no tokens emits no row (no
+    distribution) in both engines.
+    Returns (source, n_toks, n_types, kl_micro)."""
+    from ppocr_spark import cache
+
+    nano = lambda c: (  # noqa: E731  — round(ln,9) → exact integer nanos
+        F.round(F.log(c.cast("double")), 9).cast("decimal(28,9)")
+        * F.lit(1_000_000_000)
+    ).cast("long")
+    counts = cache.track_if_large(
+        docs,
+        spread(
+            docs.select(
+                F.col(source_col).alias("src"),
+                tokens(F.col(text_col)).alias("__t"),
+            )
+        )
+        .select("src", F.explode("__t").alias("__tok"))
+        .groupBy("src", "__tok")
+        .agg(F.count("*").alias("__c")),
+    )
+    corpus = counts.groupBy("__tok").agg(F.sum("__c").alias("__cc"))
+    n_total = int(
+        counts.agg(F.sum("__c").alias("n")).collect()[0]["n"] or 0
+    )
+    if n_total == 0:
+        return counts.sparkSession.createDataFrame(
+            [],
+            "source string, n_toks long, n_types long, kl_micro long",
+        )
+    per = (
+        counts.join(corpus, "__tok")
+        .groupBy("src")
+        .agg(
+            F.sum("__c").cast("long").alias("n_toks"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(
+                F.col("__c").cast("decimal(19,0)")
+                * (nano(F.col("__c")) - nano(F.col("__cc")))
+                .cast("decimal(19,0)")
+            ).cast("decimal(38,0)").alias("__s"),
+        )
+    )
+    num = (
+        F.col("__s")
+        + F.col("n_toks").cast("decimal(19,0)")
+        * (nano(F.lit(n_total)) - nano(F.col("n_toks")))
+        .cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    return per.withColumn("__num", num).select(
+        F.col("src").alias("source"),
+        "n_toks",
+        "n_types",
+        F.expr(
+            "greatest(cast(0 as decimal(38,0)), __num)"
+            " div (n_toks * 1000)"
+        ).cast("long").alias("kl_micro"),
+    )

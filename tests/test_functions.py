@@ -371,6 +371,55 @@ class TestText:
         # gram hashes lower — assert they share the min or differ legally
         assert f1 == f2 or f2 < f1
 
+    def test_source_token_kl_matches_replication(self, spark):
+        # exact support-restricted KL with round(ln,9) nano-lifts —
+        # replicated in pure python; empty-text source emits no row.
+        import math
+        from collections import Counter
+
+        from ppocr_spark.functions.text import source_token_kl
+
+        rows = [
+            ("a", "x x y z"),
+            ("a", "x y"),
+            ("b", "z z z w"),
+            ("c", ""),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r["source"]: (r["n_toks"], r["n_types"], r["kl_micro"])
+            for r in source_token_kl(df).collect()
+        }
+
+        def nano(v):
+            return round(round(math.log(v), 9) * 1e9)
+
+        src = {"a": Counter("x x y z x y".split()),
+               "b": Counter("z z z w".split())}
+        corpus = Counter()
+        for c in src.values():
+            corpus += c
+        n = sum(corpus.values())
+        exp = {}
+        for s, cnt in src.items():
+            ns = sum(cnt.values())
+            num = sum(c * (nano(c) - nano(corpus[w]))
+                      for w, c in cnt.items())
+            num += ns * (nano(n) - nano(ns))
+            exp[s] = (ns, len(cnt), max(num, 0) // (ns * 1000))
+        assert got == exp
+
+    def test_source_token_kl_single_source_is_zero(self, spark):
+        # one source IS the corpus: p_s == p, KL exactly 0 (the
+        # greatest(.,0) clamp absorbs ln-rounding residue identically)
+        from ppocr_spark.functions.text import source_token_kl
+
+        one = spark.createDataFrame(
+            [("s", "p q r p"), ("s", "q r")], "source string, text string"
+        )
+        out = source_token_kl(one).collect()
+        assert len(out) == 1 and out[0]["kl_micro"] == 0
+
 
 class TestMultimodal:
     def test_image_metadata_total(self, spark):
