@@ -2064,6 +2064,56 @@ FROM per ORDER BY source
 """
 
 
+def _text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI collocations over adjacent token bigrams (library
+    text.pmi_bigrams — Church & Hanks): phrase-mining / tokenizer-merge
+    candidates. Score = pure int64 SUM of five round(ln, 9) nano-lifts
+    — no division, so the negative-quotient truncation hazard never
+    arises; top-k plans as TakeOrderedAndProject."""
+    from ppocr_spark.functions.text import pmi_bigrams
+
+    d = _load(spark, sf_dir, "documents")
+    return pmi_bigrams(d, min_count=5, k=64)
+
+
+_PMI_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT {_DUCK_TOKS} AS l FROM documents),
+nl AS (SELECT (round(ln(x::DOUBLE), 9)::DECIMAL(28,9) * 1000000000)
+         ::BIGINT AS v, x FROM (
+           SELECT DISTINCT x FROM (
+             SELECT sum(len(l))::BIGINT AS x FROM toks
+             UNION ALL
+             SELECT sum(greatest(len(l) - 1, 0))::BIGINT FROM toks))),
+tot AS (SELECT sum(len(l))::BIGINT AS nt,
+               sum(greatest(len(l) - 1, 0))::BIGINT AS nb FROM toks),
+uni AS (SELECT tok AS w, count(*)::BIGINT AS cu
+        FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY tok),
+bg AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM toks WHERE len(l) >= 2)
+),
+pairs AS (SELECT w1, w2, count(*)::BIGINT AS c_pair
+          FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+lift AS (
+  SELECT p.w1, p.w2, p.c_pair,
+         ((round(ln(p.c_pair::DOUBLE), 9)::DECIMAL(28,9)
+           * 1000000000)::BIGINT
+          - (SELECT v FROM nl, tot WHERE x = nb)
+          - (round(ln(u1.cu::DOUBLE), 9)::DECIMAL(28,9)
+             * 1000000000)::BIGINT
+          - (round(ln(u2.cu::DOUBLE), 9)::DECIMAL(28,9)
+             * 1000000000)::BIGINT
+          + 2 * (SELECT v FROM nl, tot WHERE x = nt))::BIGINT AS pmi_nano
+  FROM pairs p
+  JOIN uni u1 ON u1.w = p.w1
+  JOIN uni u2 ON u2.w = p.w2
+)
+SELECT w1, w2, c_pair, pmi_nano
+FROM lift ORDER BY pmi_nano DESC, w1, w2 LIMIT 64
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5505,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _snapshot_diff,
         "dedup_ssjoin_prefix": _dedup_ssjoin_prefix,
         "source_token_kl": _source_token_kl,
+        "text_pmi_bigrams": _text_pmi_bigrams,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5710,4 +5761,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "dedup_ssjoin_prefix": _SSJOIN_PREFIX_SQL,
         "source_token_kl": _SOURCE_TOKEN_KL_SQL,
+        "text_pmi_bigrams": _PMI_BIGRAMS_SQL,
     }

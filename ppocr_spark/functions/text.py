@@ -983,3 +983,98 @@ def source_token_kl(
             " div (n_toks * 1000)"
         ).cast("long").alias("kl_micro"),
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token bigrams — the classic corpus-analysis signal (Church & Hanks
+    1990) for phrase mining / tokenizer-merge candidates:
+      PMI(x,y) = ln p(x,y) − ln p(x) − ln p(y)
+               = ln c_xy − ln N_b − ln c_x − ln c_y + 2·ln N_t
+    with bigram probability over the bigram stream (N_b bigrams) and
+    unigram probabilities over the token stream (N_t tokens). The
+    ``min_count`` floor is the standard low-frequency-PMI guard.
+
+    Determinism: every ln is the driver-proven round(ln, 9) lifted to
+    exact integer nano-units and the score is a pure int64 SUM of five
+    lifts — NO division anywhere, so the negative-quotient
+    truncation-direction hazard (Spark DIV vs DuckDB // on negatives)
+    never arises. Top-k order (pmi_nano DESC, w1, w2) is total because
+    (w1, w2) is unique.
+
+    Scale: bigrams form ARRAY-SIDE (two zipped slices — the
+    ``dsir_weights`` shape, no positional self-join); one
+    corpus-sized explode each for bigram and unigram counts, both
+    map-side combined; unigram joins back on high-cardinality token
+    keys; totals are 2-scalar bounded driver syncs; top-k plans as
+    TakeOrderedAndProject (per-task k-row heaps, no global sort).
+    Returns (w1, w2, c_pair, pmi_nano)."""
+    from ppocr_spark import cache
+
+    nano = lambda c: (  # noqa: E731  — round(ln,9) → exact integer nanos
+        F.round(F.log(c.cast("double")), 9).cast("decimal(28,9)")
+        * F.lit(1_000_000_000)
+    ).cast("long")
+    base = cache.track_if_large(
+        docs,
+        spread(docs.select(tokens(F.col(text_col)).alias("__t"))),
+    )
+    uni = base.select(F.explode("__t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    sz = F.size("__t")
+    big_arr = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(F.col("__t"), F.lit(1), sz - 1),
+            F.slice(F.col("__t"), F.lit(2), sz - 1),
+            lambda a, c: F.struct(a.alias("w1"), c.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        base.select(F.explode(big_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= F.lit(int(min_count)))
+    )
+    totals = base.select(
+        F.sum(sz).alias("nt"),
+        F.sum(F.greatest(sz - 1, F.lit(0))).alias("nb"),
+    ).collect()[0]
+    n_t, n_b = int(totals["nt"] or 0), int(totals["nb"] or 0)
+    if n_b == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, c_pair long, pmi_nano long"
+        )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"),
+                              F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("cu").alias("c2")), "w2")
+        .select(
+            "w1", "w2", F.col("c_pair").cast("long").alias("c_pair"),
+            (
+                nano(F.col("c_pair")) - F.lit(_nano_const(n_b))
+                - nano(F.col("c1")) - nano(F.col("c2"))
+                + F.lit(2 * _nano_const(n_t))
+            ).cast("long").alias("pmi_nano"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_nano").desc(), "w1", "w2"
+    ).limit(int(k))
+
+
+def _nano_const(v: int) -> int:
+    """round(ln v, 9) lifted to integer nano-units, computed driver-side
+    for the corpus totals (the same float op both engines run; the
+    driver-proven round(ln, 9) contract)."""
+    import math
+
+    return round(round(math.log(v), 9) * 1_000_000_000)

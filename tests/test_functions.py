@@ -409,6 +409,47 @@ class TestText:
             exp[s] = (ns, len(cnt), max(num, 0) // (ns * 1000))
         assert got == exp
 
+    def test_pmi_bigrams_matches_replication(self, spark):
+        # PMI in pure int64 nano-lift sums (no division) — replicated
+        # in python; min_count floor + total (pmi desc, w1, w2) order.
+        import math
+        from collections import Counter
+
+        from ppocr_spark.functions.text import pmi_bigrams
+
+        rows = [
+            (1, "new york new york city hall"),
+            (2, "new york is a big city"),
+            (3, "the city of new york"),
+            (4, "york new haven line"),
+            (5, "a b a b a b a b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["w1"], r["w2"], r["c_pair"], r["pmi_nano"])
+            for r in pmi_bigrams(df, min_count=2, k=10).collect()
+        ]
+
+        def nano(v):
+            return round(round(math.log(v), 9) * 1e9)
+
+        uni, big = Counter(), Counter()
+        for _, t in rows:
+            ts = t.split()
+            uni.update(ts)
+            big.update(zip(ts, ts[1:]))
+        nt, nb = sum(uni.values()), sum(big.values())
+        exp = sorted(
+            (
+                (a, b, c,
+                 nano(c) - nano(nb) - nano(uni[a]) - nano(uni[b])
+                 + 2 * nano(nt))
+                for (a, b), c in big.items() if c >= 2
+            ),
+            key=lambda r: (-r[3], r[0], r[1]),
+        )[:10]
+        assert got == exp and len(exp) >= 4
+
     def test_source_token_kl_single_source_is_zero(self, spark):
         # one source IS the corpus: p_s == p, KL exactly 0 (the
         # greatest(.,0) clamp absorbs ln-rounding residue identically)
