@@ -3028,6 +3028,73 @@ WHERE cos_raw >= 0.4 ORDER BY a, b
 """
 
 
+def _split_leakage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split semantic leakage audit (library
+    similarity.embedding_split_leakage): per test-split vector, the
+    count and max cosine of train-side near-duplicates found by the
+    hyperplane-LSH path — the eval-integrity check that n-gram
+    decontamination misses (paraphrase twins share no 12-gram). Pure
+    composition: deterministic md5 hash_split × lsh_near_dup_pairs;
+    cosines rounded BEFORE the max."""
+    from ppocr_spark.functions.similarity import embedding_split_leakage
+
+    e = _load(spark, sf_dir, "embeddings")
+    return (
+        embedding_split_leakage(
+            e, [("train", 0.9), ("test", 0.1)],
+            threshold=0.15, bits=6, tables=4, dim=64,
+        )
+        .select(
+            F.col("eval_id").alias("vec_id"),
+            "n_train_neardups",
+            "max_cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _split_leakage_embedding_sql() -> str:
+    from ppocr_spark.functions.sampling import split_thresholds
+
+    ths = split_thresholds([("train", 0.9), ("test", 0.1)])
+    h4 = "substr(md5(concat('split:', vec_id::VARCHAR)), 1, 4)"
+    arms = "\n".join(
+        f"  WHEN {h4} < '{upper}' THEN '{name}'"
+        for name, upper in ths[:-1]
+    )
+    tables = 4
+    match = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+    return f"""
+WITH base AS ({_lsh_sigs_cte(bits=6, tables=4, dim=64)}),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(x.embedding::DOUBLE[],
+                                x.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(y.embedding::DOUBLE[],
+                                y.embedding::DOUBLE[]))) AS cos_raw
+  FROM base x JOIN base y ON ({match}) AND x.vec_id < y.vec_id
+),
+sp AS (
+  SELECT vec_id, CASE
+{arms}
+    ELSE '{ths[-1][0]}' END AS split
+  FROM embeddings
+),
+leak AS (
+  SELECT CASE WHEN sa.split = 'test' THEN p.a ELSE p.b END AS vec_id,
+         round(p.cos_raw, 6) AS cos_r
+  FROM pairs p
+  JOIN sp sa ON sa.vec_id = p.a
+  JOIN sp sb ON sb.vec_id = p.b
+  WHERE p.cos_raw >= 0.15 AND sa.split <> sb.split
+)
+SELECT vec_id, count(*)::BIGINT AS n_train_neardups,
+       max(cos_r) AS max_cosine
+FROM leak GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 # --- OCR pipeline queries (our own interleaved corpus; oracle = the
 # generation-time expected_spans golden parquet, read by DuckDB directly) ---
 
@@ -5556,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ssjoin_prefix": _dedup_ssjoin_prefix,
         "source_token_kl": _source_token_kl,
         "text_pmi_bigrams": _text_pmi_bigrams,
+        "split_leakage_embedding": _split_leakage_embedding,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5762,4 +5830,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ssjoin_prefix": _SSJOIN_PREFIX_SQL,
         "source_token_kl": _SOURCE_TOKEN_KL_SQL,
         "text_pmi_bigrams": _PMI_BIGRAMS_SQL,
+        "split_leakage_embedding": _split_leakage_embedding_sql(),
     }

@@ -1530,3 +1530,66 @@ def embedding_quality_report(
         )
         .orderBy("label")
     )
+
+
+def embedding_split_leakage(
+    emb: DataFrame,
+    weights: list[tuple[str, float]] | None = None,
+    eval_split: str = "test",
+    threshold: float = 0.4,
+    bits: int = 6,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-split SEMANTIC leakage report: for each eval-split vector,
+    how many train-side near-duplicates (cosine ≥ threshold via the
+    hyperplane-LSH path) exist and how close the nearest one is — the
+    eval-integrity audit that n-gram decontamination
+    (``dedup.contamination_spans``) misses: a paraphrased or
+    re-embedded test item shares no 12-gram with its train twin but
+    sits next to it in embedding space (cf. the semantic-decontam
+    sweeps of GPT-3/PaLM appendix audits).
+
+    Composition, not new machinery: the deterministic md5
+    ``sampling.hash_split`` (partition-layout independent, so the
+    SAME split this pipeline trains with) × ``lsh_near_dup_pairs``
+    (bucketed candidates + exact verify). Cosines are rounded to 6
+    BEFORE the per-doc max so the aggregate never compares unrounded
+    floats (max of engine-identical rounded values is
+    engine-identical).
+
+    Scale: the LSH pair table is the dominant cost and is already
+    sub-quadratic; split labels are a pure projection joined on the
+    high-cardinality id key; the report groups by eval id. Returns
+    (eval_id, n_train_neardups, max_cosine) — eval rows with NO
+    leakage emit nothing (count them against the split table to get
+    the clean rate)."""
+    from ppocr_spark.functions.sampling import hash_split
+
+    w = weights or [("train", 0.9), ("test", 0.1)]
+    pairs = lsh_near_dup_pairs(
+        emb, threshold=threshold, bits=bits, tables=tables, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    splits = hash_split(emb.select(F.col(id_col)), w, id_col=id_col)
+    sa = splits.select(F.col(id_col).alias("a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col(id_col).alias("b"), F.col("split").alias("sb"))
+    leak = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter(
+            ((F.col("sa") == eval_split) | (F.col("sb") == eval_split))
+            & (F.col("sa") != F.col("sb"))
+        )
+        .select(
+            F.when(F.col("sa") == eval_split, F.col("a"))
+            .otherwise(F.col("b")).alias("eval_id"),
+            F.round("cosine", 6).alias("__cos"),
+        )
+    )
+    return leak.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("n_train_neardups"),
+        F.max("__cos").alias("max_cosine"),
+    )

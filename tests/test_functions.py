@@ -590,6 +590,40 @@ class TestLshNearDupPairs:
         assert len(got) / len(base) >= 0.8  # multi-table recall
 
 
+class TestSplitLeakage:
+    def test_cross_split_neardup_reported(self, spark):
+        # ids 10/21 land in 'test' under md5('split:id') at 90/10; give
+        # the test id 10 a train twin (id 9, same direction) and keep
+        # id 21 orthogonal to everything — only (10 -> 9) may report.
+        from ppocr_spark.functions.similarity import (
+            embedding_split_leakage,
+        )
+
+        def vec(seed, dim=8):
+            return [float((seed * 31 + j * 7) % 13 - 6) for j in range(dim)]
+
+        rows = []
+        for i in range(1, 9):  # train filler, mutually non-identical
+            rows.append((i, vec(i)))
+        rows.append((9, [1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 0.0, 1.0]))
+        rows.append((10, [1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 0.0, 1.0]))
+        rows.append((21, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, -1.0, 0.0]))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            r["eval_id"]: (r["n_train_neardups"], r["max_cosine"])
+            for r in embedding_split_leakage(
+                emb, [("train", 0.9), ("test", 0.1)],
+                threshold=0.95, bits=2, tables=2, dim=8,
+            ).collect()
+        }
+        assert 10 in out and out[10][0] >= 1 and out[10][1] == 1.0
+        assert 21 not in out
+        assert all(k in (10, 21) for k in out)  # eval side only
+
+
 class TestLangIdTieBreak:
     def test_priority_order_on_ties(self, spark):
         from ppocr_spark.functions.text import lang_id
