@@ -2114,6 +2114,62 @@ FROM lift ORDER BY pmi_nano DESC, w1, w2 LIMIT 64
 """
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (library
+    dedup.incremental_minhash_matches): the 20% delta batch
+    (doc_id % 5 = 0) probes the base corpus's MinHash band index —
+    base×base pairs are never regenerated — plus the earlier-delta
+    (min-id-keeps) rule within the batch. Same signature chain and
+    exact gram-Jaccard verify as the batch operator; integer-ppm
+    scores."""
+    from ppocr_spark.functions.dedup import incremental_minhash_matches
+
+    d = _load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    return (
+        incremental_minhash_matches(
+            base, delta, threshold_ppm=120_000, k=8, bands=4, n=3
+        )
+        .orderBy("doc_id", "match_src", "match_id")
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS id, doc_id % 5 = 0 AS is_delta, {_DUCK_GRAMS} AS grams
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+), sigs AS (
+  SELECT id, is_delta, grams, {_minhash_sig('duck')} AS sig
+  FROM docs WHERE len(grams) > 0
+), banded AS (
+  SELECT id, is_delta, b AS band,
+         array_to_string(sig[b*2+1:b*2+2], '|') AS key
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+), cands AS (
+  SELECT DISTINCT x.id AS id, y.id AS mid, 'base' AS match_src
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key
+  WHERE x.is_delta AND NOT y.is_delta
+  UNION
+  SELECT DISTINCT x.id, y.id, 'delta'
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND y.id < x.id
+  WHERE x.is_delta AND y.is_delta
+)
+SELECT c.id AS doc_id, c.mid AS match_id, c.match_src,
+       ((1000000 * len(list_intersect(gi.grams, gm.grams)))
+        // len(list_distinct(list_concat(gi.grams, gm.grams))))::BIGINT
+         AS jaccard_ppm
+FROM cands c
+JOIN sigs gi ON gi.id = c.id
+JOIN sigs gm ON gm.id = c.mid
+WHERE (1000000 * len(list_intersect(gi.grams, gm.grams)))
+      // len(list_distinct(list_concat(gi.grams, gm.grams))) >= 120000
+ORDER BY doc_id, match_src, match_id
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5624,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_kl": _source_token_kl,
         "text_pmi_bigrams": _text_pmi_bigrams,
         "split_leakage_embedding": _split_leakage_embedding,
+        "dedup_incremental": _dedup_incremental,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5831,4 +5888,5 @@ def oracle_sql() -> dict[str, str]:
         "source_token_kl": _SOURCE_TOKEN_KL_SQL,
         "text_pmi_bigrams": _PMI_BIGRAMS_SQL,
         "split_leakage_embedding": _split_leakage_embedding_sql(),
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     }

@@ -987,3 +987,88 @@ def ssjoin_prefix_pairs(
         )
         .filter(F.col("jaccard_ppm") >= F.lit(t))
     )
+
+
+def incremental_minhash_matches(
+    base_df: DataFrame,
+    delta_df: DataFrame,
+    threshold_ppm: int = 120_000,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the production ingestion pattern: a
+    new delta batch probes the existing corpus's MinHash band index
+    instead of re-mining all pairs (an O(|corpus|²-shaped) daily job
+    becomes O(|delta| · bucket density)). A delta document is flagged
+    when it collides-and-verifies against (a) any BASE document —
+    probe side joins the write-once band index table, base×base pairs
+    are never regenerated — or (b) an EARLIER delta document
+    (match_id < id within the batch: the keep-the-min-id rule applied
+    incrementally, so a batch full of internal dups keeps exactly its
+    min-id representative, consistent with the batch operator).
+
+    Same signature chain as ``minhash_dedup_pairs``
+    (``gram_signature_rows`` — a change affects both or neither), same
+    exact gram-Jaccard verify on candidates only, same ``max_bucket``
+    hot-bucket valve. Jaccard reports as exact integer ppm. Assumes
+    disjoint id spaces between base and delta (ingestion contract; a
+    re-ingested id is the EXACT-dedup pass's job upstream).
+
+    At scale the base side is a PERSISTED index table (id, band, key)
+    + (id, grams): both written once at corpus build, partitioned by
+    (band, key-hash) so the delta probe shuffles only the delta;
+    here both derive from the given DataFrames through the same
+    cached slim projection. Returns
+    (doc_id, match_id, match_src 'base'|'delta', jaccard_ppm)."""
+    t = int(threshold_ppm)
+    base_sig = _gram_sig_table(base_df, k, n, text_col, id_col)
+    delta_sig = _gram_sig_table(delta_df, k, n, text_col, id_col)
+    bb = _banded(base_sig, k, bands)
+    db = _banded(delta_sig, k, bands)
+    if max_bucket is not None:
+        # bucket size counted over the UNION view (index + delta), the
+        # same population the batch valve sees
+        sizes = bb.unionByName(db).groupBy("band", "key").agg(
+            F.count("*").alias("__m")
+        )
+        keep = sizes.filter(F.col("__m") <= max_bucket).select("band", "key")
+        bb = bb.join(keep, ["band", "key"])
+        db = db.join(keep, ["band", "key"])
+    cross = (
+        db.alias("x")
+        .join(bb.alias("y"), (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.key") == F.col("y.key")))
+        .select(F.col("x.id").alias("id"), F.col("y.id").alias("mid"),
+                F.lit("base").alias("match_src"))
+    )
+    intra = (
+        db.alias("x")
+        .join(db.alias("y"), (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.key") == F.col("y.key"))
+              & (F.col("y.id") < F.col("x.id")))
+        .select(F.col("x.id").alias("id"), F.col("y.id").alias("mid"),
+                F.lit("delta").alias("match_src"))
+    )
+    cands = cross.unionByName(intra).distinct()
+    grams = base_sig.select("id", F.col("grams").alias("g")).unionByName(
+        delta_sig.select("id", F.col("grams").alias("g"))
+    )
+    return (
+        cands.join(grams.select(F.col("id"), F.col("g").alias("gi")), "id")
+        .join(grams.select(F.col("id").alias("mid"),
+                           F.col("g").alias("gm")), "mid")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("mid").alias("match_id"),
+            "match_src",
+            F.expr(
+                "(1000000 * size(array_intersect(gi, gm)))"
+                " DIV size(array_union(gi, gm))"
+            ).cast("long").alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= F.lit(t))
+    )

@@ -189,6 +189,51 @@ class TestDedup:
 
         assert ssjoin_prefix_pairs(df, threshold_ppm=500_000).count() == 0
 
+    def test_incremental_equals_batch_restriction(self, spark):
+        # the incremental invariant: probing the base band index with a
+        # delta batch finds EXACTLY the batch-mode pairs that touch the
+        # delta (base-base pairs are the ones it never regenerates),
+        # with intra-delta matches directed at the earlier (min) id.
+        from ppocr_spark.functions.dedup import (
+            incremental_minhash_matches,
+            minhash_dedup_pairs,
+        )
+
+        base_rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "spark engines shuffle data across the cluster nodes"),
+            (3, "an entirely different base document about parquet files"),
+        ]
+        delta_rows = [
+            (101, "the quick brown fox jumps over the lazy dog tonight"),
+            (102, "the quick brown fox jumps over the lazy dog today"),
+            (103, "fresh delta content sharing nothing with the base"),
+        ]
+        base = spark.createDataFrame(base_rows, "doc_id long, text string")
+        delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+        both = base.unionByName(delta)
+
+        batch = {
+            frozenset((r["a"], r["b"]))
+            for r in minhash_dedup_pairs(both, threshold=0.3).collect()
+        }
+        delta_ids = {i for i, _ in delta_rows}
+        batch_touching_delta = {
+            p for p in batch if p & delta_ids
+        }
+
+        inc = incremental_minhash_matches(
+            base, delta, threshold_ppm=300_000
+        ).collect()
+        got = {frozenset((r["doc_id"], r["match_id"])) for r in inc}
+        assert got == batch_touching_delta and got
+        for r in inc:
+            if r["match_src"] == "base":
+                assert r["match_id"] not in delta_ids
+            else:
+                assert r["match_id"] in delta_ids
+                assert r["match_id"] < r["doc_id"]
+
     def test_minhash_lsh_finds_dups(self, docs):
         from ppocr_spark.functions.dedup import minhash_dedup_pairs
 
