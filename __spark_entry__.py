@@ -2170,6 +2170,36 @@ ORDER BY doc_id, match_src, match_id
 """
 
 
+def _text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build artifact (library search.build_inverted_index):
+    per term in the df band [2, 400], document frequency, collection
+    frequency, and the doc_id:tf posting list in ascending doc order
+    serialized to one deterministic string. The df band filter runs
+    BEFORE the collect, so per-term state is bounded and hot stopword
+    terms are elided, not truncated."""
+    from ppocr_spark.functions.search import build_inverted_index
+
+    d = _load(spark, sf_dir, "documents")
+    return build_inverted_index(d, min_df=2, max_df=400).orderBy("term")
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH tf AS (
+  SELECT tok AS term, doc_id AS id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+), band AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY term HAVING count(*) BETWEEN 2 AND 400
+)
+SELECT b.term, b.df, b.cf,
+       string_agg(t.id::VARCHAR || ':' || t.tf::VARCHAR, ','
+                  ORDER BY t.id) AS postings
+FROM band b JOIN tf t USING (term)
+GROUP BY 1, 2, 3 ORDER BY term
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5681,6 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_bigrams": _text_pmi_bigrams,
         "split_leakage_embedding": _split_leakage_embedding,
         "dedup_incremental": _dedup_incremental,
+        "text_inverted_index": _text_inverted_index,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5889,4 +5920,5 @@ def oracle_sql() -> dict[str, str]:
         "text_pmi_bigrams": _PMI_BIGRAMS_SQL,
         "split_leakage_embedding": _split_leakage_embedding_sql(),
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "text_inverted_index": _INVERTED_INDEX_SQL,
     }

@@ -210,3 +210,75 @@ def tfidf_topk_terms(
             "rank",
         )
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    max_df: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the serving-side INVERTED INDEX artifact for the BM25/tf-idf
+    query operators: per term, document frequency, collection frequency,
+    and the posting list (doc_id:tf entries in ascending doc order,
+    serialized to one deterministic string — the segment-file payload).
+
+    Bounded-state by construction: the df band filter (``min_df`` ≤ df ≤
+    ``max_df``) runs BEFORE any per-term collect, so no group ever
+    aggregates more than ``max_df`` postings — hot stopword terms are
+    ELIDED (the classic posting-list strategy: terms in every document
+    carry no ranking signal and would otherwise put the whole corpus
+    behind single keys), not truncated (truncation would make the
+    artifact partition-order dependent). ``sort_array`` pins the posting
+    order; nothing in the plan is a window over a term key (the
+    documented hot-key trap — df banding is a groupBy + semi-join).
+
+    Scale: one corpus explode → (id, term) tf groupBy (map-side
+    combine), one vocabulary-bounded df aggregate, one semi-join back,
+    one per-term collect bounded by max_df. Returns
+    (term, df, cf, postings)."""
+    from ppocr_spark import cache
+
+    from .text import spread as _spread
+
+    tf = cache.track_if_large(
+        docs,
+        _spread(
+            docs.select(
+                F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+            )
+        )
+        .select("id", F.explode("t").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf")),
+    )
+    band = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .filter(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (F.col("df") <= F.lit(int(max_df)))
+        )
+    )
+    return (
+        tf.join(band, "term")
+        .groupBy("term", "df", "cf")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(":", s["id"], s["tf"]),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            "postings",
+        )
+    )

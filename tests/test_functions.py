@@ -1198,6 +1198,31 @@ class TestChunkingAndShards:
         assert derive(10**16) == 8  # capped
 
 
+class TestInvertedIndex:
+    def test_postings_and_band_elision(self, spark):
+        from ppocr_spark.functions.search import build_inverted_index
+
+        rows = [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry stop"),
+            (4, "stop stop"),
+            (5, "stop unique"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["term"]: (r["df"], r["cf"], r["postings"])
+            for r in build_inverted_index(df, min_df=2, max_df=2).collect()
+        }
+        # df band [2,2]: apple df=2, banana df=2, cherry df=2 kept;
+        # stop df=3 elided (hot), unique df=1 elided (rare)
+        assert out == {
+            "apple": (2, 3, "1:2,3:1"),
+            "banana": (2, 2, "1:1,2:1"),
+            "cherry": (2, 3, "2:1,3:2"),
+        }
+
+
 class TestBM25:
     def test_matches_brute_force_and_plan(self, spark):
         import math
