@@ -2200,6 +2200,44 @@ GROUP BY 1, 2, 3 ORDER BY term
 """
 
 
+def _text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid-style readability signals (library
+    text.readability): words/sentence, chars/word, FKGL-shaped
+    composite — all exact integer milli/micro units (two non-negative
+    integer DIVs, engine-identical). Pure per-row JVM expressions,
+    zero shuffles."""
+    from ppocr_spark.functions.text import readability
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        readability(d)
+        .select(F.col("id").alias("doc_id"), "n_sents", "n_words",
+                "n_chars", "wps_milli", "cpw_milli", "fk_micro")
+        .orderBy("doc_id")
+    )
+
+
+_READABILITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS l,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> trim(s) <> '')), 1)::BIGINT
+           AS n_sents
+  FROM documents
+), per AS (
+  SELECT doc_id, n_sents, len(l)::BIGINT AS n_words,
+         list_sum(list_transform(l, t -> length(t)))::BIGINT AS n_chars
+  FROM base WHERE len(l) > 0
+)
+SELECT doc_id, n_sents, n_words, n_chars,
+       ((1000 * n_words) // n_sents)::BIGINT AS wps_milli,
+       ((1000 * n_chars) // n_words)::BIGINT AS cpw_milli,
+       ((390000 * n_words) // n_sents
+        + (11800000 * n_chars) // n_words - 15590000)::BIGINT AS fk_micro
+FROM per ORDER BY doc_id
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -5712,6 +5750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_embedding": _split_leakage_embedding,
         "dedup_incremental": _dedup_incremental,
         "text_inverted_index": _text_inverted_index,
+        "text_readability": _text_readability,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5921,4 +5960,5 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_embedding": _split_leakage_embedding_sql(),
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "text_inverted_index": _INVERTED_INDEX_SQL,
+        "text_readability": _READABILITY_SQL,
     }

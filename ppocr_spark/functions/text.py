@@ -1078,3 +1078,68 @@ def _nano_const(v: int) -> int:
     import math
 
     return round(round(math.log(v), 9) * 1_000_000_000)
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch–Kincaid-style readability signals per document — the
+    sentence-structure quality heuristic family (words/sentence,
+    chars/word as the syllable proxy, and the FKGL-shaped composite)
+    used in C4-era rule filters alongside length/punct gates.
+
+    All ratios are exact integers (the integer-ppm lesson):
+      wps_milli = 1000·n_words DIV n_sents
+      cpw_milli = 1000·n_chars DIV n_words
+      fk_micro  = (390000·n_words) DIV n_sents
+                + (11800000·n_chars) DIV n_words − 15590000
+    (the FKGL coefficients 0.39 / 11.8 / −15.59 lifted to micro-units;
+    two integer DIVs of non-negative operands, engine-identical).
+    Sentences = non-empty segments after splitting on /[.!?]+/ (same
+    regex class in Java and RE2); a doc with no terminator counts as
+    ONE sentence; n_chars sums TOKEN lengths (consistent with the
+    shared whitespace tokenizer, so punctuation-only "words" count as
+    their symbols). Token-less documents emit no row (no denominator)
+    in both engines.
+
+    Scale: pure per-row JVM expressions — zero shuffles, a map over
+    the corpus. Returns (id, n_sents, n_words, n_chars, wps_milli,
+    cpw_milli, fk_micro)."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("__t"),
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), r"[.!?]+"),
+                    lambda s: F.trim(s) != "",
+                )
+            ),
+            F.lit(1),
+        ).cast("long").alias("n_sents"),
+    ).filter(F.size("__t") > 0)
+    per = base.select(
+        "id",
+        "n_sents",
+        F.size("__t").cast("long").alias("n_words"),
+        F.aggregate(
+            F.col("__t"), F.lit(0).cast("long"),
+            lambda a, t: a + F.length(t),
+        ).alias("n_chars"),
+    )
+    return per.select(
+        "id",
+        "n_sents",
+        "n_words",
+        "n_chars",
+        F.expr("(1000 * n_words) DIV n_sents").cast("long")
+        .alias("wps_milli"),
+        F.expr("(1000 * n_chars) DIV n_words").cast("long")
+        .alias("cpw_milli"),
+        F.expr(
+            "(390000 * n_words) DIV n_sents"
+            " + (11800000 * n_chars) DIV n_words - 15590000"
+        ).cast("long").alias("fk_micro"),
+    )

@@ -454,6 +454,27 @@ class TestText:
             exp[s] = (ns, len(cnt), max(num, 0) // (ns * 1000))
         assert got == exp
 
+    def test_readability_hand_computed(self, spark):
+        from ppocr_spark.functions.text import readability
+
+        rows = [
+            (1, "The cat sat. The dog ran! Done?"),   # 3 sentences
+            (2, "no terminator here at all"),          # counts as 1
+            (3, "   "),                                # token-less: no row
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["id"]: r for r in readability(df).collect()}
+        assert set(out) == {1, 2}
+        r1 = out[1]
+        # tokens: The cat sat. The dog ran! Done? -> 7 words,
+        # chars incl punctuation = 3+3+4+3+3+4+5 = 25
+        assert (r1["n_sents"], r1["n_words"], r1["n_chars"]) == (3, 7, 25)
+        assert r1["wps_milli"] == (1000 * 7) // 3
+        assert r1["cpw_milli"] == (1000 * 25) // 7
+        assert r1["fk_micro"] == (390000 * 7) // 3 + (11800000 * 25) // 7 \
+            - 15590000
+        assert out[2]["n_sents"] == 1
+
     def test_pmi_bigrams_matches_replication(self, spark):
         # PMI in pure int64 nano-lift sums (no division) — replicated
         # in python; min_count floor + total (pmi desc, w1, w2) order.
