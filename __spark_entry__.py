@@ -1961,27 +1961,28 @@ ORDER BY doc_id
 
 
 def _dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard similarity join via PREFIX FILTERING
+    """Exact n-gram-set Jaccard similarity join via PREFIX FILTERING
     (library dedup.ssjoin_prefix_pairs — SSJoin/AllPairs/PPJoin
-    family): tokens globally ordered by ascending document frequency,
-    each doc joins only on its first n − ceil(t·n) + 1 tokens (the
-    prefix lemma guarantees no lost pair), candidates verified with an
-    exact integer-ppm Jaccard. The exact-AND-sub-quadratic leg next to
-    the probabilistic MinHash path and the quadratic gram-join
-    baseline."""
+    family): distinct 3-grams globally ordered by ascending document
+    frequency, each doc joins only on its first m − ceil(t·m) + 1
+    grams (the prefix lemma guarantees no lost pair), candidates
+    verified with an exact integer-ppm Jaccard. The
+    exact-AND-sub-quadratic leg next to the probabilistic MinHash
+    path and the quadratic gram-join baseline."""
     from ppocr_spark.functions.dedup import ssjoin_prefix_pairs
 
     d = _load(spark, sf_dir, "documents")
     return (
-        ssjoin_prefix_pairs(d, threshold_ppm=900_000)
+        ssjoin_prefix_pairs(d, threshold_ppm=500_000, n=3)
         .orderBy("a", "b")
     )
 
 
 _SSJOIN_PREFIX_SQL = f"""
 WITH toks AS (
-  SELECT doc_id AS id, unnest(list_distinct({_DUCK_TOKS})) AS tok
-  FROM documents
+  SELECT id, unnest(g) AS tok FROM (
+    SELECT doc_id AS id, {_DUCK_GRAMS} AS g
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
 ), freq AS (
   SELECT tok, count(*)::BIGINT AS dfreq FROM toks GROUP BY tok
 ), ranked AS (
@@ -1992,7 +1993,7 @@ WITH toks AS (
   FROM toks t JOIN freq f USING (tok)
 ), pref AS (
   SELECT id, tok FROM ranked
-  WHERE rn <= n - ((900000::BIGINT * n + 999999) // 1000000) + 1
+  WHERE rn <= n - ((500000::BIGINT * n + 999999) // 1000000) + 1
 ), cand AS (
   SELECT DISTINCT x.id AS a, y.id AS b
   FROM pref x JOIN pref y ON x.tok = y.tok AND x.id < y.id
@@ -2012,7 +2013,7 @@ SELECT i.a, i.b, i.inter,
 FROM inter i
 JOIN sizes sa ON sa.id = i.a
 JOIN sizes sb ON sb.id = i.b
-WHERE (1000000 * i.inter) // (sa.n + sb.n - i.inter) >= 900000
+WHERE (1000000 * i.inter) // (sa.n + sb.n - i.inter) >= 500000
 ORDER BY a, b
 """
 

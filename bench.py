@@ -129,6 +129,13 @@ def main():
         "dedup_pagerank",
         "embeddings_pca_power",
         "source_overlap_minhash",
+        "dedup_ssjoin_prefix",
+        "source_token_kl",
+        "text_pmi_bigrams",
+        "split_leakage_embedding",
+        "dedup_incremental",
+        "text_inverted_index",
+        "text_readability",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

@@ -900,50 +900,56 @@ def cluster_size_histogram(
 def ssjoin_prefix_pairs(
     df: DataFrame,
     threshold_ppm: int = 500_000,
+    n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """EXACT token-set Jaccard similarity join via prefix filtering
+    """EXACT n-gram-set Jaccard similarity join via prefix filtering
     (Chaudhuri et al. SSJoin 2006 / Bayardo AllPairs 2007 / Xiao PPJoin
-    2011) — the third leg of the near-dup-pairs stool: the gram
+    2011) — the third leg of the near-dup-pairs stool: the full gram
     equi-join (`ngram_jaccard_pairs`) is exact but quadratic in hot
     keys; MinHash/LSH is sub-quadratic but probabilistic; prefix
-    filtering is BOTH exact and sub-quadratic. Tokens get a global
-    total order by ascending document frequency (rarest first, token
-    string as tie-break); a doc with n distinct tokens only emits its
-    first  p = n − ceil(t·n) + 1  tokens in that order as join keys.
+    filtering is BOTH exact and sub-quadratic. Set elements are the
+    per-doc DISTINCT word n-grams (the same universe as the MinHash
+    path; ``n=1`` degrades to token sets). Grams get a global total
+    order by ascending document frequency (rarest first, gram string
+    as tie-break); a doc with m grams only emits its first
+    p = m − ceil(t·m) + 1  grams in that order as join keys.
     Prefix lemma: J(A,B) ≥ t ⟹ |A∩B| ≥ ceil(t·max(|A|,|B|)) ⟹ the
     (|A|−ceil(t·|A|)+1)-prefixes of A and B under any shared total
-    order intersect — so the prefix-token equi-join loses NO true pair
+    order intersect — so the prefix-gram equi-join loses NO true pair
     (pinned against the brute-force scan by test), while the corpus's
-    hottest tokens (stopwords — the quadratic blow-up in the gram
-    join) sort LAST and never enter a prefix at realistic thresholds.
+    hottest grams (boilerplate — the quadratic blow-up in the full
+    gram join) sort LAST and never enter a prefix at realistic
+    thresholds.
 
-    Candidates then verify exactly: join back each side's full token
+    Candidates then verify exactly: join back each side's full gram
     set, count the intersection, and keep  (10⁶·inter) DIV union ≥
     threshold_ppm  (exact integer ppm — engine-identical, no float
     round() ties).
 
-    Scale shape: document frequency is one (tok) groupBy of the
-    per-doc-distinct token table; the rank is a per-document window
+    Scale shape: document frequency is one (gram) groupBy of the
+    per-doc-distinct gram table; the rank is a per-document window
     (partition key = doc_id — unique, unskewable, doc-length bounded);
-    candidate generation shuffles only PREFIX tokens whose buckets are
-    small by construction (a token with document frequency f costs
+    candidate generation shuffles only PREFIX grams whose buckets are
+    small by construction (a gram with document frequency f costs
     f²/2 pairs ONLY while it is rare enough to be in prefixes);
-    verification joins token rows of candidate pairs only. Every
-    shuffle key is a token string or doc id — high cardinality,
+    verification joins gram rows of candidate pairs only. Every
+    shuffle key is a gram string or doc id — high cardinality,
     AQE-spread. Returns (a, b, inter, union_n, jaccard_ppm), a < b.
     Reference behavior anchor: the same pair set the reference would
-    get from an all-pairs token-set scan (no reference analog — this
+    get from an all-pairs gram-set scan (no reference analog — this
     is pipeline-extras surface)."""
     t = int(threshold_ppm)
     toks = cache.track_if_large(
         df,
         _spread(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+            df.select(F.col(id_col).alias("id"),
+                      tokens(F.col(text_col)).alias("__tk"))
         )
-        .select("id", F.explode(F.array_distinct(tokens(F.col("t"))))
-                .alias("tok")),
+        .select("id", F.explode(
+            F.array_distinct(ngrams_from_tokens(F.col("__tk"), n))
+        ).alias("tok")),
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
     w = Window.partitionBy("id")

@@ -173,9 +173,32 @@ class TestDedup:
 
         got = {
             (r["a"], r["b"]): (r["inter"], r["union_n"], r["jaccard_ppm"])
-            for r in ssjoin_prefix_pairs(df, threshold_ppm=t).collect()
+            for r in ssjoin_prefix_pairs(df, threshold_ppm=t, n=1).collect()
         }
         assert got == expect and expect  # non-vacuous: dups exist
+
+        # same lemma over 3-gram sets (the production universe)
+        def grams(txt):
+            ts = txt.split()
+            return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+        gsets = {i: grams(txt) for i, txt in rows if grams(txt)}
+        gexp = {}
+        gids = sorted(gsets)
+        for x in range(len(gids)):
+            for y in range(x + 1, len(gids)):
+                a, b = gids[x], gids[y]
+                inter = len(gsets[a] & gsets[b])
+                union = len(gsets[a] | gsets[b])
+                if union and (1_000_000 * inter) // union >= t:
+                    gexp[(a, b)] = (
+                        inter, union, (1_000_000 * inter) // union
+                    )
+        ggot = {
+            (r["a"], r["b"]): (r["inter"], r["union_n"], r["jaccard_ppm"])
+            for r in ssjoin_prefix_pairs(df, threshold_ppm=t, n=3).collect()
+        }
+        assert ggot == gexp
 
     def test_ssjoin_prefix_is_selective(self, spark):
         # the point of the operator: at a high threshold the hottest
@@ -187,7 +210,9 @@ class TestDedup:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         from ppocr_spark.functions.dedup import ssjoin_prefix_pairs
 
-        assert ssjoin_prefix_pairs(df, threshold_ppm=500_000).count() == 0
+        assert ssjoin_prefix_pairs(
+            df, threshold_ppm=500_000, n=1
+        ).count() == 0
 
     def test_incremental_equals_batch_restriction(self, spark):
         # the incremental invariant: probing the base band index with a
