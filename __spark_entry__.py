@@ -2201,6 +2201,46 @@ GROUP BY 1, 2, 3 ORDER BY term
 """
 
 
+def _dedup_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup-policy report (library dedup.dedup_source_report):
+    deletion rate of the keep-one policy and cross-source cluster mass
+    (the syndication/mirror signal) per source, integer ppm, over the
+    same MinHash clusters as ``dedup_clusters``."""
+    from ppocr_spark.functions.dedup import (dedup_representatives,
+                                             dedup_source_report,
+                                             minhash_dedup_pairs)
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    labels = dedup_representatives(pairs, d)
+    return dedup_source_report(labels, d).orderBy("source")
+
+
+_DEDUP_SOURCE_REPORT_SQL = f"""{_MINHASH_CC_CTE}
+, lab AS (
+  SELECT d.doc_id AS id, d.source,
+         coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS keep
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+), spreads AS (
+  SELECT cluster_id, count(DISTINCT source) AS ns, count(*) AS cs
+  FROM lab GROUP BY cluster_id
+), rep AS (
+  SELECT l.source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN NOT l.keep THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+         sum(CASE WHEN s.ns >= 2 AND s.cs >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS n_xsource
+  FROM lab l JOIN spreads s USING (cluster_id)
+  GROUP BY l.source
+)
+SELECT source, n_docs, n_dups,
+       ((1000000 * n_dups) // n_docs)::BIGINT AS dup_ppm,
+       n_xsource,
+       ((1000000 * n_xsource) // n_docs)::BIGINT AS xsource_ppm
+FROM rep ORDER BY source
+"""
+
+
 def _text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch–Kincaid-style readability signals (library
     text.readability): words/sentence, chars/word, FKGL-shaped
@@ -5752,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "text_inverted_index": _text_inverted_index,
         "text_readability": _text_readability,
+        "dedup_source_report": _dedup_source_report,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -5962,4 +6003,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "text_inverted_index": _INVERTED_INDEX_SQL,
         "text_readability": _READABILITY_SQL,
+        "dedup_source_report": _DEDUP_SOURCE_REPORT_SQL,
     }

@@ -1078,3 +1078,58 @@ def incremental_minhash_matches(
         )
         .filter(F.col("jaccard_ppm") >= F.lit(t))
     )
+
+
+def dedup_source_report(
+    labels: DataFrame,
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source dedup-policy report over cluster labels
+    (``dedup_representatives`` output): how much of each source the
+    keep-one policy deletes (``dup_ppm``) and how much of it sits in
+    CROSS-SOURCE clusters (``xsource_ppm`` — the syndication/mirror
+    signal: a source whose near-dup mass is mostly shared with other
+    sources is a copy, not an origin). The per-source counterpart of
+    the corpus-level ``cluster_size_histogram``, and the table a
+    100 TB pipeline reads before setting per-source weights.
+
+    Ratios are exact integer ppm. Scale: labels join the slim
+    (id, source) projection on the unique doc key; the per-cluster
+    source spread is one groupBy(cluster) over int/string pairs
+    (cluster keys are near-dup-bounded — the skew valve upstream caps
+    them); the report is one groupBy(source). Nothing document-sized
+    shuffles. Returns (source, n_docs, n_dups, dup_ppm, n_xsource,
+    xsource_ppm)."""
+    slim = docs.select(F.col(id_col).alias("id"),
+                       F.col(source_col).alias("source"))
+    lab = labels.select(F.col(id_col).alias("id"), "cluster_id", "keep")
+    j = cache.track_if_large(docs, lab.join(slim, "id"))
+    spreads = j.groupBy("cluster_id").agg(
+        F.countDistinct("source").alias("__ns"),
+        F.count("*").alias("__cs"),
+    )
+    return (
+        j.join(spreads, "cluster_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long").alias("n_dups"),
+            F.sum(
+                F.when((F.col("__ns") >= 2) & (F.col("__cs") >= 2), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_xsource"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            F.expr("(1000000 * n_dups) DIV n_docs").cast("long")
+            .alias("dup_ppm"),
+            "n_xsource",
+            F.expr("(1000000 * n_xsource) DIV n_docs").cast("long")
+            .alias("xsource_ppm"),
+        )
+    )

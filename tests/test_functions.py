@@ -214,6 +214,31 @@ class TestDedup:
             df, threshold_ppm=500_000, n=1
         ).count() == 0
 
+    def test_dedup_source_report_hand_case(self, spark):
+        # cluster {1,2} spans sources s1/s2 (cross-source, one dup);
+        # cluster {3} singleton; 4 singleton. s1: 2 docs 1 dup-free?
+        from ppocr_spark.functions.dedup import dedup_source_report
+
+        labels = spark.createDataFrame(
+            [(1, 1, True), (2, 1, False), (3, 3, True), (4, 4, True)],
+            "doc_id long, cluster_id long, keep boolean",
+        )
+        docs = spark.createDataFrame(
+            [(1, "s1"), (2, "s2"), (3, "s1"), (4, "s2")],
+            "doc_id long, source string",
+        )
+        out = {
+            r["source"]: (r["n_docs"], r["n_dups"], r["dup_ppm"],
+                          r["n_xsource"], r["xsource_ppm"])
+            for r in dedup_source_report(labels, docs).collect()
+        }
+        # s1: docs 1,3 — no deletions, doc 1 sits in the cross-source
+        # cluster; s2: docs 2,4 — doc 2 deleted AND cross-source.
+        assert out == {
+            "s1": (2, 0, 0, 1, 500_000),
+            "s2": (2, 1, 500_000, 1, 500_000),
+        }
+
     def test_incremental_equals_batch_restriction(self, spark):
         # the incremental invariant: probing the base band index with a
         # delta batch finds EXACTLY the batch-mode pairs that touch the
