@@ -931,6 +931,64 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement OLAP staple. WAU is
+    EXACT, with bounded fan-out instead of a trailing distinct window:
+    each (user, active-day) row supports the 7 days [day, day+6], so
+    exploding it 7× and de-duplicating gives per-day weekly actives as
+    a plain count (the ``events_retention`` calendar-bounded trick —
+    no countDistinct over a RANGE frame, whose state is unbounded on
+    hot days). Day ids are integer-µs DIV (floor-exact,
+    engine-identical); stickiness is integer ppm. Output restricted
+    to days that HAVE events (the dau side)."""
+    e = _load(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" ts) DIV {_DAY_US}"
+    )
+    ud = e.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("(1000000 * dau) DIV wau").cast("long")
+            .alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+_EVENTS_DAU_WAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), dau AS (
+  SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day
+), w AS (
+  SELECT DISTINCT user_id, day + o AS day
+  FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(o)
+), wau AS (
+  SELECT day, count(*)::BIGINT AS wau FROM w GROUP BY day
+)
+SELECT d.day::BIGINT AS day, d.dau, wa.wau,
+       ((1000000 * d.dau) // wa.wau)::BIGINT AS stickiness_ppm
+FROM dau d JOIN wau wa USING (day) ORDER BY day
+"""
+
+
 _EVENTS_FUNNEL_SQL = """
 WITH f AS (
   SELECT user_id, event_type AS tp, epoch_us(ts) AS us
@@ -5793,6 +5851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": _text_inverted_index,
         "text_readability": _text_readability,
         "dedup_source_report": _dedup_source_report,
+        "events_dau_wau": _events_dau_wau,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6004,4 +6063,5 @@ def oracle_sql() -> dict[str, str]:
         "text_inverted_index": _INVERTED_INDEX_SQL,
         "text_readability": _READABILITY_SQL,
         "dedup_source_report": _DEDUP_SOURCE_REPORT_SQL,
+        "events_dau_wau": _EVENTS_DAU_WAU_SQL,
     }

@@ -1911,6 +1911,33 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_dau_wau_trailing_window(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as entry
+
+        day = 86_400_000_000
+        # user 0 active day 0; user 1 active days 0 and 8 (outside the
+        # 7-day window of day 0..6 for the day-8 activity); user 2 day 8
+        raw = [(0, 0), (1, 0), (1, 8 * day), (2, 8 * day)]
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us),
+             u, "view", 1.0, "{}")
+            for i, (u, us) in enumerate(raw)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            r["day"] - 19723: (r["dau"], r["wau"], r["stickiness_ppm"])
+            for r in entry._events_dau_wau(spark, str(tmp_path)).collect()
+        }
+        # only event days emit rows; day 8's trailing week excludes day 0
+        assert got == {0: (2, 2, 1_000_000), 8: (2, 2, 1_000_000)}
+
 
 class TestRecallAtK:
     def test_hand_computed_ppm_and_zero_hit_query(self, spark):
