@@ -1955,6 +1955,60 @@ ORDER BY d.doc_id
 """
 
 
+def _dedup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the MinHash
+    near-dup graph (library graph.label_propagation): the
+    soft-clustering companion to connected components — weakly-bridged
+    near-dup cliques stay separate communities. Coin-flips removed:
+    simultaneous update, most-frequent neighbor label, ties to the
+    lowest label via one min(struct(-cnt, lab)) aggregate; 2 unrolled
+    iterations so the oracle replays exactly."""
+    from ppocr_spark.functions.dedup import minhash_dedup_pairs
+    from ppocr_spark.functions.graph import label_propagation
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    edges = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return (
+        label_propagation(edges, nodes, iters=2)
+        .select(F.col("node").alias("doc_id"), "community")
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_round(i: int) -> str:
+    """One unrolled LPA round: votes from l{i-1}, argmax with
+    (cnt DESC, lab ASC), isolated nodes carry their label."""
+    p = i - 1
+    return f"""v{i} AS (
+  SELECT e.v AS node, l.lab, count(*) AS cnt
+  FROM e JOIN l{p} l ON l.node = e.u GROUP BY 1, 2
+), b{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lab) AS rn
+    FROM v{i})
+  WHERE rn = 1
+), l{i} AS (
+  SELECT l{p}.node, coalesce(b{i}.lab, l{p}.lab) AS lab
+  FROM l{p} LEFT JOIN b{i} USING (node)
+)"""
+
+
+_DEDUP_LPA_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES},
+e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents),
+{_lpa_round(1)},
+{_lpa_round(2)}
+SELECT node AS doc_id, lab AS community FROM l2 ORDER BY doc_id
+"""
+
+
 def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture between two corpus snapshots (library
     incremental.snapshot_diff): per-doc added/removed/changed/unchanged
@@ -5852,6 +5906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": _text_readability,
         "dedup_source_report": _dedup_source_report,
         "events_dau_wau": _events_dau_wau,
+        "dedup_communities_lpa": _dedup_communities_lpa,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6064,4 +6119,5 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": _READABILITY_SQL,
         "dedup_source_report": _DEDUP_SOURCE_REPORT_SQL,
         "events_dau_wau": _EVENTS_DAU_WAU_SQL,
+        "dedup_communities_lpa": _DEDUP_LPA_SQL,
     }

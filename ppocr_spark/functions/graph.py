@@ -200,3 +200,64 @@ def triangle_stats(
             ).alias("clustering_ppm"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    src_col: str = "u",
+    dst_col: str = "v",
+    node_col: str = "node",
+) -> DataFrame:
+    """Deterministic semi-synchronous LABEL PROPAGATION communities
+    (Raghavan et al. 2007) over an undirected edge list (pass both
+    directions) — the soft-clustering companion to the exact
+    ``dedup.connected_components``: where CC fuses everything
+    reachable, LPA keeps weakly-bridged groups apart (two near-dup
+    cliques sharing one accidental LSH edge stay two communities),
+    which is what a diversity-aware keep policy wants.
+
+    Determinism (the usual LPA coin-flips removed): labels start as
+    the node id; each round EVERY node simultaneously takes the most
+    frequent label among its neighbors from the PREVIOUS round's
+    labels, ties to the LOWEST label (one ``min(struct(-cnt, lab))``
+    aggregate — the ``source_quality_report`` argmax trick, no
+    per-node window); isolated nodes keep their own label. ``iters``
+    is fixed and small so the DuckDB oracle can unroll it.
+
+    Scale: per round ONE equi-join of the slim (node, label) relation
+    onto the edge list + one (node, label) groupBy with map-side
+    combine — int64 pairs only, payloads never enter;
+    ``localCheckpoint`` cuts lineage per round (the ``pagerank``
+    pattern). Returns (node, community)."""
+    e = cache.track(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    )
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(int(iters)):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "lab")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))
+                ).alias("__best")
+            )
+            .select("node", F.col("__best.lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(votes, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -195,3 +195,43 @@ class TestTriangles:
         got = self._run(spark, pairs, nodes)
         assert got["hub"] == (6, 0, 0)
         assert all(got[f"s{i}"] == (1, 0, 0) for i in range(6))
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edge_pairs, node_ids, iters=2):
+        from ppocr_spark.functions.graph import label_propagation
+
+        und = edge_pairs + [(b, a) for a, b in edge_pairs]
+        e = spark.createDataFrame(und, "u long, v long")
+        n = spark.createDataFrame([(i,) for i in node_ids], "node long")
+        return {
+            r["node"]: r["community"]
+            for r in label_propagation(e, n, iters=iters).collect()
+        }
+
+    def test_hand_unrolled_two_rounds(self, spark):
+        # two triangles bridged by one edge + an isolated node; the
+        # deterministic simultaneous update with (cnt desc, lab asc)
+        # tie-break gives exactly this trajectory (hand-unrolled):
+        # l1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+        # l2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}; 7 isolated keeps 7
+        edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+        got = self._run(spark, edges, range(1, 8), iters=2)
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3, 7: 7}
+
+    def test_zero_iters_identity_and_layout_independence(self, spark):
+        edges = [(1, 2), (2, 3)]
+        assert self._run(spark, edges, [1, 2, 3], iters=0) == {
+            1: 1, 2: 2, 3: 3
+        }
+        from ppocr_spark.functions.graph import label_propagation
+
+        und = edges + [(b, a) for a, b in edges]
+        e = spark.createDataFrame(und, "u long, v long").repartition(7)
+        n = spark.createDataFrame([(i,) for i in (1, 2, 3)],
+                                  "node long").repartition(3)
+        relaid = {
+            r["node"]: r["community"]
+            for r in label_propagation(e, n, iters=2).collect()
+        }
+        assert relaid == self._run(spark, edges, [1, 2, 3], iters=2)
