@@ -1286,6 +1286,32 @@ _LANGID_SQL = (
 )
 
 
+def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix (library
+    text.lang_confusion): the lang-ID model-eval table. |langs|²
+    groupBy; row shares join the per-lang total back (no
+    count-over-window on a language key — the skew trap); integer
+    ppm."""
+    from ppocr_spark.functions.text import lang_confusion
+
+    d = _load(spark, sf_dir, "documents")
+    return lang_confusion(d).orderBy("lang", "lang_pred")
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH cells AS (
+  SELECT lang, {_langid_case('duck')} AS lang_pred, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT lang, sum(n)::BIGINT AS t FROM cells GROUP BY lang
+)
+SELECT c.lang, c.lang_pred, c.n,
+       ((1000000 * c.n) // t.t)::BIGINT AS row_ppm
+FROM cells c JOIN totals t USING (lang)
+ORDER BY lang, lang_pred
+"""
+
+
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ppocr_spark.functions.text import doc_fingerprint
 
@@ -5907,6 +5933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_source_report": _dedup_source_report,
         "events_dau_wau": _events_dau_wau,
         "dedup_communities_lpa": _dedup_communities_lpa,
+        "lang_confusion_matrix": _lang_confusion,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6120,4 +6147,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_source_report": _DEDUP_SOURCE_REPORT_SQL,
         "events_dau_wau": _EVENTS_DAU_WAU_SQL,
         "dedup_communities_lpa": _DEDUP_LPA_SQL,
+        "lang_confusion_matrix": _LANG_CONFUSION_SQL,
     }

@@ -1143,3 +1143,41 @@ def readability(
             " + (11800000 * n_chars) DIV n_words - 15590000"
         ).cast("long").alias("fk_micro"),
     )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix for the lang-ID
+    heuristic — the model-eval table a pipeline publishes before
+    trusting predicted language for routing/filtering (which cells
+    disagree tells you which stopword sets need work). One row per
+    (declared, predicted) pair with the count and its share of the
+    declared language's mass in integer ppm.
+
+    Scale: the per-row predictor is pure JVM expressions; the matrix
+    is one groupBy(lang, lang_pred) bounded by |langs|²; the row share
+    joins the per-lang total BACK onto the matrix (groupBy + broadcast
+    join, not a count-over-window on the lang key — the documented
+    skew trap: a mega-language would be one unsplittable window
+    partition). Returns (lang, lang_pred, n, row_ppm)."""
+    cells = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            lang_id(F.col(text_col)).alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("__t"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("(1000000 * n) DIV __t").cast("long").alias("row_ppm"),
+        )
+    )

@@ -504,6 +504,25 @@ class TestText:
             exp[s] = (ns, len(cnt), max(num, 0) // (ns * 1000))
         assert got == exp
 
+    def test_lang_confusion_hand_case(self, spark):
+        from ppocr_spark.functions.text import lang_confusion
+
+        rows = [
+            ("en", "the cat and the dog of a town"),   # en-stopword hits
+            ("en", "xyzzy qwerty plugh"),              # no hits -> und
+            ("de", "der hund und die katze ist da"),   # de hits
+        ]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        out = {
+            (r["lang"], r["lang_pred"]): (r["n"], r["row_ppm"])
+            for r in lang_confusion(df).collect()
+        }
+        assert out == {
+            ("en", "en"): (1, 500_000),
+            ("en", "und"): (1, 500_000),
+            ("de", "de"): (1, 1_000_000),
+        }
+
     def test_readability_hand_computed(self, spark):
         from ppocr_spark.functions.text import readability
 
