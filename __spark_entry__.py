@@ -3398,6 +3398,56 @@ FROM leak GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def _embeddings_class_separation(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Pairwise class-centroid separation matrix (library
+    similarity.class_separation): the between-class separability
+    report behind knn_classify / cluster-purity claims. Quantized
+    int64 sums, truncating-DIV centroids (Spark DIV ≡ DuckDB //
+    including negatives — both truncate toward zero), exact-isqrt
+    distance in micro-coordinate units."""
+    from ppocr_spark.functions.similarity import class_separation
+
+    e = _load(spark, sf_dir, "embeddings")
+    return class_separation(e).orderBy("label_a", "label_b")
+
+
+_CLASS_SEPARATION_SQL = """
+WITH q AS (
+  SELECT label AS lab,
+         list_transform(embedding,
+                        x -> round(x::DOUBLE * 1000000)::BIGINT) AS qv
+  FROM embeddings
+), per AS (
+  SELECT lab, pos, sum(v)::BIGINT AS s
+  FROM (SELECT lab, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+        FROM q)
+  GROUP BY 1, 2
+), counts AS (
+  SELECT lab, count(*)::BIGINT AS n FROM q GROUP BY lab
+), cent AS (
+  SELECT p.lab, c.n, p.pos, p.s // c.n AS cc
+  FROM per p JOIN counts c USING (lab)
+), pd AS (
+  SELECT x.lab AS label_a, y.lab AS label_b, x.n AS n_a, y.n AS n_b,
+         sum((x.cc - y.cc) * (x.cc - y.cc))::BIGINT AS d2
+  FROM cent x JOIN cent y ON x.pos = y.pos AND x.lab < y.lab
+  GROUP BY 1, 2, 3, 4
+), r0 AS (
+  SELECT label_a, label_b, n_a, n_b, d2,
+         floor(sqrt(d2::DOUBLE))::BIGINT AS f
+  FROM pd
+), r1 AS (
+  SELECT label_a, label_b, n_a, n_b, d2,
+         CASE WHEN (f + 1) * (f + 1) <= d2 THEN f + 1 ELSE f END AS f
+  FROM r0
+)
+SELECT label_a, label_b, n_a, n_b,
+       (CASE WHEN f * f > d2 THEN f - 1 ELSE f END)::BIGINT AS dist_q
+FROM r1 ORDER BY label_a, label_b
+"""
+
+
 # --- OCR pipeline queries (our own interleaved corpus; oracle = the
 # generation-time expected_spans golden parquet, read by DuckDB directly) ---
 
@@ -5934,6 +5984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau": _events_dau_wau,
         "dedup_communities_lpa": _dedup_communities_lpa,
         "lang_confusion_matrix": _lang_confusion,
+        "embeddings_class_separation": _embeddings_class_separation,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6148,4 +6199,5 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_wau": _EVENTS_DAU_WAU_SQL,
         "dedup_communities_lpa": _DEDUP_LPA_SQL,
         "lang_confusion_matrix": _LANG_CONFUSION_SQL,
+        "embeddings_class_separation": _CLASS_SEPARATION_SQL,
     }

@@ -1593,3 +1593,70 @@ def embedding_split_leakage(
         F.count("*").cast("long").alias("n_train_neardups"),
         F.max("__cos").alias("max_cosine"),
     )
+
+
+def class_separation(
+    emb: DataFrame,
+    quant: int = QUANT,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise class-centroid separation matrix over a labeled
+    embedding table — the separability report (the between-class half
+    of a Fisher criterion) read before trusting labels for routing,
+    kNN classification (``knn_classify``), or cluster-purity claims:
+    label pairs whose centroids nearly coincide are the ones the
+    classifier confuses.
+
+    Exactness: vectors quantize to int64 (``_quantized`` — the fine
+    path's device); per-label per-dim sums are exact int64; centroids
+    are one truncating DIV (Spark ``DIV`` ≡ DuckDB ``//`` INCLUDING
+    negatives — both truncate toward zero, verified), leaving ≤ 1
+    quantized unit (10⁻⁶ of coordinate space) of rounding; pair
+    distance is an exact int64 sum of squared diffs (≤ dim·(2B)² ≪
+    2⁵³) finished by the exact-integer sqrt (``sampling._isqrt``
+    float-seed ± 1 correction). Engine-identical end to end.
+
+    Scale: one posexplode → groupBy(label, pos) with map-side combine
+    (the corpus-sized pass); everything after runs on the
+    |labels|·dim slim table and the |labels|² pair join. Returns
+    (label_a, label_b, n_a, n_b, dist_q) with dist_q in quantized
+    (micro-coordinate) units, label_a < label_b."""
+    from ppocr_spark.functions.sampling import _isqrt
+
+    q = _quantized(F.col(vec_col), quant)
+    per_dim = (
+        emb.select(F.col(label_col).alias("lab"),
+                   F.posexplode(q).alias("pos", "__v"))
+        .groupBy("lab", "pos")
+        .agg(F.sum("__v").alias("__s"))
+    )
+    counts = emb.groupBy(F.col(label_col).alias("lab")).agg(
+        F.count("*").alias("n")
+    )
+    cent = per_dim.join(counts, "lab").select(
+        "lab", "n", "pos", F.expr("__s DIV n").alias("__c")
+    )
+    pair_dims = (
+        cent.alias("x")
+        .join(cent.alias("y"), (F.col("x.pos") == F.col("y.pos"))
+              & (F.col("x.lab") < F.col("y.lab")))
+        .select(
+            F.col("x.lab").alias("label_a"),
+            F.col("y.lab").alias("label_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+            ((F.col("x.__c") - F.col("y.__c"))
+             * (F.col("x.__c") - F.col("y.__c"))).alias("__d2"),
+        )
+    )
+    return (
+        pair_dims.groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(F.sum("__d2").alias("__sum"))
+        .select(
+            "label_a", "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            _isqrt(F.col("__sum")).cast("long").alias("dist_q"),
+        )
+    )

@@ -725,6 +725,29 @@ class TestLshNearDupPairs:
         assert len(got) / len(base) >= 0.8  # multi-table recall
 
 
+class TestClassSeparation:
+    def test_hand_case_pins_toward_zero_truncation(self, spark):
+        # label 0: one vec, centroid q = 3. label 1: sum -3 over n=2 —
+        # toward-zero truncation gives centroid -1 (floor would give -2
+        # and distance 5). dist_q = isqrt((3 - -1)^2 * dims_used).
+        from ppocr_spark.functions.similarity import class_separation
+
+        rows = [
+            (1, [3e-6, 0.0], 0),
+            (2, [-3e-6, 0.0], 1),
+            (3, [0.0, 0.0], 1),
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v], l) for i, v, l in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = [
+            (r["label_a"], r["label_b"], r["n_a"], r["n_b"], r["dist_q"])
+            for r in class_separation(emb).collect()
+        ]
+        assert out == [(0, 1, 1, 2, 4)]
+
+
 class TestSplitLeakage:
     def test_cross_split_neardup_reported(self, spark):
         # ids 10/21 land in 'test' under md5('split:id') at 90/10; give
