@@ -5209,6 +5209,40 @@ FROM per ORDER BY doc_id
 """
 
 
+def _text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (library text.ngram_novelty): share
+    of the doc's distinct 3-grams with corpus df = 1, integer ppm —
+    the inverse-boilerplate / diffuse-duplication signal. One
+    distinct-gram explode, df groupBy, join back; no windows."""
+    from ppocr_spark.functions.text import ngram_novelty
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        ngram_novelty(d, n=3)
+        .select(F.col("id").alias("doc_id"), "n_grams", "n_unique",
+                "novelty_ppm")
+        .orderBy("doc_id")
+    )
+
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH grams AS (
+  SELECT doc_id AS id, unnest(g) AS g FROM (
+    SELECT doc_id, {_DUCK_GRAMS} AS g
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+), dfs AS (
+  SELECT g, count(*)::BIGINT AS df FROM grams GROUP BY g
+), per AS (
+  SELECT gr.id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM grams gr JOIN dfs d USING (g) GROUP BY gr.id
+)
+SELECT id AS doc_id, n_grams, n_unique,
+       ((1000000 * n_unique) // n_grams)::BIGINT AS novelty_ppm
+FROM per ORDER BY doc_id
+"""
+
+
 def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data-audit report card (library
     text.source_quality_report): doc/token/char mass, short-doc ppm,
@@ -5985,6 +6019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_communities_lpa": _dedup_communities_lpa,
         "lang_confusion_matrix": _lang_confusion,
         "embeddings_class_separation": _embeddings_class_separation,
+        "text_ngram_novelty": _text_ngram_novelty,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6200,4 +6235,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_communities_lpa": _DEDUP_LPA_SQL,
         "lang_confusion_matrix": _LANG_CONFUSION_SQL,
         "embeddings_class_separation": _CLASS_SEPARATION_SQL,
+        "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
     }

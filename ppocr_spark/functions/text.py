@@ -1181,3 +1181,53 @@ def lang_confusion(
             F.expr("(1000000 * n) DIV __t").cast("long").alias("row_ppm"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    n-grams that occur in NO other document (corpus df = 1), in integer
+    ppm — the inverse-boilerplate signal: high novelty marks original
+    content, near-zero novelty marks mirror/template pages even when
+    no single pair clears a near-dup threshold (the diffuse-duplication
+    case pairwise dedup misses). The per-doc complement of the
+    corpus-level duplicate-mass counts in ``chunk_cdc``.
+
+    Exact integer ppm; docs with < n tokens emit no row (no grams) in
+    both engines. Scale: one distinct-gram explode (the MinHash
+    chain's fan-out floor) → gram df groupBy with map-side combine →
+    join back on the high-cardinality gram key → per-doc count
+    aggregate. No windows, no skewed keys (a hot boilerplate gram is
+    one grouped row, and its df>1 verdict broadcasts back through the
+    equi-join). Returns (id, n_grams, n_unique, novelty_ppm)."""
+    from ppocr_spark import cache
+
+    grams = cache.track_if_large(
+        docs,
+        spread(
+            docs.select(F.col(id_col).alias("id"),
+                        tokens(F.col(text_col)).alias("__t"))
+        )
+        .select("id", F.explode(
+            F.array_distinct(ngrams_from_tokens(F.col("__t"), n))
+        ).alias("g")),
+    )
+    df_tab = grams.groupBy("g").agg(F.count("*").alias("__df"))
+    return (
+        grams.join(df_tab, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long").alias("n_unique"),
+        )
+        .select(
+            "id", "n_grams", "n_unique",
+            F.expr("(1000000 * n_unique) DIV n_grams").cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

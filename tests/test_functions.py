@@ -504,6 +504,28 @@ class TestText:
             exp[s] = (ns, len(cnt), max(num, 0) // (ns * 1000))
         assert got == exp
 
+    def test_ngram_novelty_hand_case(self, spark):
+        from ppocr_spark.functions.text import ngram_novelty
+
+        rows = [
+            (1, "a b c d"),        # grams: "a b c","b c d" — both shared
+            (2, "a b c d"),        # exact dup of 1 -> novelty 0
+            (3, "x y z w"),        # grams unique corpus-wide -> 1e6
+            (4, "a b c q r s"),    # "a b c" shared; 3 others unique
+            (5, "too short"),      # < 3 tokens: no row
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: (r["n_grams"], r["n_unique"], r["novelty_ppm"])
+            for r in ngram_novelty(df).collect()
+        }
+        assert out == {
+            1: (2, 0, 0),
+            2: (2, 0, 0),
+            3: (2, 2, 1_000_000),
+            4: (4, 3, 750_000),
+        }
+
     def test_lang_confusion_hand_case(self, spark):
         from ppocr_spark.functions.text import lang_confusion
 
