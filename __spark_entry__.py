@@ -877,6 +877,60 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT {_PATHS_TOPK}
 """
 
 
+def _events_markov_transitions(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the normalized companion of ``events_topk_paths``
+    (paths mine raw trigram counts; this is the behavioral MODEL:
+    P(next | current) per type pair). One lead() window per user
+    (unique timestamps per user — the sessionize family's verified
+    precondition), |types|² groupBy, row probabilities as integer ppm
+    with the per-from-type total joined back (groupBy + broadcast, no
+    count-over-window on a type key — the skew trap: one hot type
+    would be a single window partition)."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    cells = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type", 1).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (
+        cells.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.expr("(1000000 * n) DIV __t").cast("long").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_EVENTS_MARKOV_SQL = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type, 1) OVER w AS to_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), cells AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, sum(n)::BIGINT AS tt FROM cells GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       ((1000000 * c.n) // t.tt)::BIGINT AS p_ppm
+FROM cells c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -6020,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion_matrix": _lang_confusion,
         "embeddings_class_separation": _embeddings_class_separation,
         "text_ngram_novelty": _text_ngram_novelty,
+        "events_markov_transitions": _events_markov_transitions,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6236,4 +6291,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion_matrix": _LANG_CONFUSION_SQL,
         "embeddings_class_separation": _CLASS_SEPARATION_SQL,
         "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "events_markov_transitions": _EVENTS_MARKOV_SQL,
     }

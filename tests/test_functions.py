@@ -1975,6 +1975,34 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_markov_transitions_hand_case(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as entry
+
+        # user 0: a->b->a (transitions a>b, b>a); user 1: a->b
+        # matrix: a->b n=2 p=1.0; b->a n=1 p=1.0
+        raw = [(0, 0, "a"), (0, 1, "b"), (0, 2, "a"), (1, 0, "a"),
+               (1, 1, "b")]
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+             u, tp, 1.0, "{}")
+            for i, (u, s, tp) in enumerate(raw)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["p_ppm"])
+            for r in entry._events_markov_transitions(
+                spark, str(tmp_path)).collect()
+        }
+        assert got == {("a", "b"): (2, 1_000_000),
+                       ("b", "a"): (1, 1_000_000)}
+
     def test_dau_wau_trailing_window(self, spark, tmp_path):
         import datetime as dt
 
