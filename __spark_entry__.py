@@ -2471,6 +2471,75 @@ FROM per ORDER BY doc_id
 """
 
 
+def _dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-curve, MEASURED: recall of the MinHash-LSH
+    near-dup path (``minhash_dedup_pairs`` at its 0.12 operating
+    point) against the exact prefix-join ground truth
+    (``ssjoin_prefix_pairs`` at the same threshold), per 0.1-wide
+    Jaccard band — the estimator-calibration table a pipeline
+    publishes before trusting the probabilistic path's misses (recall
+    must climb with Jaccard exactly as the banding curve predicts;
+    the whole curve is deterministic given the md5 permutations).
+    Integer-ppm everywhere; band = jaccard_ppm DIV 100000."""
+    from ppocr_spark.functions.dedup import (minhash_dedup_pairs,
+                                             ssjoin_prefix_pairs)
+
+    d = _load(spark, sf_dir, "documents")
+    truth = ssjoin_prefix_pairs(d, threshold_ppm=120_000, n=3).select(
+        "a", "b", "jaccard_ppm"
+    )
+    found = minhash_dedup_pairs(
+        d, threshold=0.12, k=8, bands=4, n=3
+    ).select("a", "b", F.lit(1).alias("__hit"))
+    return (
+        truth.join(found, ["a", "b"], "left")
+        .groupBy(F.expr("jaccard_ppm DIV 100000").cast("long")
+                 .alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long").alias("n_found"),
+        )
+        .select(
+            "band", "n_true", "n_found",
+            F.expr("(1000000 * n_found) DIV n_true").cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES},
+tgrams AS (
+  SELECT doc_id AS id, unnest(grams) AS g FROM (
+    SELECT doc_id, {_DUCK_GRAMS} AS grams
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+), tsizes AS (
+  SELECT id, count(*)::BIGINT AS n FROM tgrams GROUP BY id
+), tinter AS (
+  SELECT x.id AS a, y.id AS b, count(*)::BIGINT AS i
+  FROM tgrams x JOIN tgrams y ON x.g = y.g AND x.id < y.id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT t.a, t.b,
+         (1000000 * t.i) // (sa.n + sb.n - t.i) AS jp
+  FROM tinter t
+  JOIN tsizes sa ON sa.id = t.a
+  JOIN tsizes sb ON sb.id = t.b
+  WHERE (1000000 * t.i) // (sa.n + sb.n - t.i) >= 120000
+)
+SELECT (t.jp // 100000)::BIGINT AS band,
+       count(*)::BIGINT AS n_true,
+       sum(CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_found,
+       ((1000000 * sum(CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS recall_ppm
+FROM truth t LEFT JOIN pairs p ON p.a = t.a AND p.b = t.b
+GROUP BY 1 ORDER BY band
+"""
+
+
 def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representative (library dedup.dedup_keep_best):
     same MinHash-LSH clusters as ``dedup_clusters``, but each cluster
@@ -6075,6 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_class_separation": _embeddings_class_separation,
         "text_ngram_novelty": _text_ngram_novelty,
         "events_markov_transitions": _events_markov_transitions,
+        "dedup_lsh_recall_curve": _dedup_lsh_recall_curve,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6292,4 +6362,5 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_class_separation": _CLASS_SEPARATION_SQL,
         "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "events_markov_transitions": _EVENTS_MARKOV_SQL,
+        "dedup_lsh_recall_curve": _LSH_RECALL_SQL,
     }

@@ -284,6 +284,81 @@ class TestDedup:
                 assert r["match_id"] in delta_ids
                 assert r["match_id"] < r["doc_id"]
 
+    def test_lsh_recall_curve_matches_python_replication(
+        self, spark, tmp_path
+    ):
+        # mid-similarity corpus: the curve must report, per 0.1-wide
+        # band, exactly the pairs the exact gram join finds and the
+        # subset the banded-md5 MinHash chain recovers (python
+        # replication of both sides).
+        import hashlib
+        import random
+
+        import __spark_entry__ as entry
+
+        rng = random.Random(11)
+        words = [f"w{i}" for i in range(400)]
+        rows = []
+        base_docs = [rng.sample(words, 30) for _ in range(10)]
+        did = 0
+        for bd in base_docs:
+            rows.append((did, " ".join(bd))); did += 1
+            for frac in (0.1, 0.4, 0.7):  # mutate a fraction of tokens
+                mut = list(bd)
+                for _ in range(int(len(mut) * frac)):
+                    mut[rng.randrange(len(mut))] = rng.choice(words)
+                rows.append((did, " ".join(mut))); did += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet"))
+
+        def grams(txt):
+            ts = txt.split()
+            return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+        gs = {i: grams(t) for i, t in rows}
+
+        def sig(gset):
+            return [min(hashlib.md5(f"{p}:{g}".encode()).hexdigest()
+                        for g in gset) for p in range(8)]
+
+        sigs = {i: sig(g) for i, g in gs.items() if g}
+        bands = {}
+        for i, s in sigs.items():
+            for b in range(4):
+                bands.setdefault((b, "|".join(s[2 * b:2 * b + 2])),
+                                 []).append(i)
+        cands = set()
+        for members in bands.values():
+            ms = sorted(members)
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    cands.add((ms[x], ms[y]))
+        found = {
+            (a, b) for a, b in cands
+            if len(gs[a] & gs[b]) / len(gs[a] | gs[b]) >= 0.12
+        }
+        expect = {}
+        ids = sorted(gs)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                u = len(gs[a] | gs[b])
+                if not u:
+                    continue
+                jp = (1_000_000 * len(gs[a] & gs[b])) // u
+                if jp >= 120_000:
+                    band = jp // 100_000
+                    t, f = expect.get(band, (0, 0))
+                    expect[band] = (t + 1,
+                                    f + (1 if (a, b) in found else 0))
+        got = {
+            r["band"]: (r["n_true"], r["n_found"])
+            for r in entry._dedup_lsh_recall_curve(
+                spark, str(tmp_path)).collect()
+        }
+        assert got == expect and len(expect) >= 3
+
     def test_minhash_lsh_finds_dups(self, docs):
         from ppocr_spark.functions.dedup import minhash_dedup_pairs
 
