@@ -5160,6 +5160,110 @@ FROM g ORDER BY j
 """
 
 
+def _quality_probe_calibration(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Calibration table of the distilled quality probe: score deciles
+    vs the rule-gate teacher's actual pass rate — the reliability
+    diagram a pipeline publishes before replacing the rule gate with
+    the learned scorer (a well-calibrated probe's pass_ppm climbs
+    monotonically with the decile). Probe = ONE deterministic GD step
+    from the literal init (the ``quality_model_step`` contract — the
+    oracle replays training AND scoring bit-for-bit; every float op
+    has a fixed association order). Deciles are exact integer buckets
+    of the 6-dp-rounded score (decimal lift, no float×10 floor
+    hazard); pass rates are integer ppm."""
+    from ppocr_spark.functions.quality_model import (
+        INIT_WEIGHTS,
+        doc_features,
+        gate_label,
+        gd_step,
+        score_docs,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    feats = d.select(
+        doc_features(F.col("text")).alias("x"),
+        gate_label(F.col("text")).alias("y"),
+    )
+    _, w1 = gd_step(feats, list(INIT_WEIGHTS), lr=0.5)
+    scored = score_docs(d, [float(v) for v in w1]).join(
+        d.select("doc_id", gate_label(F.col("text")).alias("__y")),
+        "doc_id",
+    )
+    return (
+        scored.select(
+            F.expr(
+                "least(9, cast(cast(round(quality_score, 6) as"
+                " decimal(18,6)) * 1000000 as bigint) div 100000)"
+            ).cast("long").alias("decile"),
+            "__y",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__y").cast("long").alias("n_pass"),
+        )
+        .select(
+            "decile", "n_docs", "n_pass",
+            F.expr("(1000000 * n_pass) DIV n_docs").cast("long")
+            .alias("pass_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _quality_probe_calibration_sql() -> str:
+    from ppocr_spark.functions.quality_model import INIT_WEIGHTS
+
+    w = [repr(float(v)) for v in INIT_WEIGHTS]
+    dup2 = (
+        "CASE WHEN len(t) < 2 THEN 0.0 ELSE "
+        "round(1 - len(list_distinct([array_to_string(t[i:i+1], ' ') "
+        "FOR i IN range(1, len(t))])) / (len(t) - 1), 6) END"
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, length(text)::DOUBLE AS n_chars,
+         len(t)::DOUBLE / 100.0 AS x1,
+         length(text)::DOUBLE / 1000.0 AS x2,
+         {dup2} AS dup2
+  FROM (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)
+), r AS (
+  SELECT doc_id, x1, x2, dup2,
+         ((((0.0 + 1.0 * ({w[0]})) + x1 * ({w[1]}))
+           + x2 * ({w[2]})) + dup2 * ({w[3]}))
+         - (CASE WHEN n_chars >= 100 AND dup2 < 0.05
+                 THEN 1.0 ELSE 0.0 END) AS resid,
+         CASE WHEN n_chars >= 100 AND dup2 < 0.05
+              THEN 1 ELSE 0 END AS y,
+         [1.0, x1, x2, dup2] AS x
+  FROM f
+), terms AS (
+  SELECT u.j - 1 AS j, round(resid * x[u.j], 9)::DECIMAL(28,9) AS t
+  FROM r, unnest([1, 2, 3, 4]) AS u(j)
+), g AS (
+  SELECT j, (2.0 * sum(t)::DOUBLE) / count(*) AS grad FROM terms GROUP BY j
+), wt AS (
+  SELECT list(([{w[0]}, {w[1]}, {w[2]}, {w[3]}])[j + 1] - 0.5 * grad
+              ORDER BY j) AS wl
+  FROM g
+), scored AS (
+  SELECT r.doc_id, r.y,
+         round(greatest(0.0, least(1.0,
+           (((0.0 + 1.0 * wl[1]) + r.x1 * wl[2])
+            + r.x2 * wl[3]) + r.dup2 * wl[4])), 6) AS s
+  FROM r, wt
+), dec AS (
+  SELECT least(9, ((round(s, 6)::DECIMAL(18,6) * 1000000)::BIGINT)
+                  // 100000)::BIGINT AS decile, y
+  FROM scored
+)
+SELECT decile, count(*)::BIGINT AS n_docs, sum(y)::BIGINT AS n_pass,
+       ((1000000 * sum(y)) // count(*))::BIGINT AS pass_ppm
+FROM dec GROUP BY decile ORDER BY decile
+"""
+
+
 def _sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (library sampling.mix_sources,
     scale path): a 200-document budget allocated across sources
@@ -6145,6 +6249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": _text_ngram_novelty,
         "events_markov_transitions": _events_markov_transitions,
         "dedup_lsh_recall_curve": _dedup_lsh_recall_curve,
+        "quality_probe_calibration": _quality_probe_calibration,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6363,4 +6468,5 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "events_markov_transitions": _EVENTS_MARKOV_SQL,
         "dedup_lsh_recall_curve": _LSH_RECALL_SQL,
+        "quality_probe_calibration": _quality_probe_calibration_sql(),
     }

@@ -2050,6 +2050,26 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_quality_probe_calibration_totals(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        rows = [
+            (1, "short junk"),
+            (2, " ".join(f"word{i} filler content here" for i in range(20))),
+            (3, "dup dup dup dup dup dup dup dup dup dup dup dup"),
+            (4, " ".join(f"unique{i}" for i in range(40))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet"))
+        out = entry._quality_probe_calibration(
+            spark, str(tmp_path)).collect()
+        assert sum(r["n_docs"] for r in out) == len(rows)
+        for r in out:
+            assert 0 <= r["decile"] <= 9
+            assert 0 <= r["n_pass"] <= r["n_docs"]
+            assert r["pass_ppm"] == (1_000_000 * r["n_pass"]) // r["n_docs"]
+
     def test_markov_transitions_hand_case(self, spark, tmp_path):
         import datetime as dt
 
