@@ -136,6 +136,15 @@ def main():
         "dedup_incremental",
         "text_inverted_index",
         "text_readability",
+        "dedup_source_report",
+        "events_dau_wau",
+        "dedup_communities_lpa",
+        "lang_confusion_matrix",
+        "embeddings_class_separation",
+        "text_ngram_novelty",
+        "events_markov_transitions",
+        "dedup_lsh_recall_curve",
+        "quality_probe_calibration",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
