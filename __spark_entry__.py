@@ -932,6 +932,56 @@ ORDER BY from_type, to_type
 
 
 _DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+def _events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile — the seasonality
+    heatmap behind capacity planning and anomaly baselines (a spike is
+    only a spike relative to its cell). Both coordinates are pure
+    integer arithmetic on the epoch microseconds (hour = µs DIV 3600e6
+    mod 24; dow = (µs DIV day + 4) mod 7, 0 = Monday — 1970-01-01 was
+    a Thursday), so no calendar/locale surface can diverge between
+    engines; shares are integer ppm of total events. 168 cells —
+    one map-side-combined groupBy, a 1-row total joined back via
+    broadcast."""
+    e = _load(spark, sf_dir, "events")
+    us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts)"
+    )
+    cells = (
+        e.select(
+            F.expr(f"(({us}) DIV {_HOUR_US}) % 24").cast("long")
+            .alias("hour"),
+            F.expr(f"((({us}) DIV {_DAY_US}) + 4) % 7").cast("long")
+            .alias("dow"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = cells.agg(F.sum("n").alias("__t"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow", "hour", "n",
+            F.expr("(1000000 * n) DIV __t").cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+_EVENTS_SEASONALITY_SQL = f"""
+WITH cells AS (
+  SELECT ((epoch_us(ts) // {_HOUR_US}) % 24)::BIGINT AS hour,
+         (((epoch_us(ts) // {_DAY_US}) + 4) % 7)::BIGINT AS dow,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT sum(n)::BIGINT AS t FROM cells)
+SELECT dow, hour, n, ((1000000 * n) // t)::BIGINT AS share_ppm
+FROM cells, tot ORDER BY dow, hour
+"""
 
 
 def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6250,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": _events_markov_transitions,
         "dedup_lsh_recall_curve": _dedup_lsh_recall_curve,
         "quality_probe_calibration": _quality_probe_calibration,
+        "events_seasonality": _events_seasonality,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6469,4 +6520,5 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": _EVENTS_MARKOV_SQL,
         "dedup_lsh_recall_curve": _LSH_RECALL_SQL,
         "quality_probe_calibration": _quality_probe_calibration_sql(),
+        "events_seasonality": _EVENTS_SEASONALITY_SQL,
     }

@@ -2050,6 +2050,36 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_seasonality_integer_calendar(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as entry
+
+        # 1970-01-01 was a Thursday -> dow 3 under 0=Monday; pin two
+        # known cells: 2024-01-01 (a Monday) 00:30 and 23:10.
+        rows = [
+            (0, dt.datetime(2024, 1, 1, 0, 30), 1, "v", 1.0, "{}"),
+            (1, dt.datetime(2024, 1, 1, 23, 10), 1, "v", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 7, 12, 0), 2, "v", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            (r["dow"], r["hour"]): (r["n"], r["share_ppm"])
+            for r in entry._events_seasonality(
+                spark, str(tmp_path)).collect()
+        }
+        # Mon 0h, Mon 23h, Sun 12h — one event each, share 1/3
+        assert got == {
+            (0, 0): (1, 333_333),
+            (0, 23): (1, 333_333),
+            (6, 12): (1, 333_333),
+        }
+
     def test_quality_probe_calibration_totals(self, spark, tmp_path):
         import __spark_entry__ as entry
 
