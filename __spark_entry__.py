@@ -940,7 +940,7 @@ def _events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     heatmap behind capacity planning and anomaly baselines (a spike is
     only a spike relative to its cell). Both coordinates are pure
     integer arithmetic on the epoch microseconds (hour = µs DIV 3600e6
-    mod 24; dow = (µs DIV day + 4) mod 7, 0 = Monday — 1970-01-01 was
+    mod 24; dow = (µs DIV day + 3) mod 7, 0 = Monday — 1970-01-01 was
     a Thursday), so no calendar/locale surface can diverge between
     engines; shares are integer ppm of total events. 168 cells —
     one map-side-combined groupBy, a 1-row total joined back via
@@ -954,7 +954,7 @@ def _events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.expr(f"(({us}) DIV {_HOUR_US}) % 24").cast("long")
             .alias("hour"),
-            F.expr(f"((({us}) DIV {_DAY_US}) + 4) % 7").cast("long")
+            F.expr(f"((({us}) DIV {_DAY_US}) + 3) % 7").cast("long")
             .alias("dow"),
         )
         .groupBy("dow", "hour")
@@ -975,7 +975,7 @@ def _events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_SEASONALITY_SQL = f"""
 WITH cells AS (
   SELECT ((epoch_us(ts) // {_HOUR_US}) % 24)::BIGINT AS hour,
-         (((epoch_us(ts) // {_DAY_US}) + 4) % 7)::BIGINT AS dow,
+         (((epoch_us(ts) // {_DAY_US}) + 3) % 7)::BIGINT AS dow,
          count(*)::BIGINT AS n
   FROM events GROUP BY 1, 2
 ), tot AS (SELECT sum(n)::BIGINT AS t FROM cells)

@@ -51,6 +51,8 @@ WHITELIST: dict[str, set[str]] = {
     "distinct_hll": {"BroadcastNestedLoopJoin"},
     # 1-row grand-total attach onto the 20-row top-k table
     "key_skew_report": {"BroadcastNestedLoopJoin"},
+    # 1-row total attach onto the 168-cell seasonality table
+    "events_seasonality": {"BroadcastNestedLoopJoin"},
     # 1-row τ (boundary-priority) attach onto the k-row sample
     "sample_priority_weighted": {"BroadcastNestedLoopJoin"},
     # per-iteration 1-row n / dangling-mass attaches onto the slim rank
