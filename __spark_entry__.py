@@ -2465,12 +2465,12 @@ _DEDUP_SOURCE_REPORT_SQL = f"""{_MINHASH_CC_CTE}
          d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS keep
   FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 ), spreads AS (
-  SELECT cluster_id, count(DISTINCT source) AS ns, count(*) AS cs
+  SELECT cluster_id, count(DISTINCT source) AS ns
   FROM lab GROUP BY cluster_id
 ), rep AS (
   SELECT l.source, count(*)::BIGINT AS n_docs,
          sum(CASE WHEN NOT l.keep THEN 1 ELSE 0 END)::BIGINT AS n_dups,
-         sum(CASE WHEN s.ns >= 2 AND s.cs >= 2 THEN 1 ELSE 0 END)::BIGINT
+         sum(CASE WHEN s.ns >= 2 THEN 1 ELSE 0 END)::BIGINT
            AS n_xsource
   FROM lab l JOIN spreads s USING (cluster_id)
   GROUP BY l.source
@@ -2530,7 +2530,11 @@ def _dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes before trusting the probabilistic path's misses (recall
     must climb with Jaccard exactly as the banding curve predicts;
     the whole curve is deterministic given the md5 permutations).
-    Integer-ppm everywhere; band = jaccard_ppm DIV 100000."""
+    Integer-ppm everywhere; band = jaccard_ppm DIV 100000. NOTE: at
+    this low threshold the prefix filter prunes little — the truth
+    side is a LABELED exact-baseline cost (the ann_topk_bruteforce
+    class), run at eval scale or with ssjoin's max_df valve, never as
+    the production dedup path."""
     from ppocr_spark.functions.dedup import (minhash_dedup_pairs,
                                              ssjoin_prefix_pairs)
 
@@ -5178,11 +5182,7 @@ def _quality_model_step_sql() -> str:
 
     w = [repr(float(v)) for v in INIT_WEIGHTS]
     names = ", ".join(f"'{n}'" for n in FEATURE_NAMES)
-    dup2 = (
-        "CASE WHEN len(t) < 2 THEN 0.0 ELSE "
-        "round(1 - len(list_distinct([array_to_string(t[i:i+1], ' ') "
-        "FOR i IN range(1, len(t))])) / (len(t) - 1), 6) END"
-    )
+    dup2 = _DUCK_DUP2
     return f"""
 WITH f AS (
   SELECT length(text)::DOUBLE AS n_chars,
@@ -5208,6 +5208,16 @@ SELECT j, ([{names}])[j + 1] AS feature, grad,
        ([{w[0]}, {w[1]}, {w[2]}, {w[3]}])[j + 1] - 0.5 * grad AS w_new
 FROM g ORDER BY j
 """
+
+
+# dup-2gram feature SQL — shared by the quality_model_step oracle AND the
+# quality_probe_calibration oracle (the calibration replay must track any
+# feature-definition change, or the two rows split-brain)
+_DUCK_DUP2 = (
+    "CASE WHEN len(t) < 2 THEN 0.0 ELSE "
+    "round(1 - len(list_distinct([array_to_string(t[i:i+1], ' ') "
+    "FOR i IN range(1, len(t))])) / (len(t) - 1), 6) END"
+)
 
 
 def _quality_probe_calibration(spark: SparkSession, sf_dir: str
@@ -5266,11 +5276,7 @@ def _quality_probe_calibration_sql() -> str:
     from ppocr_spark.functions.quality_model import INIT_WEIGHTS
 
     w = [repr(float(v)) for v in INIT_WEIGHTS]
-    dup2 = (
-        "CASE WHEN len(t) < 2 THEN 0.0 ELSE "
-        "round(1 - len(list_distinct([array_to_string(t[i:i+1], ' ') "
-        "FOR i IN range(1, len(t))])) / (len(t) - 1), 6) END"
-    )
+    dup2 = _DUCK_DUP2
     return f"""
 WITH f AS (
   SELECT doc_id, length(text)::DOUBLE AS n_chars,

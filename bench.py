@@ -145,6 +145,7 @@ def main():
         "events_markov_transitions",
         "dedup_lsh_recall_curve",
         "quality_probe_calibration",
+        "events_seasonality",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:

@@ -903,6 +903,7 @@ def ssjoin_prefix_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram-set Jaccard similarity join via prefix filtering
     (Chaudhuri et al. SSJoin 2006 / Bayardo AllPairs 2007 / Xiao PPJoin
@@ -936,7 +937,14 @@ def ssjoin_prefix_pairs(
     f²/2 pairs ONLY while it is rare enough to be in prefixes);
     verification joins gram rows of candidate pairs only. Every
     shuffle key is a gram string or doc id — high cardinality,
-    AQE-spread. Returns (a, b, inter, union_n, jaccard_ppm), a < b.
+    AQE-spread. At LOW thresholds the prefix keeps most grams (at
+    t=0.12 a doc prunes ~12% of its set) and a gram with document
+    frequency f still costs f²/2 pairs behind one join key — the
+    ``max_df`` valve (the ``_band_join`` ``max_bucket`` analog)
+    excludes grams with df > max_df from CANDIDATE GENERATION only:
+    a pair is lost only if every shared gram is that hot (a
+    documented recall trade; default None = exact, which is what the
+    oracle checks). Returns (a, b, inter, union_n, jaccard_ppm), a < b.
     Reference behavior anchor: the same pair set the reference would
     get from an all-pairs gram-set scan (no reference analog — this
     is pipeline-extras surface)."""
@@ -956,7 +964,7 @@ def ssjoin_prefix_pairs(
     ranked = (
         toks.join(freq, "tok")
         .select(
-            "id", "tok",
+            "id", "tok", "dfreq",
             F.row_number().over(w.orderBy("dfreq", "tok")).alias("rn"),
             F.count("*").over(w).alias("n"),
         )
@@ -965,6 +973,8 @@ def ssjoin_prefix_pairs(
     pref = ranked.filter(
         F.expr(f"rn <= n - ((({t}::BIGINT) * n + 999999) DIV 1000000) + 1")
     )
+    if max_df is not None:
+        pref = pref.filter(F.col("dfreq") <= int(max_df))
     cand = (
         pref.alias("x")
         .join(pref.alias("y"), (F.col("x.tok") == F.col("y.tok"))
@@ -1108,7 +1118,6 @@ def dedup_source_report(
     j = cache.track_if_large(docs, lab.join(slim, "id"))
     spreads = j.groupBy("cluster_id").agg(
         F.countDistinct("source").alias("__ns"),
-        F.count("*").alias("__cs"),
     )
     return (
         j.join(spreads, "cluster_id")
@@ -1117,10 +1126,9 @@ def dedup_source_report(
             F.count("*").cast("long").alias("n_docs"),
             F.sum(F.when(~F.col("keep"), 1).otherwise(0))
             .cast("long").alias("n_dups"),
-            F.sum(
-                F.when((F.col("__ns") >= 2) & (F.col("__cs") >= 2), 1)
-                .otherwise(0)
-            ).cast("long").alias("n_xsource"),
+            # __ns >= 2 already implies the cluster has >= 2 rows
+            F.sum(F.when(F.col("__ns") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_xsource"),
         )
         .select(
             "source",

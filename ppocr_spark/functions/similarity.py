@@ -1536,6 +1536,7 @@ def embedding_split_leakage(
     emb: DataFrame,
     weights: list[tuple[str, float]] | None = None,
     eval_split: str = "test",
+    train_split: str = "train",
     threshold: float = 0.4,
     bits: int = 6,
     tables: int = 4,
@@ -1555,7 +1556,10 @@ def embedding_split_leakage(
     Composition, not new machinery: the deterministic md5
     ``sampling.hash_split`` (partition-layout independent, so the
     SAME split this pipeline trains with) × ``lsh_near_dup_pairs``
-    (bucketed candidates + exact verify). Cosines are rounded to 6
+    (bucketed candidates + exact verify). Only pairs whose other side
+    is in ``train_split`` count — with a 3-way train/val/test split, a
+    test vector's val-side twin is NOT train leakage and is excluded
+    (the 2-split case is unchanged). Cosines are rounded to 6
     BEFORE the per-doc max so the aggregate never compares unrounded
     floats (max of engine-identical rounded values is
     engine-identical).
@@ -1580,8 +1584,8 @@ def embedding_split_leakage(
         pairs.join(sa, "a")
         .join(sb, "b")
         .filter(
-            ((F.col("sa") == eval_split) | (F.col("sb") == eval_split))
-            & (F.col("sa") != F.col("sb"))
+            ((F.col("sa") == eval_split) & (F.col("sb") == train_split))
+            | ((F.col("sb") == eval_split) & (F.col("sa") == train_split))
         )
         .select(
             F.when(F.col("sa") == eval_split, F.col("a"))

@@ -774,6 +774,18 @@ def dsir_weights(
     )
 
 
+def nano_ln_lift(c):
+    """round(ln, 9) lifted to exact integer nano-units — THE parity
+    contract shared by token_entropy / source_token_kl / pmi_bigrams
+    (one definition: a precision or tie-mode change affects all
+    consumers or none). Engine-identical: Spark round() and DuckDB
+    round() both round half away from zero on doubles."""
+    return (
+        F.round(F.log(c.cast("double")), 9).cast("decimal(28,9)")
+        * F.lit(1_000_000_000)
+    ).cast("long")
+
+
 def token_entropy(
     docs: DataFrame,
     text_col: str = "text",
@@ -798,10 +810,7 @@ def token_entropy(
     — two bounded shuffles, no joins. Empty documents emit no row (no
     tokens → no distribution) in both engines.
     Returns (id, n_toks, entropy_milli)."""
-    nano = lambda c: (  # noqa: E731  — round(ln,9) → exact integer nanos
-        F.round(F.log(c.cast("double")), 9).cast("decimal(28,9)")
-        * F.lit(1_000_000_000)
-    ).cast("long")
+    nano = nano_ln_lift
     counts = (
         spread(
             docs.select(
@@ -930,10 +939,7 @@ def source_token_kl(
     Returns (source, n_toks, n_types, kl_micro)."""
     from ppocr_spark import cache
 
-    nano = lambda c: (  # noqa: E731  — round(ln,9) → exact integer nanos
-        F.round(F.log(c.cast("double")), 9).cast("decimal(28,9)")
-        * F.lit(1_000_000_000)
-    ).cast("long")
+    nano = nano_ln_lift
     counts = cache.track_if_large(
         docs,
         spread(
@@ -1000,11 +1006,12 @@ def pmi_bigrams(
     unigram probabilities over the token stream (N_t tokens). The
     ``min_count`` floor is the standard low-frequency-PMI guard.
 
-    Determinism: every ln is the driver-proven round(ln, 9) lifted to
-    exact integer nano-units and the score is a pure int64 SUM of five
-    lifts — NO division anywhere, so the negative-quotient
-    truncation-direction hazard (Spark DIV vs DuckDB // on negatives)
-    never arises. Top-k order (pmi_nano DESC, w1, w2) is total because
+    Determinism: every ln — including the corpus totals, lifted
+    IN-ENGINE via the shared ``nano_ln_lift`` (never Python round(),
+    whose half-even ties violate the half-away contract) — is the
+    driver-proven round(ln, 9) in exact integer nano-units, and the
+    score is a pure int64 SUM of five lifts — NO division anywhere, so
+    the negative-quotient truncation-direction hazard never arises. Top-k order (pmi_nano DESC, w1, w2) is total because
     (w1, w2) is unique.
 
     Scale: bigrams form ARRAY-SIDE (two zipped slices — the
@@ -1016,10 +1023,7 @@ def pmi_bigrams(
     Returns (w1, w2, c_pair, pmi_nano)."""
     from ppocr_spark import cache
 
-    nano = lambda c: (  # noqa: E731  — round(ln,9) → exact integer nanos
-        F.round(F.log(c.cast("double")), 9).cast("decimal(28,9)")
-        * F.lit(1_000_000_000)
-    ).cast("long")
+    nano = nano_ln_lift
     base = cache.track_if_large(
         docs,
         spread(docs.select(tokens(F.col(text_col)).alias("__t"))),
@@ -1060,9 +1064,9 @@ def pmi_bigrams(
         .select(
             "w1", "w2", F.col("c_pair").cast("long").alias("c_pair"),
             (
-                nano(F.col("c_pair")) - F.lit(_nano_const(n_b))
+                nano(F.col("c_pair")) - nano(F.lit(n_b))
                 - nano(F.col("c1")) - nano(F.col("c2"))
-                + F.lit(2 * _nano_const(n_t))
+                + F.lit(2) * nano(F.lit(n_t))
             ).cast("long").alias("pmi_nano"),
         )
     )
@@ -1070,14 +1074,6 @@ def pmi_bigrams(
         F.col("pmi_nano").desc(), "w1", "w2"
     ).limit(int(k))
 
-
-def _nano_const(v: int) -> int:
-    """round(ln v, 9) lifted to integer nano-units, computed driver-side
-    for the corpus totals (the same float op both engines run; the
-    driver-proven round(ln, 9) contract)."""
-    import math
-
-    return round(round(math.log(v), 9) * 1_000_000_000)
 
 
 def readability(

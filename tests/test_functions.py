@@ -878,6 +878,35 @@ class TestSplitLeakage:
         assert 21 not in out
         assert all(k in (10, 21) for k in out)  # eval side only
 
+    def test_three_way_split_counts_only_train_side(self, spark):
+        # id 10 is 'test' at 90/10 (see above); shrink train so id 9
+        # (hash cab8) falls in 'val' under a 70/20/10 split — its twin
+        # must then NOT count as train leakage.
+        import hashlib
+
+        from ppocr_spark.functions.similarity import (
+            embedding_split_leakage,
+        )
+
+        w = [("train", 0.7), ("val", 0.2), ("test", 0.1)]
+        t_train = format(int(0.7 * 65536), "04x")
+        t_val = format(int(0.9 * 65536), "04x")
+
+        def split(i):
+            h = hashlib.md5(f"split:{i}".encode()).hexdigest()[:4]
+            return ("train" if h < t_train
+                    else "val" if h < t_val else "test")
+
+        assert split(10) == "test" and split(9) == "val"
+        v = [1.0, 2.0, 3.0, 4.0]
+        emb = spark.createDataFrame(
+            [(9, v), (10, v)], "vec_id long, embedding array<float>"
+        )
+        out = embedding_split_leakage(
+            emb, w, threshold=0.9, bits=2, tables=2, dim=4
+        ).collect()
+        assert out == []  # val twin is not train leakage
+
 
 class TestLangIdTieBreak:
     def test_priority_order_on_ties(self, spark):
