@@ -4433,9 +4433,10 @@ def _token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_shards(d, shard_tokens=500, bucket_hex=1).orderBy("doc_id")
 
 
-def _token_shards_sql() -> str:
-    return f"""
-WITH t AS (
+# shared CTE chain: deterministic md5 layout → cumulative-token shard
+# assignment; consumed by the token_shards oracle AND the balance report
+# (one definition — a layout change moves both replays or neither)
+_TOKEN_SHARDS_CTE = f"""t AS (
   SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS n_toks,
          md5(concat('shard:', doc_id::VARCHAR)) AS h
   FROM documents
@@ -4446,13 +4447,54 @@ WITH t AS (
                              ROWS UNBOUNDED PRECEDING) - n_toks)
           // 500)::BIGINT AS shard_idx
   FROM t
-)
+)"""
+
+
+def _token_shards_sql() -> str:
+    return f"""
+WITH {_TOKEN_SHARDS_CTE}
 SELECT doc_id,
        concat(bkt, ':', shard_idx::VARCHAR) AS shard_id,
        (row_number() OVER (PARTITION BY bkt, shard_idx
                            ORDER BY h, doc_id))::INT AS shard_pos,
        n_toks
 FROM c ORDER BY doc_id
+"""
+
+
+def _token_shards_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over ``token_shards`` (same 500-token target
+    as the ``token_shards`` gate row): per shard, doc count, token sum,
+    and signed deviation from target in integer ppm (truncating DIV is
+    engine-identical on negatives — verified) — the table an export job
+    reads to confirm the never-split-a-doc overshoot stays bounded by
+    one document and only bucket-tail shards undershoot."""
+    from ppocr_spark.functions.sampling import token_shards
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        token_shards(d, shard_tokens=500, bucket_hex=1)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("shard_toks"),
+        )
+        .select(
+            "shard_id", "n_docs", "shard_toks",
+            F.expr("(1000000 * (shard_toks - 500)) DIV 500").cast("long")
+            .alias("dev_ppm"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_TOKEN_SHARDS_BALANCE_SQL = f"""
+WITH {_TOKEN_SHARDS_CTE}
+SELECT concat(bkt, ':', shard_idx::VARCHAR) AS shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_toks)::BIGINT AS shard_toks,
+       ((1000000 * (sum(n_toks) - 500)) // 500)::BIGINT AS dev_ppm
+FROM c GROUP BY bkt, shard_idx ORDER BY shard_id
 """
 
 
@@ -6307,6 +6349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall_curve": _dedup_lsh_recall_curve,
         "quality_probe_calibration": _quality_probe_calibration,
         "events_seasonality": _events_seasonality,
+        "token_shards_balance": _token_shards_balance,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6527,4 +6570,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_recall_curve": _LSH_RECALL_SQL,
         "quality_probe_calibration": _quality_probe_calibration_sql(),
         "events_seasonality": _EVENTS_SEASONALITY_SQL,
+        "token_shards_balance": _TOKEN_SHARDS_BALANCE_SQL,
     }

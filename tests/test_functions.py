@@ -2079,6 +2079,29 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_token_shards_balance_overshoot_bound(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(60)))
+                for i in range(40)]  # 60-token docs, 500-token shards
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet"))
+        out = entry._token_shards_balance(spark, str(tmp_path)).collect()
+        assert sum(r["n_docs"] for r in out) == 40
+        by_bucket = {}
+        for r in out:
+            bkt, idx = r["shard_id"].split(":")
+            by_bucket.setdefault(bkt, []).append((int(idx), r))
+            assert r["dev_ppm"] == (1_000_000 * (r["shard_toks"] - 500)) \
+                // 500
+        for bkt, shards in by_bucket.items():
+            shards.sort()
+            # never-split overshoot bound: every non-tail shard reaches
+            # the target and overshoots by < one max doc (60 tokens)
+            for _, r in shards[:-1]:
+                assert 500 <= r["shard_toks"] < 560
+
     def test_seasonality_integer_calendar(self, spark, tmp_path):
         import datetime as dt
 
