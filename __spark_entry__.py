@@ -2646,6 +2646,58 @@ def _dedup_simhash_sql() -> str:
     )
 
 
+def _simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit balance of the 60-bit SimHash fingerprints — the
+    hash-health diagnostic behind the pigeonhole near-dup path: a
+    biased bit position (share far from 50%) weakens the hamming
+    bound's uniformity assumptions and flags a broken token-hash mix.
+    ONE aggregate pass (60 shiftright-sum expressions + a count), then
+    a driver-side unpivot of the single 61-column row — the
+    ``documents_profile`` one-agg stack shape, no 60× row fan-out over
+    the corpus. Shares are integer ppm."""
+    from ppocr_spark.functions.dedup import simhash_fingerprints
+
+    d = _load(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d)
+    one = fp.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("simhash"), b) % 2)
+            .cast("long").alias(f"b{b}")
+            for b in range(60)
+        ]
+    )
+    stack = ", ".join(f"{b}, b{b}" for b in range(60))
+    return (
+        one.selectExpr("n", f"stack(60, {stack}) AS (bit, n_set)")
+        .select(
+            F.col("bit").cast("int").alias("bit"),
+            F.col("n_set"),
+            F.expr("(1000000 * n_set) DIV n").cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("bit")
+    )
+
+
+def _simhash_bit_balance_sql() -> str:
+    hashes, terms = _simhash_expr("duck")
+    return f"""
+WITH s AS (
+  SELECT doc_id, {terms} AS simhash FROM
+  (SELECT doc_id, {hashes} AS hs FROM documents)
+), tot AS (SELECT count(*)::BIGINT AS n FROM s),
+bits AS (
+  SELECT b.bit::INT AS bit,
+         sum((s.simhash >> b.bit) & 1)::BIGINT AS n_set
+  FROM s, unnest(range(0, 60)) AS b(bit)
+  GROUP BY b.bit
+)
+SELECT bit, n_set, ((1000000 * n_set) // t.n)::BIGINT AS share_ppm
+FROM bits, tot t ORDER BY bit
+"""
+
+
 def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at hamming ≤ 8 via the pigeonhole multi-block plan.
     The oracle is the BRUTE-FORCE all-pairs hamming join — pigeonhole
@@ -6350,6 +6402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_probe_calibration": _quality_probe_calibration,
         "events_seasonality": _events_seasonality,
         "token_shards_balance": _token_shards_balance,
+        "simhash_bit_balance": _simhash_bit_balance,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6571,4 +6624,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_probe_calibration": _quality_probe_calibration_sql(),
         "events_seasonality": _EVENTS_SEASONALITY_SQL,
         "token_shards_balance": _TOKEN_SHARDS_BALANCE_SQL,
+        "simhash_bit_balance": _simhash_bit_balance_sql(),
     }

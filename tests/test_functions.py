@@ -2079,6 +2079,22 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_simhash_bit_balance_totals(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        rows = [(i, f"doc number {i} with some shared words and u{i}")
+                for i in range(16)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet"))
+        out = entry._simhash_bit_balance(spark, str(tmp_path)).collect()
+        assert [r["bit"] for r in out] == list(range(60))
+        for r in out:
+            assert 0 <= r["n_set"] <= 16
+            assert r["share_ppm"] == (1_000_000 * r["n_set"]) // 16
+        # the mix is non-degenerate: not all bits identical
+        assert len({r["n_set"] for r in out}) > 1
+
     def test_token_shards_balance_overshoot_bound(self, spark, tmp_path):
         import __spark_entry__ as entry
 
