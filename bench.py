@@ -146,6 +146,8 @@ def main():
         "dedup_lsh_recall_curve",
         "quality_probe_calibration",
         "events_seasonality",
+        "token_shards_balance",
+        "simhash_bit_balance",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
