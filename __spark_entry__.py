@@ -3296,6 +3296,49 @@ cellcodes AS (
     return ", ".join(parts)
 
 
+def _pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization-error report (library
+    similarity.pq_reconstruction_report): mean squared
+    residual-to-codeword distance per subspace — the codebook-quality
+    audit behind the IVF-PQ index, at zero extra passes (the argmin
+    distance rides out of the encode Arrow pass). Oracle replays the
+    full fit via the shared ``_pq_cte`` chain and recomputes each
+    assigned codeword's distance."""
+    from ppocr_spark.functions.similarity import pq_reconstruction_report
+
+    e = _load(spark, sf_dir, "embeddings")
+    return pq_reconstruction_report(e).orderBy("subspace")
+
+
+def _pq_reconstruction_sql() -> str:
+    m, d_sub, pq_iters = 4, 16, 1
+
+    def dd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {d_sub + 1}), d -> "
+            f"({a}[d] - {b}[d]) * ({a}[d] - {b}[d])))"
+        )
+
+    errs = ",\n".join(
+        f"""er{j} AS (
+  SELECT s.vec_id, {j} AS subspace, {dd("s.vq", "c.cent")}::BIGINT AS err
+  FROM pc{j} p
+  JOIN sub{j} s USING (vec_id)
+  JOIN pj{j}_{pq_iters} c ON c.cl = p.code_{j}
+)"""
+        for j in range(m)
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM er{j}" for j in range(m))
+    return f"""
+WITH {_pq_cte()},
+{errs},
+allerr AS ({union})
+SELECT subspace::INT AS subspace, count(*)::BIGINT AS n_vecs,
+       (sum(err::HUGEINT) // count(*)::HUGEINT)::BIGINT AS mse_q2
+FROM allerr GROUP BY subspace ORDER BY subspace
+"""
+
+
 def _embedding_kmeans_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fine-quantizer k-means (library similarity.kmeans_fine, k=256 ≫
     the coarse plan-literal envelope): broadcast centroid matrix +
@@ -6403,6 +6446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": _events_seasonality,
         "token_shards_balance": _token_shards_balance,
         "simhash_bit_balance": _simhash_bit_balance,
+        "pq_reconstruction_report": _pq_reconstruction,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6625,4 +6669,5 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonality": _EVENTS_SEASONALITY_SQL,
         "token_shards_balance": _TOKEN_SHARDS_BALANCE_SQL,
         "simhash_bit_balance": _simhash_bit_balance_sql(),
+        "pq_reconstruction_report": _pq_reconstruction_sql(),
     }

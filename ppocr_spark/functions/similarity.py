@@ -1083,13 +1083,17 @@ def _pq_residuals(
 
 
 def _pq_encode(
-    res: DataFrame, codebooks: list, id_type: str = "long"
+    res: DataFrame, codebooks: list, id_type: str = "long",
+    with_err: bool = False,
 ) -> DataFrame:
     """All-subspace PQ encoding in ONE Arrow pass: for each subspace j,
     code_j = argmin over codebooks[j] of the integer squared distance on
     that residual slice (ties → lowest code — np.argmin's first-min,
     the same rule as ``_fine_assign`` and the oracle's
-    ``ORDER BY dist, code``). Returns (id, cluster, codes array<int>)."""
+    ``ORDER BY dist, code``). Returns (id, cluster, codes array<int>);
+    with ``with_err`` also the per-subspace argmin distance itself
+    (errs array<long> — exact integers under the coord bound, the
+    quantization-error diagnostic at zero extra passes)."""
     import pandas as pd
 
     CBs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
@@ -1112,6 +1116,7 @@ def _pq_encode(
                     f"pq residual exceeds exactness bound {bound}"
                 )
             codes = np.empty((len(R), len(CBs)), dtype=np.int32)
+            errs = np.empty((len(R), len(CBs)), dtype=np.int64)
             for j, (cb, nc) in enumerate(zip(CBs, ncs)):
                 S = R[:, j * d_sub:(j + 1) * d_sub]
                 dist = (
@@ -1120,15 +1125,22 @@ def _pq_encode(
                     - 2.0 * (S @ cb.T)
                 )
                 codes[:, j] = dist.argmin(axis=1)
-            yield pd.DataFrame({
+                errs[:, j] = dist[
+                    np.arange(len(R)), codes[:, j]
+                ].astype(np.int64)
+            out = {
                 "id": pdf["id"],
                 "cluster": pdf["cluster"],
                 "codes": list(codes),
-            })
+            }
+            if with_err:
+                out["errs"] = list(errs)
+            yield pd.DataFrame(out)
 
-    return res.mapInPandas(
-        gen, schema=f"id {id_type}, cluster int, codes array<int>"
-    )
+    schema = f"id {id_type}, cluster int, codes array<int>"
+    if with_err:
+        schema += ", errs array<long>"
+    return res.mapInPandas(gen, schema=schema)
 
 
 def _pq_adc_tables(
@@ -1194,6 +1206,7 @@ def pq_fit_encode(
     init_scale: float = 0.125,
     pq_init_scale: float = 0.03,
     quant: int = QUANT,
+    with_err: bool = False,
 ):
     """Fit IVF-PQ and encode the corpus: coarse cells via the integer
     ``kmeans_fine`` contract, then per-subspace codebooks trained with
@@ -1241,7 +1254,7 @@ def pq_fit_encode(
             a = _fine_assign(sub, cb, carry_vec=True, id_type=id_type)
             cb = _lloyd_refine_q(a, cb)
         codebooks.append(cb)
-    codes = _pq_encode(res, codebooks, id_type)
+    codes = _pq_encode(res, codebooks, id_type, with_err=with_err)
     return codes, cents_q, codebooks
 
 
@@ -1662,5 +1675,50 @@ def class_separation(
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             _isqrt(F.col("__sum")).cast("long").alias("dist_q"),
+        )
+    )
+
+
+def pq_reconstruction_report(
+    emb: DataFrame,
+    n_cells: int = 64,
+    cell_iters: int = 1,
+    m: int = 4,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Per-subspace PQ quantization-error report — the codebook-quality
+    audit behind ``ivf_pq_topk``: mean squared residual-to-codeword
+    distance per subspace (squared quantized units). A subspace whose
+    MSE dwarfs the others is under-coded (raise its share of n_codes or
+    rotate dimensions); the ratio of total MSE to mean residual norm is
+    the compression-distortion operating point.
+
+    Zero extra passes over the fit: the per-subspace argmin distance is
+    already computed during encoding and rides out of the same Arrow
+    pass (``_pq_encode(with_err)``); the report is one posexplode of
+    the m-length error vector + a groupBy(subspace) with map-side
+    combine. decimal(38,0) totals (int64-safe per term under the coord
+    bound, HUGEINT in the oracle); mse = total DIV n (non-negative).
+    Returns (subspace, n_vecs, mse_q2)."""
+    codes, _, _ = pq_fit_encode(
+        emb, n_cells, cell_iters, m, n_codes, pq_iters, dim,
+        id_col, vec_col, seed, with_err=True,
+    )
+    return (
+        codes.select(F.posexplode("errs").alias("subspace", "__e"))
+        .groupBy("subspace")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.col("__e").cast("decimal(38,0)")).alias("__s"),
+        )
+        .select(
+            F.col("subspace").cast("int").alias("subspace"),
+            "n_vecs",
+            F.expr("__s div n_vecs").cast("long").alias("mse_q2"),
         )
     )

@@ -2079,6 +2079,51 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_pq_reconstruction_report_consistency(self, spark):
+        # errs ride out of the encode pass: the report's per-subspace
+        # mean must equal the brute recomputation from codes+codebooks.
+        import numpy as np
+
+        from ppocr_spark.functions.similarity import (
+            _quantized,
+            pq_fit_encode,
+            pq_reconstruction_report,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(64, 8).astype(np.float32) * 0.2
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+            "vec_id long, embedding array<float>",
+        )
+        rep = {
+            r["subspace"]: (r["n_vecs"], r["mse_q2"])
+            for r in pq_reconstruction_report(
+                emb, n_cells=4, m=2, n_codes=4, dim=8
+            ).collect()
+        }
+        assert set(rep) == {0, 1}
+        assert all(n == 64 and mse >= 0 for n, mse in rep.values())
+
+        codes, cents_q, cbs = pq_fit_encode(
+            emb, n_cells=4, m=2, n_codes=4, dim=8
+        )
+        q = {
+            r["id"]: (r["cluster"], r["codes"])
+            for r in codes.collect()
+        }
+        C = np.asarray(cents_q, dtype=np.int64)
+        tot = {0: 0, 1: 0}
+        for i in range(64):
+            cl, cd = q[i]
+            rq = np.round(vecs[i].astype(np.float64) * 1_000_000) - C[cl]
+            for j in (0, 1):
+                cb = np.asarray(cbs[j], dtype=np.int64)[cd[j]]
+                d = rq[j * 4:(j + 1) * 4] - cb
+                tot[j] += int((d * d).sum())
+        for j in (0, 1):
+            assert rep[j][1] == tot[j] // 64
+
     def test_simhash_bit_balance_totals(self, spark, tmp_path):
         import __spark_entry__ as entry
 
