@@ -1671,12 +1671,15 @@ def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_SUBSTRING_SQL = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+# shared CTE chain: positional 12-gram duplicated-window spans (Lee et
+# al.); consumed by the dedup_substring_spans oracle AND the impact
+# report (one definition — a span-semantics change moves both or neither)
+_SUBSTRING_SPANS_CTES = f"""stoks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 grams AS (
   SELECT doc_id, pos, array_to_string(t[pos:pos+11], ' ') AS g
   FROM (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS pos
-        FROM toks WHERE len(t) >= 12)
+        FROM stoks WHERE len(t) >= 12)
 ),
 freq AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
 dup AS (SELECT doc_id, pos - 1 AS pos FROM grams JOIN freq USING (g)),
@@ -1688,9 +1691,16 @@ isl AS (
   FROM dup),
 isl2 AS (SELECT doc_id, pos,
                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         FROM isl)
-SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end
-FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
+         FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end
+  FROM isl2 GROUP BY doc_id, island)"""
+
+
+_DEDUP_SUBSTRING_SQL = f"""
+WITH {_SUBSTRING_SPANS_CTES}
+SELECT doc_id, span_start, span_end
+FROM spans ORDER BY doc_id, span_start
 """
 
 
@@ -2591,6 +2601,100 @@ SELECT (t.jp // 100000)::BIGINT AS band,
         // count(*))::BIGINT AS recall_ppm
 FROM truth t LEFT JOIN pairs p ON p.a = t.a AND p.b = t.b
 GROUP BY 1 ORDER BY band
+"""
+
+
+def _dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-level dedup impact dashboard: for each of the three
+    dedup families — exact (md5 keep-min), near-dup (MinHash keep-one
+    clusters), exact-substring (Lee et al. span cuts) — the documents
+    affected and tokens that stage alone would remove. The
+    policy-decision table read before ordering/choosing dedup stages
+    (stages overlap; each row is the stage's standalone bite).
+    Compositional: every number derives from the already-oracle-shared
+    chains; all joins are slim id/hash keys; integer counts only."""
+    from ppocr_spark.functions.dedup import (dedup_representatives,
+                                             minhash_dedup_pairs,
+                                             substring_dup_spans)
+    from ppocr_spark.functions.text import token_count
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    # exact: non-min doc per identical-text group
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    keep = h.groupBy("h").agg(F.min("doc_id").alias("k"))
+    exact_removed = (
+        h.join(keep, "h").filter(F.col("doc_id") != F.col("k"))
+        .join(toks, "doc_id")
+        .agg(F.count("*").alias("nd"), F.sum("nt").alias("ntok"))
+        .select(F.lit("exact").alias("stage"),
+                F.col("nd").cast("long").alias("n_docs_affected"),
+                F.coalesce(F.col("ntok"), F.lit(0)).cast("long")
+                .alias("n_tokens_removed"))
+    )
+    pairs = minhash_dedup_pairs(d, threshold=0.12, k=8, bands=4, n=3)
+    near_removed = (
+        dedup_representatives(pairs, d)
+        .filter(~F.col("keep"))
+        .join(toks, "doc_id")
+        .agg(F.count("*").alias("nd"), F.sum("nt").alias("ntok"))
+        .select(F.lit("near_dup").alias("stage"),
+                F.col("nd").cast("long").alias("n_docs_affected"),
+                F.coalesce(F.col("ntok"), F.lit(0)).cast("long")
+                .alias("n_tokens_removed"))
+    )
+    spans = substring_dup_spans(d, k=12)
+    sub_removed = (
+        spans.groupBy("id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start")).alias("cut"))
+        .agg(F.count("*").alias("nd"), F.sum("cut").alias("ntok"))
+        .select(F.lit("substring").alias("stage"),
+                F.col("nd").cast("long").alias("n_docs_affected"),
+                F.coalesce(F.col("ntok"), F.lit(0)).cast("long")
+                .alias("n_tokens_removed"))
+    )
+    return (
+        exact_removed.unionByName(near_removed).unionByName(sub_removed)
+        .orderBy("stage")
+    )
+
+
+def _dedup_impact_sql() -> str:
+    return f"""{_MINHASH_CC_CTE}
+, {_SUBSTRING_SPANS_CTES}
+, tcnt AS (
+  SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS nt FROM documents
+), hx AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), keepmin AS (SELECT h, min(doc_id) AS k FROM hx GROUP BY h),
+exact_rm AS (
+  SELECT 'exact' AS stage, count(*)::BIGINT AS n_docs_affected,
+         coalesce(sum(t.nt), 0)::BIGINT AS n_tokens_removed
+  FROM hx JOIN keepmin USING (h) JOIN tcnt t USING (doc_id)
+  WHERE hx.doc_id <> keepmin.k
+),
+lab AS (
+  SELECT d.doc_id,
+         d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS keep
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+),
+near_rm AS (
+  SELECT 'near_dup' AS stage, count(*)::BIGINT,
+         coalesce(sum(t.nt), 0)::BIGINT
+  FROM lab JOIN tcnt t USING (doc_id) WHERE NOT lab.keep
+),
+sub_rm AS (
+  SELECT 'substring' AS stage, count(*)::BIGINT,
+         coalesce(sum(cut), 0)::BIGINT
+  FROM (SELECT doc_id, sum(span_end - span_start)::BIGINT AS cut
+        FROM spans GROUP BY doc_id)
+)
+SELECT * FROM exact_rm
+UNION ALL SELECT * FROM near_rm
+UNION ALL SELECT * FROM sub_rm
+ORDER BY stage
 """
 
 
@@ -6447,6 +6551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards_balance": _token_shards_balance,
         "simhash_bit_balance": _simhash_bit_balance,
         "pq_reconstruction_report": _pq_reconstruction,
+        "dedup_impact_report": _dedup_impact_report,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6670,4 +6775,5 @@ def oracle_sql() -> dict[str, str]:
         "token_shards_balance": _TOKEN_SHARDS_BALANCE_SQL,
         "simhash_bit_balance": _simhash_bit_balance_sql(),
         "pq_reconstruction_report": _pq_reconstruction_sql(),
+        "dedup_impact_report": _dedup_impact_sql(),
     }

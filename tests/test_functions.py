@@ -284,6 +284,33 @@ class TestDedup:
                 assert r["match_id"] in delta_ids
                 assert r["match_id"] < r["doc_id"]
 
+    def test_dedup_impact_report_hand_case(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        uniq = " ".join(f"u{i}" for i in range(14))
+        shared = " ".join(f"s{i}" for i in range(12))  # one dup 12-gram
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again ok"),
+            (2, "the quick brown fox jumps over the lazy dog again ok"),
+            (3, shared + " tail one two three four five six seven"),
+            (4, shared + " totally different continuation here now yes"),
+            (5, uniq),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet"))
+        got = {
+            r["stage"]: (r["n_docs_affected"], r["n_tokens_removed"])
+            for r in entry._dedup_impact_report(
+                spark, str(tmp_path)).collect()
+        }
+        # exact: doc 2 (11 tokens) removed. substring: docs 1/2 are 11
+        # tokens (< k=12, no shingles); only docs 3/4 share a 12-gram,
+        # cut at both occurrences — spans (0,12) each.
+        assert got["exact"] == (1, 11)
+        assert got["substring"] == (2, 24)
+        assert got["near_dup"][0] >= 1  # docs 1/2 cluster at least
+
     def test_lsh_recall_curve_matches_python_replication(
         self, spark, tmp_path
     ):
