@@ -148,6 +148,8 @@ def main():
         "events_seasonality",
         "token_shards_balance",
         "simhash_bit_balance",
+        "pq_reconstruction_report",
+        "dedup_impact_report",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
