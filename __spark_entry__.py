@@ -3859,6 +3859,55 @@ ORDER BY doc_id, "order"
 """
 
 
+def _ocr_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-health rollup over the flagship pipeline's output:
+    per (kind, status code), span count, documents touched, and total
+    extracted characters — the per-run report an extraction job
+    publishes next to its checkpoint manifests (a code-mix shift
+    between runs flags a decode/model regression before any
+    span-equality check runs). Aggregates the REAL pipeline output
+    (same extract_documents call as ``ocr_extract_spans``); the oracle
+    aggregates the generation-truth expected spans — so the rollup is
+    one more span-sequence-equality surface, at report granularity."""
+    from ppocr_spark.pipeline import extract_documents
+
+    corpus = _corpus(sf_dir)
+    docs = spark.read.parquet(f"{corpus}/documents_spans.parquet")
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+    cfg = PPOCRConfig(cls=True, use_angle_cls=True)
+    res = extract_documents(docs, media, cfg, broadcast_media=True)
+    spans = res.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.code").alias("code"),
+        F.length(F.coalesce(F.col("s.text"), F.lit(""))).alias("__len"),
+    )
+    return (
+        spans.groupBy("kind", "code")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("__len").cast("long").alias("n_chars"),
+        )
+        .orderBy("kind", "code")
+    )
+
+
+def _ocr_corpus_report_sql(sf_dir: str) -> str:
+    corpus = _corpus(sf_dir)
+    return f"""
+SELECT u.kind AS kind, u.code AS code,
+       count(*)::BIGINT AS n_spans,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(length(coalesce(u.text, '')))::BIGINT AS n_chars
+FROM (SELECT doc_id, unnest(spans) AS u
+      FROM read_parquet('{corpus}/expected_spans.parquet'))
+GROUP BY 1, 2 ORDER BY kind, code
+"""
+
+
 def _ocr_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 per-block payload vs generation-truth blocks (box geometry from
     the real detector at generation + assigned source text + parser end
@@ -6552,6 +6601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bit_balance": _simhash_bit_balance,
         "pq_reconstruction_report": _pq_reconstruction,
         "dedup_impact_report": _dedup_impact_report,
+        "ocr_corpus_report": _ocr_corpus_report,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6682,6 +6732,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ann_ivf_sql(),
         "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
         "ocr_extract_spans": _ocr_extract_sql(sf_dir),
+        "ocr_corpus_report": _ocr_corpus_report_sql(sf_dir),
         "ocr_blocks": _ocr_blocks_sql(sf_dir),
         "image_metadata": _image_metadata_sql(sf_dir),
         "image_features": _image_features_sql(sf_dir),

@@ -150,6 +150,7 @@ def main():
         "simhash_bit_balance",
         "pq_reconstruction_report",
         "dedup_impact_report",
+        "ocr_corpus_report",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
