@@ -1093,6 +1093,111 @@ FROM dau d JOIN wau wa USING (day) ORDER BY day
 """
 
 
+def _events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B lift table: users bucket into control/treat by
+    md5 (the ``hash_split`` rule — how real experiment systems assign:
+    layout/run independent, no RNG), then per event type the
+    events-per-user rate in each arm (exact integer micro-units) and
+    the relative lift in signed ppm (toward-zero truncating DIV —
+    engine-identical, verified). On synthetic traffic the lift should
+    hover near zero — the A/A-test reading of this table is itself the
+    assignment-health check. Denominators are ARM sizes (users with
+    any event), so types a user never triggers still dilute the rate."""
+    e = _load(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.lit("ab:"),
+                                   F.col("user_id").cast("string"))),
+                    1, 4) < F.lit("8000"),
+        F.lit("control"),
+    ).otherwise(F.lit("treat"))
+    ev = e.select(arm.alias("arm"), "user_id", "event_type")
+    arm_sizes = (
+        ev.select("arm", "user_id").distinct()
+        .groupBy("arm").agg(F.count("*").alias("n_users"))
+    )
+    cells = ev.groupBy("arm", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    rates = (
+        cells.join(F.broadcast(arm_sizes), "arm")
+        .select(
+            "arm", "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("(1000000 * n_events) DIV n_users").cast("long")
+            .alias("epu_micro"),
+        )
+    )
+    c = rates.filter(F.col("arm") == "control").select(
+        "event_type",
+        F.col("n_events").alias("control_events"),
+        F.col("epu_micro").alias("control_epu_micro"),
+    )
+    t = rates.filter(F.col("arm") == "treat").select(
+        "event_type",
+        F.col("n_events").alias("treat_events"),
+        F.col("epu_micro").alias("treat_epu_micro"),
+    )
+    return (
+        c.join(t, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("control_events", F.lit(0)).cast("long")
+            .alias("control_events"),
+            F.coalesce("treat_events", F.lit(0)).cast("long")
+            .alias("treat_events"),
+            F.coalesce("control_epu_micro", F.lit(0)).cast("long")
+            .alias("control_epu_micro"),
+            F.coalesce("treat_epu_micro", F.lit(0)).cast("long")
+            .alias("treat_epu_micro"),
+            F.expr(
+                "CASE WHEN coalesce(control_epu_micro, 0) = 0 THEN NULL"
+                " ELSE (1000000 * (coalesce(treat_epu_micro, 0)"
+                " - control_epu_micro)) DIV control_epu_micro END"
+            ).cast("long").alias("lift_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_AB_LIFT_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN substr(md5(concat('ab:', user_id::VARCHAR)), 1, 4)
+              < '8000' THEN 'control' ELSE 'treat' END AS arm,
+         user_id, event_type
+  FROM events
+), arm_sizes AS (
+  SELECT arm, count(*)::BIGINT AS n_users
+  FROM (SELECT DISTINCT arm, user_id FROM ev) GROUP BY arm
+), cells AS (
+  SELECT arm, event_type, count(*)::BIGINT AS n_events
+  FROM ev GROUP BY 1, 2
+), rates AS (
+  SELECT c.arm, c.event_type, c.n_events,
+         ((1000000 * c.n_events) // a.n_users)::BIGINT AS epu_micro
+  FROM cells c JOIN arm_sizes a USING (arm)
+), c AS (
+  SELECT event_type, n_events AS control_events,
+         epu_micro AS control_epu_micro
+  FROM rates WHERE arm = 'control'
+), t AS (
+  SELECT event_type, n_events AS treat_events,
+         epu_micro AS treat_epu_micro
+  FROM rates WHERE arm = 'treat'
+)
+SELECT coalesce(c.event_type, t.event_type) AS event_type,
+       coalesce(control_events, 0)::BIGINT AS control_events,
+       coalesce(treat_events, 0)::BIGINT AS treat_events,
+       coalesce(control_epu_micro, 0)::BIGINT AS control_epu_micro,
+       coalesce(treat_epu_micro, 0)::BIGINT AS treat_epu_micro,
+       (CASE WHEN coalesce(control_epu_micro, 0) = 0 THEN NULL
+             ELSE (1000000 * (coalesce(treat_epu_micro, 0)
+                              - control_epu_micro))
+                  // control_epu_micro END)::BIGINT AS lift_ppm
+FROM c FULL OUTER JOIN t ON c.event_type = t.event_type
+ORDER BY event_type
+"""
+
+
 _EVENTS_FUNNEL_SQL = """
 WITH f AS (
   SELECT user_id, event_type AS tp, epoch_us(ts) AS us
@@ -6602,6 +6707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_reconstruction_report": _pq_reconstruction,
         "dedup_impact_report": _dedup_impact_report,
         "ocr_corpus_report": _ocr_corpus_report,
+        "events_ab_lift": _events_ab_lift,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6827,4 +6933,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_bit_balance": _simhash_bit_balance_sql(),
         "pq_reconstruction_report": _pq_reconstruction_sql(),
         "dedup_impact_report": _dedup_impact_sql(),
+        "events_ab_lift": _EVENTS_AB_LIFT_SQL,
     }

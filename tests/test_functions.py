@@ -2240,6 +2240,49 @@ class TestEventsFunnelFold:
             assert 0 <= r["n_pass"] <= r["n_docs"]
             assert r["pass_ppm"] == (1_000_000 * r["n_pass"]) // r["n_docs"]
 
+    def test_ab_lift_hand_case(self, spark, tmp_path):
+        import datetime as dt
+        import hashlib
+
+        import __spark_entry__ as entry
+
+        def arm(u):
+            return ("control"
+                    if hashlib.md5(f"ab:{u}".encode()).hexdigest()[:4]
+                    < "8000" else "treat")
+
+        users = list(range(1, 9))
+        arms = {u: arm(u) for u in users}
+        # every user 1 view; control users get an extra click
+        raw = [(u, 0, "view") for u in users] + [
+            (u, 1, "click") for u in users if arms[u] == "control"
+        ]
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec),
+             u, tp, 1.0, "{}")
+            for i, (u, sec, tp) in enumerate(raw)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            r["event_type"]: r
+            for r in entry._events_ab_lift(spark, str(tmp_path)).collect()
+        }
+        nc = sum(1 for a in arms.values() if a == "control")
+        nt = len(users) - nc
+        assert nc and nt
+        v = got["view"]
+        assert (v["control_epu_micro"], v["treat_epu_micro"]) == (
+            (1_000_000 * nc) // nc, (1_000_000 * nt) // nt)
+        assert v["lift_ppm"] == 0
+        c = got["click"]
+        assert c["treat_events"] == 0 and c["treat_epu_micro"] == 0
+        assert c["lift_ppm"] == -1_000_000  # -100% lift
+
     def test_markov_transitions_hand_case(self, spark, tmp_path):
         import datetime as dt
 
