@@ -3548,6 +3548,65 @@ FROM allerr GROUP BY subspace ORDER BY subspace
 """
 
 
+def _embeddings_dim_variance(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Per-dimension variance report over the quantized embeddings —
+    the dead/degenerate-dimension diagnostic (a near-zero-variance
+    dimension wastes PQ codebook capacity and distance budget; the
+    complement of the PCA top-component view). Exact integer moments:
+    per dim, Σx and Σx² of the int64-quantized values in
+    decimal(38,0) (HUGEINT in the oracle), then
+    var·n² = n·Σx² − (Σx)² reported as var_q2 = that DIV n²
+    (non-negative by Cauchy–Schwarz, so truncation direction is
+    moot). One posexplode pass, 64-key groupBy with map-side
+    combine."""
+    e = _load(spark, sf_dir, "embeddings")
+    from ppocr_spark.functions.similarity import _quantized
+
+    per = (
+        e.select(F.posexplode(_quantized(F.col("embedding")))
+                 .alias("dim", "__v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+            F.sum(
+                (F.col("__v") * F.col("__v")).cast("decimal(38,0)")
+            ).alias("__s2"),
+        )
+    )
+    return (
+        per.select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            F.expr(
+                "cast((n * __s2 - __s * __s) div (cast(n as decimal(38,0))"
+                " * n) as bigint)"
+            ).alias("var_q2"),
+        )
+        .orderBy("dim")
+    )
+
+
+_EMB_DIM_VARIANCE_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> round(x::DOUBLE * 1000000)::BIGINT) AS qv
+  FROM embeddings
+), per AS (
+  SELECT pos AS dim, count(*)::BIGINT AS n,
+         sum(v::HUGEINT) AS s, sum((v * v)::HUGEINT) AS s2
+  FROM (SELECT generate_subscripts(qv, 1) - 1 AS pos, unnest(qv) AS v
+        FROM q)
+  GROUP BY pos
+)
+SELECT dim::INT AS dim, n,
+       ((n::HUGEINT * s2 - s * s) // (n::HUGEINT * n::HUGEINT))::BIGINT
+         AS var_q2
+FROM per ORDER BY dim
+"""
+
+
 def _embedding_kmeans_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fine-quantizer k-means (library similarity.kmeans_fine, k=256 ≫
     the coarse plan-literal envelope): broadcast centroid matrix +
@@ -6708,6 +6767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_impact_report": _dedup_impact_report,
         "ocr_corpus_report": _ocr_corpus_report,
         "events_ab_lift": _events_ab_lift,
+        "embeddings_dim_variance": _embeddings_dim_variance,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -6934,4 +6994,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_reconstruction_report": _pq_reconstruction_sql(),
         "dedup_impact_report": _dedup_impact_sql(),
         "events_ab_lift": _EVENTS_AB_LIFT_SQL,
+        "embeddings_dim_variance": _EMB_DIM_VARIANCE_SQL,
     }

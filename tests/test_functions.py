@@ -2106,6 +2106,30 @@ class TestEventsFunnelFold:
         # 2024-01-01 is day 19723 since epoch
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 2): 1}
 
+    def test_dim_variance_hand_case(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        # dim 0 constant (var 0); dim 1 values ±1.0 quantized -> 1e6
+        # each, mean 0, var = 1e12
+        rows = [
+            (1, [0.5, 1.0]),
+            (2, [0.5, -1.0]),
+            (3, [0.5, 1.0]),
+            (4, [0.5, -1.0]),
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+        emb.write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet"))
+        got = {
+            r["dim"]: (r["n"], r["var_q2"])
+            for r in entry._embeddings_dim_variance(
+                spark, str(tmp_path)).collect()
+        }
+        assert got == {0: (4, 0), 1: (4, 1_000_000_000_000)}
+
     def test_pq_reconstruction_report_consistency(self, spark):
         # errs ride out of the encode pass: the report's per-subspace
         # mean must equal the brute recomputation from codes+codebooks.
