@@ -151,6 +151,8 @@ def main():
         "pq_reconstruction_report",
         "dedup_impact_report",
         "ocr_corpus_report",
+        "events_ab_lift",
+        "embeddings_dim_variance",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
