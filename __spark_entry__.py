@@ -2718,20 +2718,28 @@ def _dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stages overlap; each row is the stage's standalone bite).
     Compositional: every number derives from the already-oracle-shared
     chains; all joins are slim id/hash keys; integer counts only."""
+    from ppocr_spark import cache
     from ppocr_spark.functions.dedup import (dedup_representatives,
+                                             exact_dedup,
                                              minhash_dedup_pairs,
                                              substring_dup_spans)
     from ppocr_spark.functions.text import token_count
 
     d = _load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    # three consumers (one per dedup arm) in ONE unioned action — persist
+    # the slim token-count projection or the corpus scan + tokenize
+    # re-evaluates per arm (the bm25/track_if_large lesson)
+    toks = cache.track_if_large(
+        d,
+        d.select("doc_id",
+                 token_count(F.col("text")).cast("long").alias("nt")),
     )
-    # exact: non-min doc per identical-text group
+    # exact arm derives from the REAL stage operator (dedup.exact_dedup)
+    # so a keep-rule change moves the stage and this report together
     h = d.select("doc_id", F.md5("text").alias("h"))
-    keep = h.groupBy("h").agg(F.min("doc_id").alias("k"))
     exact_removed = (
-        h.join(keep, "h").filter(F.col("doc_id") != F.col("k"))
+        h.join(exact_dedup(d).select("h", "keep_id"), "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
         .join(toks, "doc_id")
         .agg(F.count("*").alias("nd"), F.sum("nt").alias("ntok"))
         .select(F.lit("exact").alias("stage"),
@@ -3930,7 +3938,9 @@ leak AS (
   FROM pairs p
   JOIN sp sa ON sa.vec_id = p.a
   JOIN sp sb ON sb.vec_id = p.b
-  WHERE p.cos_raw >= 0.15 AND sa.split <> sb.split
+  WHERE p.cos_raw >= 0.15
+    AND ((sa.split = 'test' AND sb.split = 'train')
+         OR (sb.split = 'test' AND sa.split = 'train'))
 )
 SELECT vec_id, count(*)::BIGINT AS n_train_neardups,
        max(cos_r) AS max_cosine

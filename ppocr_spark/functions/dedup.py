@@ -942,9 +942,10 @@ def ssjoin_prefix_pairs(
     frequency f still costs f²/2 pairs behind one join key — the
     ``max_df`` valve (the ``_band_join`` ``max_bucket`` analog)
     excludes grams with df > max_df from CANDIDATE GENERATION only:
-    a pair is lost only if every shared gram is that hot (a
-    documented recall trade; default None = exact, which is what the
-    oracle checks). Returns (a, b, inter, union_n, jaccard_ppm), a < b.
+    a pair survives iff the two PREFIXES share a gram with df ≤
+    max_df — a cool shared gram outside the prefix windows does NOT
+    save it (a documented recall trade; default None = exact, which
+    is what the oracle checks). Returns (a, b, inter, union_n, jaccard_ppm), a < b.
     Reference behavior anchor: the same pair set the reference would
     get from an all-pairs gram-set scan (no reference analog — this
     is pipeline-extras surface)."""
