@@ -3102,3 +3102,80 @@ class TestSnapshotDiff:
              for r in snapshot_diff(
                  old.repartition(7), new.repartition(3)).collect()}
         assert a == b
+
+
+class TestBatchLayoutIndependence:
+    """Partition-order independence of the continuation-session
+    aggregate operators: every result must be IDENTICAL (not just
+    equal-ish) under a hostile repartition of the input — the core
+    determinism claim behind each oracle twin."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random
+
+        rng = random.Random(23)
+        vocab = [f"w{i}" for i in range(80)]
+        rows = []
+        for i in range(60):
+            n = rng.randint(4, 30)
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(n)),
+                 f"s{i % 4}")
+            )
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def _same(self, build, corpus, key):
+        a = sorted(map(tuple, build(corpus).collect()))
+        b = sorted(map(tuple, build(corpus.repartition(13)).collect()))
+        assert a == b and a, key
+
+    def test_source_token_kl(self, corpus):
+        from ppocr_spark.functions.text import source_token_kl
+
+        self._same(lambda d: source_token_kl(d), corpus, "kl")
+
+    def test_pmi_bigrams(self, corpus):
+        from ppocr_spark.functions.text import pmi_bigrams
+
+        self._same(
+            lambda d: pmi_bigrams(d, min_count=2, k=32), corpus, "pmi"
+        )
+
+    def test_ngram_novelty(self, corpus):
+        from ppocr_spark.functions.text import ngram_novelty
+
+        self._same(lambda d: ngram_novelty(d), corpus, "novelty")
+
+    def test_inverted_index(self, corpus):
+        from ppocr_spark.functions.search import build_inverted_index
+
+        self._same(
+            lambda d: build_inverted_index(d, min_df=2, max_df=50),
+            corpus, "invidx",
+        )
+
+    def test_readability(self, corpus):
+        from ppocr_spark.functions.text import readability
+
+        self._same(lambda d: readability(d), corpus, "readability")
+
+    def test_ssjoin_prefix(self, corpus):
+        from ppocr_spark.functions.dedup import ssjoin_prefix_pairs
+
+        self._same(
+            lambda d: ssjoin_prefix_pairs(d, threshold_ppm=300_000, n=1),
+            corpus, "ssjoin",
+        )
+
+    def test_lang_confusion(self, corpus):
+        from ppocr_spark.functions.text import lang_confusion
+
+        self._same(
+            lambda d: lang_confusion(
+                d.withColumn("lang", F.col("source"))
+            ),
+            corpus, "confusion",
+        )
