@@ -3179,3 +3179,57 @@ class TestBatchLayoutIndependence:
             ),
             corpus, "confusion",
         )
+
+
+class TestSsjoinPrefixProperty:
+    def test_random_corpora_equal_bruteforce(self, spark):
+        """Hypothesis: on random tiny-vocabulary corpora (dense
+        accidental overlap — the hardest case for the prefix filter),
+        the prefix-filtered join returns EXACTLY the brute-force
+        token-set Jaccard pair set at the threshold, for several
+        thresholds. This is the prefix lemma under adversarial small
+        universes, beyond the fixed-seed unit case."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ppocr_spark.functions.dedup import ssjoin_prefix_pairs
+
+        def brute(docs, t):
+            sets = {i: set(txt.split()) for i, txt in docs if txt.split()}
+            exp = {}
+            ids = sorted(sets)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    a, b = ids[x], ids[y]
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if union and (1_000_000 * inter) // union >= t:
+                        exp[(a, b)] = (
+                            inter, union, (1_000_000 * inter) // union
+                        )
+            return exp
+
+        @settings(max_examples=4, deadline=None)
+        @given(
+            st.lists(
+                st.lists(
+                    st.sampled_from(["p", "q", "r", "s", "t", "u"]),
+                    min_size=0, max_size=8,
+                ),
+                min_size=2, max_size=10,
+            ),
+            st.sampled_from([250_000, 500_000, 800_000]),
+        )
+        def run(token_lists, t):
+            docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                (r["a"], r["b"]): (r["inter"], r["union_n"],
+                                   r["jaccard_ppm"])
+                for r in ssjoin_prefix_pairs(
+                    df, threshold_ppm=t, n=1
+                ).collect()
+            }
+            assert got == brute(docs, t)
+
+        run()
