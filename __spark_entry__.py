@@ -452,6 +452,70 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier report: median + MAD (median absolute
+    deviation — the robust spread that one wild value can't poison,
+    unlike stddev) and the count/share of values beyond 3·MAD — the
+    monitoring rule for metric streams. Two grouped exact-percentile
+    aggregates (the ``quality_tiers``-proven Spark percentile ≡ DuckDB
+    quantile_cont parity) + slim joins back on the type key; the
+    outlier comparison runs on UNROUNDED doubles that are
+    engine-identical because both sides computed them with the same
+    IEEE ops; med/mad round to 6 for display only."""
+    e = _load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "__med",
+        F.abs(F.col("value") - F.col("__med")).alias("__ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.max("__med"), 6).alias("med"),
+            F.round(F.max("__mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("__ad") > 3 * F.col("__mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n", "med", "mad", "n_outliers",
+            F.expr("(1000000 * n_outliers) DIV n").cast("long")
+            .alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_VALUE_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS ad
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS md
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*)::BIGINT AS n,
+       round(max(d.m), 6) AS med,
+       round(max(mad.md), 6) AS mad,
+       sum(CASE WHEN d.ad > 3 * mad.md THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       ((1000000 * sum(CASE WHEN d.ad > 3 * mad.md THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS outlier_ppm
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type ORDER BY event_type
+"""
+
+
 _SESSION_GAP_US = 7_200_000_000  # 2 h inactivity closes a session
 
 
@@ -6778,6 +6842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_corpus_report": _ocr_corpus_report,
         "events_ab_lift": _events_ab_lift,
         "embeddings_dim_variance": _embeddings_dim_variance,
+        "events_value_outliers": _events_value_outliers,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -7005,4 +7070,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_impact_report": _dedup_impact_sql(),
         "events_ab_lift": _EVENTS_AB_LIFT_SQL,
         "embeddings_dim_variance": _EMB_DIM_VARIANCE_SQL,
+        "events_value_outliers": _EVENTS_VALUE_OUTLIERS_SQL,
     }

@@ -2264,6 +2264,37 @@ class TestEventsFunnelFold:
             assert 0 <= r["n_pass"] <= r["n_docs"]
             assert r["pass_ppm"] == (1_000_000 * r["n_pass"]) // r["n_docs"]
 
+    def test_value_outliers_hand_case(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as entry
+
+        # type a: values 1..7 plus a wild 100 -> med 4.5, deviations
+        # {3.5,2.5,1.5,.5,.5,1.5,2.5,95.5} med(ad)=2.0; 3*MAD=6 ->
+        # only 100 is out. type b: constant -> MAD 0, no outliers
+        # (ad > 0 is false for all).
+        vals = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 100]] + [
+            ("b", 5)] * 4
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+             1, tp, float(v), "{}")
+            for i, (tp, v) in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            r["event_type"]: (r["n"], r["med"], r["mad"],
+                              r["n_outliers"], r["outlier_ppm"])
+            for r in entry._events_value_outliers(
+                spark, str(tmp_path)).collect()
+        }
+        assert got["a"] == (8, 4.5, 2.0, 1, 125_000)
+        assert got["b"] == (4, 5.0, 0.0, 0, 0)
+
     def test_ab_lift_hand_case(self, spark, tmp_path):
         import datetime as dt
         import hashlib
