@@ -3118,11 +3118,15 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ann_ivf_ctes() -> str:
+def _ann_ivf_ctes(with_probe_rank: bool = False) -> str:
     """CTE chain replaying ivf_topk bit-for-bit (init → one Lloyd step →
     inverted lists → probes → ranked candidates); shared by the IVF
-    top-k oracle and the recall-eval oracle so both replay the SAME
-    index."""
+    top-k oracle, the recall-eval oracle, and (with
+    ``with_probe_rank``) the probe-sweep oracle so all replay the SAME
+    index. With the flag, ``scored`` carries ``first_prb`` — the
+    minimum probe rank at which each candidate appears — so rank-np
+    subsets re-rank exactly the candidate set a literal n_probe=np run
+    would see; without it the emitted SQL is unchanged."""
     from ppocr_spark.functions.similarity import _ivf_init
 
     init = _ivf_init(64, 8, seed=7, scale=0.125)
@@ -3134,6 +3138,12 @@ def _ann_ivf_ctes() -> str:
         "list_sum(list_transform(range(1, 65), j -> "
         "(e.embedding[j]::DOUBLE - {c}[j]) * "
         "(e.embedding[j]::DOUBLE - {c}[j])))"
+    )
+    prb_col = ", rn AS prb" if with_probe_rank else ""
+    head = "" if with_probe_rank else "DISTINCT"
+    prb_min = ", min(p.prb) AS first_prb" if with_probe_rank else ""
+    prb_grp = (
+        "\n  GROUP BY p.qid, c.vec_id, cos_raw" if with_probe_rank else ""
     )
     return f"""init(cl, cent) AS (VALUES {vals}),
 a1 AS (
@@ -3170,7 +3180,7 @@ a2 AS (
   ) WHERE rn = 1
 ),
 probes AS (
-  SELECT vec_id AS qid, embedding AS qv, cl FROM (
+  SELECT vec_id AS qid, embedding AS qv, cl{prb_col} FROM (
     SELECT e.vec_id, e.embedding, f.cl,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {d_of.format(c='f.cent')}, f.cl) AS rn
@@ -3179,11 +3189,11 @@ probes AS (
   ) WHERE rn <= 3
 ),
 scored AS (
-  SELECT DISTINCT p.qid AS query_id, c.vec_id AS neighbor_id,
+  SELECT {head} p.qid AS query_id, c.vec_id AS neighbor_id,
          list_dot_product(p.qv::DOUBLE[], c.embedding::DOUBLE[]) /
          (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
-          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw
-  FROM probes p JOIN a2 c ON p.cl = c.cl AND c.vec_id <> p.qid
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw{prb_min}
+  FROM probes p JOIN a2 c ON p.cl = c.cl AND c.vec_id <> p.qid{prb_grp}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
@@ -3198,6 +3208,87 @@ def _ann_ivf_sql() -> str:
 WITH {_ann_ivf_ctes()}
 SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall-vs-n_probe operating curve, measured: mean
+    recall@5 ppm against the exact brute-force top-5 at n_probe =
+    1, 2, 3 — the table that picks the index's latency/recall
+    operating point (the IVF counterpart of the LSH banding S-curve
+    row). Ground truth is computed ONCE and persisted across the
+    three configs; the oracle replays the shared chain with per-probe
+    candidate subsets (first_prb ≤ np ⟺ the candidate's cell is in
+    the top-np probes — the exact set a literal n_probe=np run
+    sees)."""
+    from ppocr_spark import cache
+    from ppocr_spark.functions.similarity import (brute_force_topk,
+                                                  ivf_topk, recall_at_k)
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = cache.track(brute_force_topk(e, q, k=5))
+    out = None
+    for np_ in (1, 2, 3):
+        r = recall_at_k(
+            exact,
+            ivf_topk(e, q, k=5, n_centroids=8, n_probe=np_, dim=64),
+            k=5,
+        )
+        row = (
+            r.agg(F.count("*").alias("nq"), F.sum("hits").alias("h"))
+            .select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                F.col("nq").cast("long").alias("n_queries"),
+                F.col("h").cast("long").alias("total_hits"),
+                F.expr("(1000000 * h) DIV (5 * nq)").cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")
+
+
+def _ann_probe_sweep_sql() -> str:
+    arms = []
+    for np_ in (1, 2, 3):
+        arms.append(f"""(
+  SELECT {np_}::BIGINT AS n_probe,
+         count(*)::BIGINT AS n_queries,
+         sum(hits)::BIGINT AS total_hits,
+         ((1000000 * sum(hits)) // (5 * count(*)))::BIGINT AS recall_ppm
+  FROM (
+    SELECT b.query_id, count(i.query_id) AS hits
+    FROM brute b LEFT JOIN (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id)
+                 AS rank
+        FROM scored WHERE first_prb <= {np_}
+      ) WHERE rank <= 5
+    ) i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+  )
+)""")
+    return f"""
+WITH {_ann_ivf_ctes(with_probe_rank=True)},
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]))) AS cos_raw
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+), branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM bscored
+), brute AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+SELECT * FROM ({" UNION ALL ".join(arms)}) ORDER BY n_probe
 """
 
 
@@ -6843,6 +6934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_lift": _events_ab_lift,
         "embeddings_dim_variance": _embeddings_dim_variance,
         "events_value_outliers": _events_value_outliers,
+        "ann_probe_sweep": _ann_probe_sweep,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -7071,4 +7163,5 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_lift": _EVENTS_AB_LIFT_SQL,
         "embeddings_dim_variance": _EMB_DIM_VARIANCE_SQL,
         "events_value_outliers": _EVENTS_VALUE_OUTLIERS_SQL,
+        "ann_probe_sweep": _ann_probe_sweep_sql(),
     }

@@ -3135,6 +3135,23 @@ class TestSnapshotDiff:
         assert a == b
 
 
+class TestAnnProbeSweep:
+    def test_monotone_and_consistent_with_recall_eval(self, spark):
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry._ann_probe_sweep(spark, sf).collect()
+        assert [r["n_probe"] for r in rows] == [1, 2, 3]
+        rec = [r["recall_ppm"] for r in rows]
+        assert rec == sorted(rec)  # more probes never lose recall
+        # the np=3 arm must equal the mean of the standalone recall row
+        per_q = entry._ann_recall_eval(spark, sf).collect()
+        total = sum(r["hits"] for r in per_q)
+        assert rows[2]["total_hits"] == total
+        assert rows[2]["recall_ppm"] == (1_000_000 * total) // (
+            5 * len(per_q))
+
+
 class TestBatchLayoutIndependence:
     """Partition-order independence of the continuation-session
     aggregate operators: every result must be IDENTICAL (not just

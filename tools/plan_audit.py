@@ -42,6 +42,8 @@ WHITELIST: dict[str, set[str]] = {
     # (that is what makes it exact); the IVF side and the recall join
     # itself are hash joins on slim id pairs.
     "ann_recall_eval": {"BroadcastNestedLoopJoin"},
+    # same exact-ground-truth brute-force side, swept over n_probe
+    "ann_probe_sweep": {"BroadcastNestedLoopJoin"},
     # label propagation scores the small labeled probe set against the
     # corpus via brute_force_topk — the same deliberate exact-scoring
     # BNLJ as ann_topk_bruteforce; the vote path is hash joins only.
