@@ -153,6 +153,8 @@ def main():
         "ocr_corpus_report",
         "events_ab_lift",
         "embeddings_dim_variance",
+        "events_value_outliers",
+        "ann_probe_sweep",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
