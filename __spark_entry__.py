@@ -6185,6 +6185,46 @@ GROUP BY b.source ORDER BY b.source
 """
 
 
+def _source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-source gram-universe overlap matrix (library
+    sketch.source_gram_overlap_exact): the calibration twin of
+    ``source_overlap_minhash`` — the sample/audit run that measures
+    the 8-permutation sketch's estimation error before trusting it
+    for continuous monitoring. Same gram universe (per-doc-distinct
+    3-grams), exact integer-ppm Jaccard; per-gram join fan-out is
+    bounded by |sources|², never documents."""
+    from ppocr_spark.functions.sketch import source_gram_overlap_exact
+
+    d = _load(spark, sf_dir, "documents")
+    return source_gram_overlap_exact(d, n=3).orderBy(
+        "source_a", "source_b"
+    )
+
+
+_SOURCE_OVERLAP_EXACT_SQL = f"""
+WITH g AS (
+  SELECT DISTINCT source AS src, g FROM (
+    SELECT source, unnest(gr) AS g FROM (
+      SELECT source, {_DUCK_GRAMS} AS gr
+      FROM (SELECT source, {_DUCK_TOKS} AS toks FROM documents)))
+), sizes AS (
+  SELECT src, count(*)::BIGINT AS n FROM g GROUP BY src
+), inter AS (
+  SELECT x.src AS source_a, y.src AS source_b, count(*)::BIGINT AS inter
+  FROM g x JOIN g y ON x.g = y.g AND x.src < y.src
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.inter,
+       (sa.n + sb.n - i.inter)::BIGINT AS union_n,
+       ((1000000 * i.inter) // (sa.n + sb.n - i.inter))::BIGINT
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.src = i.source_a
+JOIN sizes sb ON sb.src = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
 def _source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap matrix (library
     sketch.source_minhash_sigs + minhash_overlap_matrix): each source's
@@ -6935,6 +6975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_dim_variance": _embeddings_dim_variance,
         "events_value_outliers": _events_value_outliers,
         "ann_probe_sweep": _ann_probe_sweep,
+        "source_overlap_exact": _source_overlap_exact,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -7164,4 +7205,5 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_dim_variance": _EMB_DIM_VARIANCE_SQL,
         "events_value_outliers": _EVENTS_VALUE_OUTLIERS_SQL,
         "ann_probe_sweep": _ann_probe_sweep_sql(),
+        "source_overlap_exact": _SOURCE_OVERLAP_EXACT_SQL,
     }

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ppocr_spark import cache
+
 # fixed sketch format: p=8 → m=256 buckets (first md5 byte); rank over
 # the next 14 hex chars (56 bits) → rho ∈ [1, 57].
 M = 256
@@ -465,4 +467,74 @@ def minhash_overlap_matrix(sigs: DataFrame, k: int = 8) -> DataFrame:
             .alias("matches"),
         )
         .withColumn("overlap_ppm", F.expr(f"(1000000 * matches) DIV {k}"))
+    )
+
+
+def source_gram_overlap_exact(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """EXACT cross-source gram-universe overlap matrix — the
+    calibration twin of ``minhash_overlap_matrix`` (the 8-permutation
+    sketch estimates this table; running both on a sample is how the
+    sketch's error is audited before trusting it at full scale): per
+    source pair, |grams(A) ∩ grams(B)|, the union, and exact
+    integer-ppm Jaccard.
+
+    Scale: the corpus collapses to the DISTINCT (source, gram) set
+    (vocabulary × |sources| bound — grams are per-doc-distinct before
+    the global distinct, shrinking the explode); intersections come
+    from the gram self-join whose per-gram fan-out is bounded by
+    |sources|² (≤ a few hundred pairs per gram no matter how hot the
+    gram is — sources, not documents, join); set sizes are one slim
+    groupBy. Unlike the sketch path this DOES scan gram strings —
+    linear in vocabulary, which is why the sketch exists for
+    continuous monitoring and this runs on samples/audits.
+    Returns (source_a, source_b, inter, union_n, jaccard_ppm)."""
+    from ppocr_spark.functions.text import (
+        ngrams_from_tokens,
+        spread,
+        tokens,
+    )
+
+    g = cache.track_if_large(
+        docs,
+        spread(
+            docs.select(
+                F.col(source_col).alias("src"),
+                tokens(F.col(text_col)).alias("__t"),
+            )
+        )
+        .select(
+            "src",
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("__t"), n))
+            ).alias("g"),
+        )
+        .distinct(),
+    )
+    sizes = g.groupBy("src").agg(F.count("*").alias("n"))
+    inter = (
+        g.alias("x")
+        .join(g.alias("y"), (F.col("x.g") == F.col("y.g"))
+              & (F.col("x.src") < F.col("y.src")))
+        .groupBy(F.col("x.src").alias("source_a"),
+                 F.col("y.src").alias("source_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("src").alias("source_a"),
+                                F.col("n").alias("na")), "source_a")
+        .join(sizes.select(F.col("src").alias("source_b"),
+                           F.col("n").alias("nb")), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter")).cast("long")
+            .alias("union_n"),
+            F.expr("(1000000 * inter) DIV (na + nb - inter)")
+            .cast("long").alias("jaccard_ppm"),
+        )
     )

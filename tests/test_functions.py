@@ -3135,6 +3135,28 @@ class TestSnapshotDiff:
         assert a == b
 
 
+class TestSourceOverlapExact:
+    def test_hand_case(self, spark):
+        from ppocr_spark.functions.sketch import source_gram_overlap_exact
+
+        rows = [
+            ("A", 1, "a b c d"),        # grams {abc, bcd}
+            ("B", 2, "a b c x"),        # grams {abc, bcx}
+            ("C", 3, "p q r s"),        # disjoint
+        ]
+        df = spark.createDataFrame(
+            [(s, i, t) for s, i, t in rows],
+            "source string, doc_id long, text string",
+        )
+        got = {
+            (r["source_a"], r["source_b"]):
+                (r["inter"], r["union_n"], r["jaccard_ppm"])
+            for r in source_gram_overlap_exact(df, n=3).collect()
+        }
+        # A∩B = {abc}: 1 of 3; C shares nothing -> no rows with C
+        assert got == {("A", "B"): (1, 3, 333_333)}
+
+
 class TestAnnProbeSweep:
     def test_monotone_and_consistent_with_recall_eval(self, spark):
         import __spark_entry__ as entry
