@@ -1542,6 +1542,76 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class composition — the script/noise
+    profile under the length-band gates: ASCII-letter, digit,
+    whitespace, punctuation (the proven cross-engine ``[\\p{P}]``
+    class), and everything-else shares in exact integer ppm of the
+    char count. Counts are length-deltas after class-strip
+    ``regexp_replace`` (the ``punct_ratio`` technique — Java and RE2
+    agree on these classes, proven by the text_features row). Pure
+    per-row JVM expressions, zero shuffles."""
+    e = _load(spark, sf_dir, "documents")
+
+    def cnt(cls: str):
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), cls, "")
+        )
+
+    den = F.greatest(F.length("text"), F.lit(1))
+    alpha, digit, space, punct = (
+        cnt("[A-Za-z]"), cnt("[0-9]"), cnt(r"[\s]"), cnt(r"[\p{P}]")
+    )
+    return (
+        e.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            (F.lit(1_000_000) * alpha).cast("long").alias("__a"),
+            (F.lit(1_000_000) * digit).cast("long").alias("__d"),
+            (F.lit(1_000_000) * space).cast("long").alias("__s"),
+            (F.lit(1_000_000) * punct).cast("long").alias("__p"),
+            (
+                F.lit(1_000_000)
+                * (F.length("text") - alpha - digit - space - punct)
+            ).cast("long").alias("__o"),
+            den.cast("long").alias("__den"),
+        )
+        .select(
+            "doc_id", "n_chars",
+            F.expr("__a DIV __den").cast("long").alias("alpha_ppm"),
+            F.expr("__d DIV __den").cast("long").alias("digit_ppm"),
+            F.expr("__s DIV __den").cast("long").alias("space_ppm"),
+            F.expr("__p DIV __den").cast("long").alias("punct_ppm"),
+            F.expr("__o DIV __den").cast("long").alias("other_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHARCLASS_SQL = """
+WITH c AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+           ::BIGINT AS a,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           ::BIGINT AS d,
+         (length(text) - length(regexp_replace(text, '[\\s]', '', 'g')))
+           ::BIGINT AS s,
+         (length(text) - length(regexp_replace(text, '[\\p{P}]', '', 'g')))
+           ::BIGINT AS p,
+         greatest(length(text), 1)::BIGINT AS den
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       ((1000000 * a) // den)::BIGINT AS alpha_ppm,
+       ((1000000 * d) // den)::BIGINT AS digit_ppm,
+       ((1000000 * s) // den)::BIGINT AS space_ppm,
+       ((1000000 * p) // den)::BIGINT AS punct_ppm,
+       ((1000000 * (n_chars - a - d - s - p)) // den)::BIGINT AS other_ppm
+FROM c ORDER BY doc_id
+"""
+
+
 def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library lang_id (priority tie-break en>de>fr>es) vs the oracle's
     CASE chain — the same rule stated two independent ways."""
@@ -6976,6 +7046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": _events_value_outliers,
         "ann_probe_sweep": _ann_probe_sweep,
         "source_overlap_exact": _source_overlap_exact,
+        "text_charclass_profile": _text_charclass_profile,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -7206,4 +7277,5 @@ def oracle_sql() -> dict[str, str]:
         "events_value_outliers": _EVENTS_VALUE_OUTLIERS_SQL,
         "ann_probe_sweep": _ann_probe_sweep_sql(),
         "source_overlap_exact": _SOURCE_OVERLAP_EXACT_SQL,
+        "text_charclass_profile": _CHARCLASS_SQL,
     }

@@ -3135,6 +3135,30 @@ class TestSnapshotDiff:
         assert a == b
 
 
+class TestCharclassProfile:
+    def test_hand_case(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        rows = [(1, "ab 12!?"), (2, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in entry._text_charclass_profile(
+                spark, str(tmp_path)).collect()
+        }
+        r1 = got[1]  # 7 chars: 2 alpha, 2 digit, 1 space, 2 punct
+        assert r1["n_chars"] == 7
+        assert r1["alpha_ppm"] == (1_000_000 * 2) // 7
+        assert r1["digit_ppm"] == (1_000_000 * 2) // 7
+        assert r1["space_ppm"] == (1_000_000 * 1) // 7
+        assert r1["punct_ppm"] == (1_000_000 * 2) // 7
+        assert r1["other_ppm"] == 0
+        r2 = got[2]
+        assert r2["n_chars"] == 0 and r2["alpha_ppm"] == 0
+
+
 class TestSourceOverlapExact:
     def test_hand_case(self, spark):
         from ppocr_spark.functions.sketch import source_gram_overlap_exact
