@@ -4941,6 +4941,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (library sampling.kfold_assign):
+    md5-derived integer mod 5 — the exact-k rotation counterpart of
+    the fraction-based hash split; pure projection, layout/run
+    independent."""
+    from ppocr_spark.functions.sampling import kfold_assign
+
+    d = _load(spark, sf_dir, "documents")
+    return kfold_assign(d.select("doc_id"), k=5).orderBy("doc_id")
+
+
+_SAMPLE_KFOLD_SQL = """
+SELECT doc_id,
+       (('0x' || substr(md5(concat('fold:', doc_id::VARCHAR)), 1, 15))
+        ::BIGINT % 5)::BIGINT AS fold
+FROM documents ORDER BY doc_id
+"""
+
+
 _STRAT_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 1.0}
 
 
@@ -7047,6 +7066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_probe_sweep": _ann_probe_sweep,
         "source_overlap_exact": _source_overlap_exact,
         "text_charclass_profile": _text_charclass_profile,
+        "sample_kfold": _sample_kfold,
         # --- driver-green in r4, single round of coverage ---
         "layout_nms": _layout_nms,
         "sample_split": _sample_split,
@@ -7278,4 +7298,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_probe_sweep": _ann_probe_sweep_sql(),
         "source_overlap_exact": _SOURCE_OVERLAP_EXACT_SQL,
         "text_charclass_profile": _CHARCLASS_SQL,
+        "sample_kfold": _SAMPLE_KFOLD_SQL,
     }

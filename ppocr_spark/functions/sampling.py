@@ -879,3 +879,29 @@ def key_skew_report(
         )
         .orderBy("rank")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: adds ``fold`` =
+    md5-derived integer mod k — the exact-k rotation counterpart of the
+    fraction-based ``hash_split`` (every doc lands in exactly one of k
+    folds; fold i's eval set is disjoint from its train set by
+    construction). Pure projection — no shuffle, no RNG; the same id
+    gets the same fold on any cluster, any partitioning, any run, and
+    the 60-bit hash space makes the mod-k buckets uniform to ~2⁻⁶⁰
+    bias. Salted so fold assignment decorrelates from every other
+    hash-keyed decision (splits, buckets, caps) on the same ids."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.withColumn("fold", (h % F.lit(int(k))).cast("long"))

@@ -3135,6 +3135,27 @@ class TestSnapshotDiff:
         assert a == b
 
 
+class TestKfoldAssign:
+    def test_partition_of_ids_and_determinism(self, spark):
+        import hashlib
+
+        from ppocr_spark.functions.sampling import kfold_assign
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(40)], "doc_id long"
+        )
+        got = {r["doc_id"]: r["fold"]
+               for r in kfold_assign(df, k=5).collect()}
+        assert set(got) == set(range(40))
+        for i, f in got.items():
+            exp = int(hashlib.md5(f"fold:{i}".encode())
+                      .hexdigest()[:15], 16) % 5
+            assert f == exp
+        relaid = {r["doc_id"]: r["fold"]
+                  for r in kfold_assign(df.repartition(9), k=5).collect()}
+        assert relaid == got
+
+
 class TestCharclassProfile:
     def test_hand_case(self, spark, tmp_path):
         import __spark_entry__ as entry
