@@ -155,6 +155,9 @@ def main():
         "embeddings_dim_variance",
         "events_value_outliers",
         "ann_probe_sweep",
+        "source_overlap_exact",
+        "text_charclass_profile",
+        "sample_kfold",
     ]
 
     def time_query(name: str) -> tuple[float, list[float]]:
