@@ -160,9 +160,18 @@ def main():
         "sample_kfold",
     ]
 
-    def time_query(name: str) -> tuple[float, list[float]]:
+    # Soft wall budget: the extras list has grown past 80 queries; if a
+    # driver-side timeout killed the process mid-run the single JSON
+    # line would never print. After the budget elapses, remaining
+    # EXTRAS degrade to one sample each (the headline suite always runs
+    # full best-of-K; per-query JSON reports its own sample list, so a
+    # degraded entry is visible, not silent).
+    soft_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    bench_t0 = time.time()
+
+    def time_query(name: str, k: int) -> tuple[float, list[float]]:
         samples = []
-        for _ in range(K):
+        for _ in range(k):
             t0 = time.time()
             qs[name](spark, sf_dir).count()  # full materialization
             samples.append(round(time.time() - t0, 3))
@@ -173,7 +182,10 @@ def main():
     raw: dict[str, list[float]] = {}
     ocr_sec = None
     for name in headline + extras:
-        best, samples = time_query(name)
+        k = K
+        if name not in headline and time.time() - bench_t0 > soft_budget:
+            k = 1
+        best, samples = time_query(name, k)
         timings[name] = best
         raw[name] = samples
         if name == "ocr_extract_spans":
