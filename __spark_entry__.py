@@ -462,14 +462,18 @@ def _events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier comparison runs on UNROUNDED doubles that are
     engine-identical because both sides computed them with the same
     IEEE ops; med/mad round to 6 for display only."""
+    from ppocr_spark import cache
+
     e = _load(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("__med")
     )
-    dev = e.join(F.broadcast(med), "event_type").select(
+    # dev feeds the MAD aggregate AND the final aggregate — persist or
+    # the events scan re-evaluates per consumer (track_if_large)
+    dev = cache.track_if_large(e, e.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "__med",
         F.abs(F.col("value") - F.col("__med")).alias("__ad"),
-    )
+    ))
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(__ad, 0.5)").alias("__mad")
     )
@@ -1559,8 +1563,13 @@ def _text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     den = F.greatest(F.length("text"), F.lit(1))
+    # counts cast to LONG before the ppm multiply: length() is 32-bit
+    # and 1e6 x a >2147-char class count overflows IntegerType (ANSI
+    # mode raises; non-ANSI would wrap negative and diverge from the
+    # BIGINT oracle) — caught by review, pinned by test
     alpha, digit, space, punct = (
-        cnt("[A-Za-z]"), cnt("[0-9]"), cnt(r"[\s]"), cnt(r"[\p{P}]")
+        cnt("[A-Za-z]").cast("long"), cnt("[0-9]").cast("long"),
+        cnt(r"[\s]").cast("long"), cnt(r"[\p{P}]").cast("long")
     )
     return (
         e.select(
@@ -1572,7 +1581,8 @@ def _text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1_000_000) * punct).cast("long").alias("__p"),
             (
                 F.lit(1_000_000)
-                * (F.length("text") - alpha - digit - space - punct)
+                * (F.length("text").cast("long")
+                   - alpha - digit - space - punct)
             ).cast("long").alias("__o"),
             den.cast("long").alias("__den"),
         )
@@ -3286,11 +3296,14 @@ def _ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 ppm against the exact brute-force top-5 at n_probe =
     1, 2, 3 — the table that picks the index's latency/recall
     operating point (the IVF counterpart of the LSH banding S-curve
-    row). Ground truth is computed ONCE and persisted across the
-    three configs; the oracle replays the shared chain with per-probe
-    candidate subsets (first_prb ≤ np ⟺ the candidate's cell is in
-    the top-np probes — the exact set a literal n_probe=np run
-    sees)."""
+    row). Ground truth AND the index are computed ONCE and persisted:
+    ivf_topk's ``with_probe_rank`` output carries each candidate's
+    minimum probe rank, so every arm is a filter + re-rank
+    (first_prb ≤ np ⟺ the candidate's cell is in the top-np probes —
+    the exact set a literal n_probe=np run sees); the oracle replays
+    the same shape."""
+    from pyspark.sql import Window
+
     from ppocr_spark import cache
     from ppocr_spark.functions.similarity import (brute_force_topk,
                                                   ivf_topk, recall_at_k)
@@ -3298,13 +3311,25 @@ def _ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     exact = cache.track(brute_force_topk(e, q, k=5))
+    # the index is n_probe-independent: fit + invert ONCE at the max
+    # probe count with the first_prb column, derive every arm by
+    # filtering + re-ranking (the oracle's own shape)
+    cand = cache.track(
+        ivf_topk(e, q, k=5, n_centroids=8, n_probe=3, dim=64,
+                 with_probe_rank=True)
+    )
     out = None
     for np_ in (1, 2, 3):
-        r = recall_at_k(
-            exact,
-            ivf_topk(e, q, k=5, n_centroids=8, n_probe=np_, dim=64),
-            k=5,
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
         )
+        arm = (
+            cand.filter(F.col("first_prb") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        r = recall_at_k(exact, arm, k=5)
         row = (
             r.agg(F.count("*").alias("nq"), F.sum("hits").alias("h"))
             .select(
@@ -6299,18 +6324,22 @@ WITH g AS (
 ), sizes AS (
   SELECT src, count(*)::BIGINT AS n FROM g GROUP BY src
 ), inter AS (
-  SELECT x.src AS source_a, y.src AS source_b, count(*)::BIGINT AS inter
+  SELECT x.src AS source_a, y.src AS source_b, count(*)::BIGINT AS i
   FROM g x JOIN g y ON x.g = y.g AND x.src < y.src
   GROUP BY 1, 2
+), pairs AS (
+  SELECT sa.src AS source_a, sb.src AS source_b, sa.n AS na, sb.n AS nb
+  FROM sizes sa JOIN sizes sb ON sa.src < sb.src
 )
-SELECT i.source_a, i.source_b, i.inter,
-       (sa.n + sb.n - i.inter)::BIGINT AS union_n,
-       ((1000000 * i.inter) // (sa.n + sb.n - i.inter))::BIGINT
-         AS jaccard_ppm
-FROM inter i
-JOIN sizes sa ON sa.src = i.source_a
-JOIN sizes sb ON sb.src = i.source_b
-ORDER BY source_a, source_b
+SELECT p.source_a, p.source_b,
+       coalesce(i.i, 0)::BIGINT AS inter,
+       (p.na + p.nb - coalesce(i.i, 0))::BIGINT AS union_n,
+       ((1000000 * coalesce(i.i, 0))
+        // (p.na + p.nb - coalesce(i.i, 0)))::BIGINT AS jaccard_ppm
+FROM pairs p
+LEFT JOIN inter i
+  ON i.source_a = p.source_a AND i.source_b = p.source_b
+ORDER BY p.source_a, p.source_b
 """
 
 

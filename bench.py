@@ -180,11 +180,13 @@ def main():
 
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    degraded: list[str] = []
     ocr_sec = None
     for name in headline + extras:
         k = K
         if name not in headline and time.time() - bench_t0 > soft_budget:
             k = 1
+            degraded.append(name)
         best, samples = time_query(name, k)
         timings[name] = best
         raw[name] = samples
@@ -222,6 +224,7 @@ def main():
         "extra_queries": {n: timings[n] for n in extras},
         "samples": raw,
         "best_of_k": K,
+        "degraded_to_one_sample": degraded,
         "sf": sf,
         "cores": cores,
         "corpus_docs": n_docs,

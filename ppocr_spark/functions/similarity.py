@@ -353,6 +353,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     init_scale: float = 0.125,
+    with_probe_rank: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: seeded literal init
     centroids → ONE distributed Lloyd refinement (assign + per-cluster
@@ -405,21 +406,39 @@ def ivf_topk(
         ).alias("cd"),
     ).select(
         "qid", "qv", "qn",
-        F.explode(
+        F.posexplode(
             F.slice(F.array_sort("cd"), 1, n_probe)
-        ).alias("probe"),
-    ).select("qid", "qv", "qn", F.col("probe.i").alias("cl"))
+        ).alias("__pos", "probe"),
+    ).select(
+        "qid", "qv", "qn",
+        (F.col("__pos") + 1).alias("prb"),
+        F.col("probe.i").alias("cl"),
+    )
 
-    scored = (
+    raw = (
         inv.join(F.broadcast(qd), "cl")
         .filter(F.col("nid") != F.col("qid"))
         .select(
-            "qid", "nid",
+            "qid", "nid", "prb",
             (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
             .alias("cosine"),
         )
-        .dropDuplicates(["qid", "nid"])
     )
+    if with_probe_rank:
+        # sweep mode: unranked candidate set with the MINIMUM probe
+        # rank each candidate appears at — filtering first_prb <= np
+        # and re-ranking yields exactly the n_probe=np result without
+        # rebuilding the index per operating point
+        return raw.groupBy("qid", "nid").agg(
+            F.min("prb").alias("first_prb"),
+            F.max("cosine").alias("cosine"),  # identical across probes
+        ).select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            F.col("first_prb").cast("int").alias("first_prb"),
+        )
+    scored = raw.dropDuplicates(["qid", "nid"])
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("nid").asc()
     )

@@ -491,7 +491,10 @@ def source_gram_overlap_exact(
     gram is — sources, not documents, join); set sizes are one slim
     groupBy. Unlike the sketch path this DOES scan gram strings —
     linear in vocabulary, which is why the sketch exists for
-    continuous monitoring and this runs on samples/audits.
+    continuous monitoring and this runs on samples/audits. Emits the
+    FULL |sources|² pair universe — zero-intersection pairs included
+    (where the sketch errs worst), via a left join from the sizes
+    cross product.
     Returns (source_a, source_b, inter, union_n, jaccard_ppm)."""
     from ppocr_spark.functions.text import (
         ngrams_from_tokens,
@@ -522,19 +525,33 @@ def source_gram_overlap_exact(
               & (F.col("x.src") < F.col("y.src")))
         .groupBy(F.col("x.src").alias("source_a"),
                  F.col("y.src").alias("source_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("__i"))
+    )
+    # FULL |sources|² pair universe (sizes × sizes, a < b), not just
+    # pairs sharing a gram: zero-intersection pairs are exactly where
+    # the k=8 sketch errs worst (one accidental permutation match
+    # reads 125000 ppm), so the calibration table must show their 0
+    pairs = (
+        sizes.select(F.col("src").alias("source_a"),
+                     F.col("n").alias("na"))
+        .join(
+            sizes.select(F.col("src").alias("source_b"),
+                         F.col("n").alias("nb")),
+            F.col("source_a") < F.col("source_b"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col("src").alias("source_a"),
-                                F.col("n").alias("na")), "source_a")
-        .join(sizes.select(F.col("src").alias("source_b"),
-                           F.col("n").alias("nb")), "source_b")
+        pairs.join(inter, ["source_a", "source_b"], "left")
         .select(
             "source_a", "source_b",
-            F.col("inter").cast("long").alias("inter"),
-            (F.col("na") + F.col("nb") - F.col("inter")).cast("long")
-            .alias("union_n"),
-            F.expr("(1000000 * inter) DIV (na + nb - inter)")
-            .cast("long").alias("jaccard_ppm"),
+            F.coalesce(F.col("__i"), F.lit(0)).cast("long")
+            .alias("inter"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("__i"),
+                                                    F.lit(0)))
+            .cast("long").alias("union_n"),
+            F.expr(
+                "(1000000 * coalesce(__i, 0))"
+                " DIV (na + nb - coalesce(__i, 0))"
+            ).cast("long").alias("jaccard_ppm"),
         )
     )

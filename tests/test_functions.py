@@ -3179,6 +3179,21 @@ class TestCharclassProfile:
         r2 = got[2]
         assert r2["n_chars"] == 0 and r2["alpha_ppm"] == 0
 
+    def test_no_int32_overflow_on_long_docs(self, spark, tmp_path):
+        # 1e6 x count must be LONG math: a 3000-char alpha run
+        # overflows IntegerType (ANSI raises; non-ANSI wraps negative
+        # and diverges from the BIGINT oracle) — review-caught.
+        import __spark_entry__ as entry
+
+        df = spark.createDataFrame(
+            [(1, "a" * 3000)], "doc_id long, text string"
+        )
+        df.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet"))
+        r = entry._text_charclass_profile(
+            spark, str(tmp_path)).collect()[0]
+        assert r["alpha_ppm"] == 1_000_000 and r["n_chars"] == 3000
+
 
 class TestSourceOverlapExact:
     def test_hand_case(self, spark):
@@ -3198,8 +3213,13 @@ class TestSourceOverlapExact:
                 (r["inter"], r["union_n"], r["jaccard_ppm"])
             for r in source_gram_overlap_exact(df, n=3).collect()
         }
-        # A∩B = {abc}: 1 of 3; C shares nothing -> no rows with C
-        assert got == {("A", "B"): (1, 3, 333_333)}
+        # A∩B = {abc}: 1 of 3; C shares nothing but STILL appears
+        # with inter 0 (the sketch's worst-error pairs must be visible)
+        assert got == {
+            ("A", "B"): (1, 3, 333_333),
+            ("A", "C"): (0, 4, 0),
+            ("B", "C"): (0, 4, 0),
+        }
 
 
 class TestAnnProbeSweep:

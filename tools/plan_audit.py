@@ -68,6 +68,9 @@ WHITELIST: dict[str, set[str]] = {
     # |sources|² pair join over the per-group SKETCH table (the overlap
     # matrix IS the output); corpus rows never enter the pair join
     "source_overlap_minhash": {"BroadcastNestedLoopJoin"},
+    # same |sources|² matrix-is-the-output class: the pair universe is
+    # a sizes × sizes inequality join over the tiny dimension table
+    "source_overlap_exact": {"BroadcastNestedLoopJoin"},
 }
 
 
