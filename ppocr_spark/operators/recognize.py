@@ -31,8 +31,14 @@ from ppocr_spark.resample import batched_area_resize
 
 SOFTMAX_TEMP = 24.0
 #: a horizontal gap wider than this fraction of the median segment width
-#: decodes as a space (the ' ' class appended to the dict)
-SPACE_GAP_FRAC = 1.5
+#: decodes as a space (the ' ' class appended to the dict). Measured on
+#: the synthetic corpus renderings (BENCH/BASELINE.md cross-scale
+#: band): intra-letter gaps cluster at ~0.2-0.5x the median glyph
+#: width and inter-word gaps at ~1.4-1.9x; the original 1.5 cut INSIDE
+#: the word-gap cluster (gaps of 1.43-1.48x read as letter spacing,
+#: deleting spaces on 3 of the 4 divergent sf0.1 images), while 1.0
+#: separates the two clusters with margin on both sides.
+SPACE_GAP_FRAC = 1.0
 
 
 def _segments(ink: np.ndarray) -> list[tuple[int, int]]:
