@@ -643,3 +643,33 @@ class TestClsResizeGolden:
 
         wide = np.zeros((10, 2000), dtype=np.uint8)  # ratio 200 → clamp
         assert cls_resize(wide).shape == (CLS_H, CLS_W)
+
+
+class TestSpaceGapThreshold:
+    def test_word_gap_decision_boundary(self):
+        """Pins the SPACE_GAP_FRAC=1.0 decision classes (the cross-scale
+        fidelity fix, BENCH/BASELINE.md): a sub-glyph-width gap decodes
+        as letter spacing, a clearly-super-width gap decodes as a word
+        space. Constructed two-glyph crops — no corpus dependence."""
+        import numpy as np
+
+        from ppocr_spark.font import glyph_bank
+        from ppocr_spark.operators.recognize import (
+            ctc_greedy_decode,
+            forward_probs,
+        )
+
+        g = glyph_bank()["a"]
+        gh, gw = g.shape
+        img = np.where(g, 0, 255).astype(np.uint8)
+
+        def decode_with_gap(gap_px):
+            canvas = np.full((gh + 8, gw * 2 + gap_px + 8), 255,
+                             dtype=np.uint8)
+            canvas[4:4 + gh, 4:4 + gw] = img
+            canvas[4:4 + gh, 4 + gw + gap_px:4 + 2 * gw + gap_px] = img
+            txt, _ = ctc_greedy_decode(forward_probs(canvas), "full")
+            return txt
+
+        assert decode_with_gap(int(0.3 * gw)) == "aa"
+        assert decode_with_gap(int(1.5 * gw)) == "a a"
